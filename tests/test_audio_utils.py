@@ -1,0 +1,64 @@
+import base64
+
+import numpy as np
+import pytest
+
+from toolbox_for_asr_and_tts_tpu.utils import (
+    base64_to_audio_np,
+    decode_wav_bytes,
+    encode_wav_bytes,
+    ensure_mono_16k,
+    resample_poly,
+)
+
+
+def _sine(sr=16000, secs=0.5, hz=440.0):
+    t = np.arange(int(sr * secs)) / sr
+    return (0.5 * np.sin(2 * np.pi * hz * t)).astype(np.float32)
+
+
+def test_wav_roundtrip_16bit():
+    x = _sine()
+    data = encode_wav_bytes(x, 16000)
+    y, sr = decode_wav_bytes(data)
+    assert sr == 16000
+    assert y.shape == (len(x), 1)
+    np.testing.assert_allclose(y[:, 0], x, atol=1.0 / 32768)
+
+
+def test_wav_stereo_downmix():
+    x = _sine()
+    stereo = np.stack([x, -x], axis=1)
+    data = encode_wav_bytes(stereo, 16000)
+    y, sr = decode_wav_bytes(data)
+    mono = ensure_mono_16k(y, sr)
+    assert np.abs(mono).max() < 1e-3  # L+R cancel
+
+
+def test_base64_to_audio_np_resamples():
+    x = _sine(sr=8000)
+    b64 = base64.b64encode(encode_wav_bytes(x, 8000)).decode()
+    y = base64_to_audio_np(b64)
+    assert y.dtype == np.float32
+    assert abs(len(y) - 2 * len(x)) <= 2
+
+
+def test_resample_identity():
+    x = _sine()
+    np.testing.assert_array_equal(resample_poly(x, 16000, 16000), x)
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_wav_bytes(b"not a wav file at all........" * 4)
+
+
+def test_float32_wav():
+    import struct
+    x = _sine()
+    raw = x.astype("<f4").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000, 64000, 4, 32)
+    hdr += b"data" + struct.pack("<I", len(raw))
+    y, sr = decode_wav_bytes(hdr + raw)
+    np.testing.assert_allclose(y[:, 0], x, atol=1e-6)

@@ -1,0 +1,69 @@
+"""Energy-based VAD statistics.
+
+The reference's *final* per-chunk speech decision is energy-only
+(voice-service/app/services/voice_interface.py:1569-1606): a chunk is speech
+iff mean(|x|) > 0.03 AND max(|x|) > 0.17. The FSMN-VAD model output is logged
+but not decisive for chunk gating (it drives endpointing elsewhere). These
+helpers keep those exact semantics, with both a numpy host path (latency: a
+400 ms chunk is 6400 samples — not worth a device round-trip) and a jnp path
+for fused batch pipelines.
+"""
+from __future__ import annotations
+
+from typing import Tuple, Union
+
+import numpy as np
+
+try:  # jnp path optional so host-only callers stay torch/jax-free
+    import jax.numpy as jnp
+    _HAS_JAX = True
+except Exception:  # pragma: no cover
+    _HAS_JAX = False
+
+MEAN_THRESHOLD = 0.03  # voice_interface.py:655
+PEAK_THRESHOLD = 0.17  # voice_interface.py:657
+
+
+def energy_stats(x) -> Tuple[float, float]:
+    """(mean_abs, peak_abs) of a chunk."""
+    if isinstance(x, np.ndarray):
+        a = np.abs(x)
+        return float(a.mean()), float(a.max(initial=0.0))
+    a = jnp.abs(x)
+    return jnp.mean(a), jnp.max(a)
+
+
+def is_speech_energy(x, mean_threshold: float = MEAN_THRESHOLD,
+                     peak_threshold: float = PEAK_THRESHOLD) -> Union[bool, "jnp.ndarray"]:
+    """AND-logic energy gate (voice_interface.py:1573-1578,1606)."""
+    mean_abs, peak = energy_stats(x)
+    if isinstance(x, np.ndarray):
+        return bool(mean_abs > mean_threshold and peak > peak_threshold)
+    return (mean_abs > mean_threshold) & (peak > peak_threshold)
+
+
+def rms(x) -> float:
+    if isinstance(x, np.ndarray):
+        return float(np.sqrt(np.mean(np.square(x)) + 1e-12))
+    return jnp.sqrt(jnp.mean(jnp.square(x)) + 1e-12)
+
+
+def audio_quality_stats(x: np.ndarray) -> dict:
+    """RMS / clipping ratio / dynamic range / peak symmetry telemetry
+    (port of `_log_audio_statistics`, voice_interface.py:873-939)."""
+    a = np.asarray(x, dtype=np.float32)
+    if a.size == 0:
+        return {"rms": 0.0, "clipping_ratio": 0.0, "dynamic_range_db": 0.0,
+                "peak_pos": 0.0, "peak_neg": 0.0}
+    clip = float(np.mean(np.abs(a) >= 0.999))
+    peak_pos = float(a.max(initial=0.0))
+    peak_neg = float(-a.min(initial=0.0))
+    r = rms(a)
+    dyn = 20.0 * np.log10(max(peak_pos, peak_neg, 1e-9) / max(r, 1e-9))
+    return {
+        "rms": r,
+        "clipping_ratio": clip,
+        "dynamic_range_db": float(dyn),
+        "peak_pos": peak_pos,
+        "peak_neg": peak_neg,
+    }
