@@ -3,7 +3,7 @@ multi-chip codepaths run without TPU hardware (the driver separately dry-runs
 the multichip path; see __graft_entry__.py)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # env presets axon (TPU); tests run on CPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
