@@ -3,12 +3,14 @@ multi-chip codepaths run without TPU hardware (the driver separately dry-runs
 the multichip path; see __graft_entry__.py)."""
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # env presets axon (TPU); tests run on CPU
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# The container presets JAX_PLATFORMS=axon (real TPU) and its sitecustomize
+# imports jax at interpreter start, so env vars alone are too late — use
+# jax.config.update before any backend initialization instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
