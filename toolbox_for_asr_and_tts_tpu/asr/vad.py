@@ -1,0 +1,103 @@
+"""Host-side VAD post-processing: frame posteriors → speech segments.
+
+Equivalent of FunASR's `VadStateMachine` / `WindowDetector` that turns
+FSMN-VAD frame probabilities into (start_ms, end_ms) segments with hysteresis,
+using the operating constants the FunASR VAD ships with (sil→speech 150 ms,
+speech→sil / max end silence 800 ms, speech-noise threshold 0.6, 60 s max
+single segment). The reference consumes exactly these segment semantics for
+endpointing (voice_interface.py:1580-1602) while its per-chunk gating is
+energy-based (ops/vad_energy.py).
+
+Pure Python over numpy — this is control flow, not math; the model math runs
+on TPU in models/fsmn_vad.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class VadOptions:
+    frame_ms: int = 10
+    speech_noise_thres: float = 0.6
+    sil_to_speech_ms: int = 150
+    speech_to_sil_ms: int = 150
+    max_end_silence_ms: int = 800
+    max_single_segment_ms: int = 60000
+    speech_pad_ms: int = 0  # lead/tail padding applied to emitted segments
+
+
+class VadStateMachine:
+    """Streaming hysteresis detector over per-frame speech probabilities."""
+
+    SIL = 0
+    SPEECH = 1
+
+    def __init__(self, opts: VadOptions = VadOptions()):
+        self.opts = opts
+        self.state = self.SIL
+        self.frame_idx = 0
+        self.run_len = 0            # consecutive frames contradicting state
+        self.seg_start: Optional[int] = None
+        self.segments: List[Tuple[int, int]] = []
+
+    def _emit(self, start_f: int, end_f: int) -> Tuple[int, int]:
+        o = self.opts
+        seg = (max(0, start_f * o.frame_ms - o.speech_pad_ms),
+               end_f * o.frame_ms + o.speech_pad_ms)
+        self.segments.append(seg)
+        return seg
+
+    def push(self, probs: np.ndarray) -> List[Tuple[int, int]]:
+        """Feed frame speech-probabilities; returns segments closed by this
+        chunk as (start_ms, end_ms)."""
+        o = self.opts
+        closed: List[Tuple[int, int]] = []
+        up = o.sil_to_speech_ms // o.frame_ms
+        down = o.speech_to_sil_ms // o.frame_ms
+        end_sil = o.max_end_silence_ms // o.frame_ms
+        max_len = o.max_single_segment_ms // o.frame_ms
+        for p in np.asarray(probs).reshape(-1):
+            is_sp = p > o.speech_noise_thres
+            if self.state == self.SIL:
+                self.run_len = self.run_len + 1 if is_sp else 0
+                if self.run_len >= up:
+                    self.state = self.SPEECH
+                    self.seg_start = self.frame_idx - self.run_len + 1
+                    self.run_len = 0
+            else:
+                self.run_len = 0 if is_sp else self.run_len + 1
+                too_long = self.frame_idx - self.seg_start >= max_len
+                if self.run_len >= max(down, end_sil) or too_long:
+                    end = self.frame_idx - self.run_len + 1
+                    closed.append(self._emit(self.seg_start, max(end, self.seg_start + 1)))
+                    self.state = self.SIL
+                    self.seg_start = None
+                    self.run_len = 0
+            self.frame_idx += 1
+        return closed
+
+    def finalize(self) -> List[Tuple[int, int]]:
+        """Close any open segment at end of stream."""
+        closed = []
+        if self.state == self.SPEECH and self.seg_start is not None:
+            closed.append(self._emit(self.seg_start, self.frame_idx))
+            self.state = self.SIL
+            self.seg_start = None
+        return closed
+
+    @property
+    def in_speech(self) -> bool:
+        return self.state == self.SPEECH
+
+
+def segments_from_probs(probs: np.ndarray,
+                        opts: VadOptions = VadOptions()) -> List[Tuple[int, int]]:
+    """Offline convenience: [T] frame speech probs → [(start_ms, end_ms)]."""
+    sm = VadStateMachine(opts)
+    out = sm.push(probs)
+    out += sm.finalize()
+    return out
