@@ -1,0 +1,245 @@
+"""Paraformer: non-autoregressive ASR (SAN-M encoder + CIF + NAR decoder).
+
+TPU-native re-implementation of the model family behind ModelScope
+`speech_paraformer-large_asr_nat-zh-cn-16k-common-vocab8404` — the model the
+reference uses for final transcription via its diarization pipeline
+(voice-service/app/services/voice_interface.py:776-841) and, in streaming
+form, `paraformer-zh-streaming` (voice_interface.py:629-634).
+
+Structure (FunASR Paraformer):
+    frontend: fbank80 → LFR 7/6 → CMVN → 560-dim @ 60 ms
+    encoder:  x·√d + sinusoidal PE → 1 × SAN-M layer (in 560 → 512, no
+              attention residual) → 49 × SAN-M layers (512) → LayerNorm
+              SAN-M layer: norm → self-attn(MHA + depthwise FSMN memory on V,
+              kernel 11) (+residual) → norm → FFN 2048 relu (+residual)
+    predictor (CIF v2): pad(1,1) conv1d(512,512,k=3) → relu → linear(512,1)
+              → sigmoid → α per frame; Σα = token count
+    decoder:  16 × SAN-M decoder layers (ffn → FSMN self-memory k=11 →
+              cross-attn over encoder) + 1 ffn-only layer → LayerNorm →
+              linear 512→8404
+    greedy:   argmax over vocab at each CIF-fired token position.
+
+TPU-first formulation of CIF (survey §7 "hard parts"): instead of the
+reference's data-dependent integrate-and-fire loop, token embeddings are a
+single [K, T] overlap-weight matmul against encoder frames — token k's weight
+on frame t is the measure overlap of [k, k+1) with [cumsum α_{t-1}, cumsum
+α_t). Identical result for threshold 1.0, static shapes, runs on the MXU.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import nn
+from ..ops.frontend import FrontendConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ParaformerConfig:
+    input_dim: int = 560           # 80 mel × LFR m=7
+    d_model: int = 512
+    n_heads: int = 4
+    ffn_dim: int = 2048
+    encoder_layers: int = 50       # first layer takes input_dim
+    decoder_layers: int = 16       # full layers; +1 ffn-only layer
+    kernel_size: int = 11
+    sanm_shift: int = 0
+    vocab_size: int = 8404
+    predictor_kernel: int = 3      # l_order=1, r_order=1
+    predictor_tail_threshold: float = 0.45
+    blank_id: int = 0
+    sos_id: int = 1
+    eos_id: int = 2
+    unk_id: int = 8403
+
+    @property
+    def frontend(self) -> FrontendConfig:
+        return FrontendConfig(lfr_m=7, lfr_n=6)
+
+
+def max_tokens_for(t_frames: int) -> int:
+    """Static decode capacity for a given (bucketed) encoder length.
+
+    CIF emits ≈1 token per 2–4 LFR frames for Mandarin (60 ms frames,
+    ~4–6 chars/s); T//2 + 8, rounded up to 8, is a safe static cap.
+    """
+    k = t_frames // 2 + 8
+    return ((k + 7) // 8) * 8
+
+
+# -------------------------------------------------------------------- init
+def init_params(key, cfg: ParaformerConfig = ParaformerConfig()) -> nn.Params:
+    n_enc, n_dec = cfg.encoder_layers, cfg.decoder_layers
+    keys = jax.random.split(key, 2 * n_enc + 3 * (n_dec + 1) + 8)
+    ki = iter(range(len(keys)))
+    enc_layers = []
+    for i in range(n_enc):
+        d_in = cfg.input_dim if i == 0 else cfg.d_model
+        enc_layers.append({
+            "norm1": nn.layernorm_init(d_in),
+            "attn": nn.sanm_attention_init(keys[next(ki)], d_in, cfg.d_model,
+                                           cfg.n_heads, cfg.kernel_size),
+            "norm2": nn.layernorm_init(cfg.d_model),
+            "ffn": nn.ffn_init(keys[next(ki)], cfg.d_model, cfg.ffn_dim),
+        })
+    dec_layers = []
+    for _ in range(n_dec):
+        dec_layers.append({
+            "norm1": nn.layernorm_init(cfg.d_model),
+            "ffn": nn.ffn_init(keys[next(ki)], cfg.d_model, cfg.ffn_dim),
+            "norm2": nn.layernorm_init(cfg.d_model),
+            "fsmn": nn.fsmn_memory_init(keys[next(ki)], cfg.d_model, cfg.kernel_size),
+            "norm3": nn.layernorm_init(cfg.d_model),
+            "src_attn": nn.cross_attention_init(keys[next(ki)], cfg.d_model,
+                                                cfg.d_model, cfg.d_model, cfg.n_heads),
+        })
+    dec_final = {
+        "norm1": nn.layernorm_init(cfg.d_model),
+        "ffn": nn.ffn_init(keys[next(ki)], cfg.d_model, cfg.ffn_dim),
+    }
+    return {
+        "encoder": {"layers": enc_layers,
+                    "after_norm": nn.layernorm_init(cfg.d_model)},
+        "predictor": {
+            "conv": nn.conv1d_init(keys[next(ki)], cfg.d_model, cfg.d_model,
+                                   cfg.predictor_kernel),
+            "out": nn.linear_init(keys[next(ki)], cfg.d_model, 1),
+        },
+        "decoder": {"layers": dec_layers, "final": dec_final,
+                    "after_norm": nn.layernorm_init(cfg.d_model),
+                    "out": nn.linear_init(keys[next(ki)], cfg.d_model,
+                                          cfg.vocab_size)},
+    }
+
+
+# ----------------------------------------------------------------- encoder
+def encode(params: nn.Params, feats: jnp.ndarray, mask: jnp.ndarray,
+           cfg: ParaformerConfig = ParaformerConfig()) -> jnp.ndarray:
+    """feats: [B, T, 560]; mask: [B, T] → encoder states [B, T, 512]."""
+    b, t, _ = feats.shape
+    x = feats * (cfg.d_model ** 0.5)
+    x = x + nn.sinusoidal_posenc(t, feats.shape[-1])[None]
+    for i, layer in enumerate(params["encoder"]["layers"]):
+        residual = x
+        h = nn.layernorm(layer["norm1"], x)
+        h = nn.sanm_attention(layer["attn"], h, cfg.n_heads, mask,
+                              cfg.kernel_size, cfg.sanm_shift)
+        x = h if i == 0 else residual + h  # no residual when in_dim ≠ d_model
+        residual = x
+        h = nn.ffn(layer["ffn"], nn.layernorm(layer["norm2"], x))
+        x = residual + h
+    x = nn.layernorm(params["encoder"]["after_norm"], x)
+    return x * mask[..., None]
+
+
+# --------------------------------------------------------------- predictor
+def predictor_alphas(params: nn.Params, enc: jnp.ndarray, mask: jnp.ndarray,
+                     cfg: ParaformerConfig = ParaformerConfig()) -> jnp.ndarray:
+    """CIF v2 α weights: [B, T] in [0, 1), masked."""
+    p = params["predictor"]
+    pad = (cfg.predictor_kernel - 1) // 2
+    h = nn.conv1d(p["conv"], enc, padding=(pad, pad))
+    h = jax.nn.relu(h)
+    alphas = jax.nn.sigmoid(nn.linear(p["out"], h))[..., 0]
+    return alphas * mask
+
+
+def cif(enc: jnp.ndarray, alphas: jnp.ndarray, k_max: int,
+        tail_threshold: float = 0.45) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Continuous integrate-and-fire as a static-shape overlap matmul.
+
+    Args:
+        enc:    [B, T, D] encoder states.
+        alphas: [B, T] CIF weights.
+        k_max:  static token capacity.
+
+    Returns:
+        (embeds [B, K, D], token_count [B] int32, fire_frame [B, K] int32 —
+        the frame at which each token's integration crossed its boundary,
+        used for timestamps).
+
+    Tail handling (FunASR CifPredictorV2.tail_process_fn): a virtual tail
+    frame with α = tail_threshold and zero hidden is appended, so a trailing
+    partial token ≥ (1 − tail_threshold) still fires (with zero contribution
+    from the virtual frame itself).
+    """
+    b, t, d = enc.shape
+    alphas = jnp.concatenate(
+        [alphas, jnp.full((b, 1), tail_threshold, alphas.dtype)], axis=1)
+    enc = jnp.concatenate([enc, jnp.zeros((b, 1, d), enc.dtype)], axis=1)
+    csum = jnp.cumsum(alphas, axis=1)              # [B, T+1]
+    lo = jnp.concatenate([jnp.zeros((b, 1)), csum[:, :-1]], axis=1)
+    k = jnp.arange(k_max, dtype=jnp.float32)
+    # weight of frame t on token k: |[lo_t, csum_t) ∩ [k, k+1)|
+    w = jnp.minimum(csum[:, None, :], k[None, :, None] + 1.0) - \
+        jnp.maximum(lo[:, None, :], k[None, :, None])
+    w = jnp.maximum(w, 0.0)                        # [B, K, T+1]
+    embeds = jnp.einsum("bkt,btd->bkd", w, enc,
+                        preferred_element_type=jnp.float32)
+    token_count = jnp.floor(csum[:, -1]).astype(jnp.int32)
+    token_count = jnp.minimum(token_count, k_max)
+    # fire frame of token k = first frame where csum ≥ k+1
+    fired = (csum[:, None, :] >= (k[None, :, None] + 1.0)).astype(jnp.int32)
+    fire_frame = jnp.argmax(fired, axis=2).astype(jnp.int32)  # [B, K]
+    return embeds, token_count, fire_frame
+
+
+# ----------------------------------------------------------------- decoder
+def decode(params: nn.Params, embeds: jnp.ndarray, token_mask: jnp.ndarray,
+           memory: jnp.ndarray, memory_mask: jnp.ndarray,
+           cfg: ParaformerConfig = ParaformerConfig()) -> jnp.ndarray:
+    """NAR decode: CIF embeds [B, K, D] → logits [B, K, vocab].
+
+    Layer structure mirrors FunASR `DecoderLayerSANM`: the FFN output feeds
+    the FSMN self-memory whose output adds onto the *pre-FFN* residual; then
+    cross-attention over the encoder memory with its own residual.
+    """
+    x = embeds
+    pad = nn.sanm_pad(cfg.kernel_size, cfg.sanm_shift)
+    for layer in params["decoder"]["layers"]:
+        residual = x
+        h = nn.layernorm(layer["norm1"], x)
+        h = nn.ffn(layer["ffn"], h)
+        h = nn.layernorm(layer["norm2"], h)
+        h = nn.fsmn_block(layer["fsmn"], h, pad, token_mask)
+        x = residual + h
+        residual = x
+        h = nn.layernorm(layer["norm3"], x)
+        x = residual + nn.cross_attention(layer["src_attn"], h, memory,
+                                          cfg.n_heads, memory_mask)
+    fin = params["decoder"]["final"]
+    x = x + nn.ffn(fin["ffn"], nn.layernorm(fin["norm1"], x))
+    x = nn.layernorm(params["decoder"]["after_norm"], x)
+    return nn.linear(params["decoder"]["out"], x)
+
+
+# ------------------------------------------------------------ full forward
+def forward(params: nn.Params, feats: jnp.ndarray, feat_lengths: jnp.ndarray,
+            k_max: int, cfg: ParaformerConfig = ParaformerConfig()
+            ) -> Dict[str, jnp.ndarray]:
+    """Batched offline recognition forward pass (jittable, static shapes).
+
+    feats: [B, T, 560] LFR+CMVN features; feat_lengths: [B] valid frames.
+    Returns dict with logits [B, K, V], token ids [B, K] (greedy), token_count
+    [B], fire_frame [B, K].
+    """
+    t = feats.shape[1]
+    mask = nn.length_mask(feat_lengths, t)
+    enc = encode(params, feats, mask, cfg)
+    alphas = predictor_alphas(params, enc, mask, cfg)
+    embeds, token_count, fire_frame = cif(enc, alphas, k_max,
+                                          cfg.predictor_tail_threshold)
+    token_mask = nn.length_mask(token_count, k_max)
+    logits = decode(params, embeds, token_mask, enc, mask, cfg)
+    tokens = jnp.argmax(logits, axis=-1) * token_mask.astype(jnp.int32)
+    return {
+        "logits": logits,
+        "tokens": tokens,
+        "token_count": token_count,
+        "fire_frame": fire_frame,
+        "alphas": alphas,
+    }
