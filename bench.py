@@ -1,0 +1,78 @@
+"""Benchmark: offline ASR real-time factor per chip (BASELINE config #1).
+
+Runs the full-size Paraformer-large recognition path (fbank → LFR/CMVN →
+50-layer SAN-M encoder → CIF → 16-layer NAR decoder → greedy) on batches of
+10 s 16 kHz audio on the local accelerator, and prints ONE JSON line:
+
+    {"metric": "offline_asr_rtf", "value": <rtf>, "unit": "rtf",
+     "vs_baseline": <north_star 0.05 / rtf>}
+
+vs_baseline > 1.0 means faster than the driver's per-chip target
+(BASELINE.json north_star: offline ASR RTF ≤ 0.05 per v5e chip). The
+reference publishes no numbers of its own (BASELINE.md).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from toolbox_for_asr_and_tts_tpu.models import paraformer
+    from toolbox_for_asr_and_tts_tpu.ops import frontend as fe
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    secs = 10.0
+    cfg = paraformer.ParaformerConfig()
+    fcfg = cfg.frontend
+    dtype = jnp.bfloat16
+
+    params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+
+    n_samples = int(16000 * secs)
+    t_fb = fe.num_fbank_frames(n_samples, fcfg)
+    t_lfr = fe.num_lfr_frames(t_fb, fcfg.lfr_n)
+    k_max = paraformer.max_tokens_for(t_lfr)
+
+    def run(p, wavs, wav_lens):
+        feats = fe.fbank(wavs, fcfg, t_frames=t_fb)
+        feats = fe.apply_lfr(feats, fcfg.lfr_m, fcfg.lfr_n, t_out=t_lfr)
+        feat_lens = fe.frontend_valid_frames(wav_lens, fcfg)
+        out = paraformer.forward(p, feats.astype(dtype), feat_lens, k_max, cfg)
+        return out["tokens"], out["token_count"]
+
+    fn = jax.jit(run)
+    rng = np.random.default_rng(0)
+    wavs = jnp.asarray(0.1 * rng.standard_normal((batch, n_samples)), jnp.float32)
+    lens = jnp.full((batch,), n_samples, jnp.int32)
+
+    # Warmup: compile, upload params, run twice. Synchronize by fetching a
+    # small output to host — under the axon/tunnel runtime block_until_ready
+    # does not actually wait, and the first fetch pays the one-time param
+    # upload; neither belongs in the steady-state measurement.
+    np.asarray(fn(params, wavs, lens)[1])
+    np.asarray(fn(params, wavs, lens)[1])
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, wavs, lens)
+    np.asarray(out[1])  # sync: device queue is sequential
+    proc_s = (time.perf_counter() - t0) / iters
+
+    audio_s = batch * secs
+    rtf = proc_s / audio_s
+    print(json.dumps({
+        "metric": "offline_asr_rtf",
+        "value": round(rtf, 6),
+        "unit": "rtf",
+        "vs_baseline": round(0.05 / rtf, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""Offline ASR engine: wav → text, one fused XLA program per shape bucket.
+
+This is the TPU-native replacement for the reference's offline recognition
+path (ModelScope `pipeline()` around Paraformer-large — voice-service/app/
+services/voice_interface.py:759-848 — and the decommissioned FunASR-WS path,
+voice_interface.py:531-578). The whole chain
+
+    fbank → LFR → CMVN → SAN-M encoder → CIF → NAR decoder → greedy argmax
+
+is one jitted function with static shapes; utterances are padded into audio
+buckets and batched onto the serving mesh, so steady-state serving never
+recompiles (runtime/bucketing.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import paraformer
+from ..ops import frontend as fe
+from ..runtime.bucketing import Bucketer
+from ..runtime.mesh import serving_mesh, batch_sharding, replicated_sharding
+from ..runtime.metrics import RTFMeter, timing_log
+from .tokenizer import CharTokenizer
+
+logger = logging.getLogger("toolbox.recognizer")
+
+
+@dataclasses.dataclass
+class TranscribeResult:
+    text: str
+    tokens: List[str]
+    token_ids: List[int]
+    timestamps_ms: List[int]          # per-token CIF fire time
+    audio_s: float
+    rtf: Optional[float] = None
+
+
+class Recognizer:
+    """Batched offline Paraformer recognizer with bucketed compilation."""
+
+    def __init__(self, params, cfg: paraformer.ParaformerConfig,
+                 tokenizer: CharTokenizer,
+                 cmvn: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                 bucketer: Optional[Bucketer] = None,
+                 use_mesh: bool = True,
+                 param_dtype=None):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.fe_cfg = cfg.frontend
+        self.bucketer = bucketer or Bucketer.for_audio(self.fe_cfg.sample_rate)
+        self.mesh = serving_mesh() if use_mesh else None
+        if param_dtype is not None:
+            params = jax.tree.map(lambda a: jnp.asarray(a, param_dtype), params)
+        if self.mesh is not None:
+            rep = replicated_sharding(self.mesh)
+            params = jax.tree.map(lambda a: jax.device_put(a, rep), params)
+        self.params = params
+        self.cmvn = None
+        if cmvn is not None:
+            self.cmvn = (jnp.asarray(cmvn[0]), jnp.asarray(cmvn[1]))
+        self._compiled: Dict[Tuple[int, int], Any] = {}
+        self.rtf = RTFMeter()
+        # ms per LFR frame (frame_shift 10 ms × lfr_n)
+        self.frame_ms = self.fe_cfg.frame_shift_ms * self.fe_cfg.lfr_n
+
+    # ------------------------------------------------------------ factory
+    @classmethod
+    def random(cls, cfg: Optional[paraformer.ParaformerConfig] = None,
+               seed: int = 0, **kw) -> "Recognizer":
+        cfg = cfg or paraformer.ParaformerConfig()
+        params = paraformer.init_params(jax.random.PRNGKey(seed), cfg)
+        return cls(params, cfg, CharTokenizer.dummy(cfg.vocab_size), **kw)
+
+    @classmethod
+    def from_model_dir(cls, model_dir: str,
+                       cfg: Optional[paraformer.ParaformerConfig] = None,
+                       **kw) -> "Recognizer":
+        """Load a converted ModelScope Paraformer checkpoint directory
+        (tokens + am.mvn + model weights; see runtime/checkpoints.py)."""
+        import os
+        from ..runtime import checkpoints as ckpt
+        cfg = cfg or paraformer.ParaformerConfig()
+        template = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+        rules = ckpt.paraformer_rules(cfg.encoder_layers, cfg.decoder_layers)
+        params = ckpt.convert_or_load_cached(model_dir, template, rules)
+        tok_path = None
+        for cand in ("tokens.json", "tokens.txt"):
+            p = os.path.join(model_dir, cand)
+            if os.path.exists(p):
+                tok_path = p
+                break
+        tokenizer = (CharTokenizer.load(tok_path) if tok_path
+                     else CharTokenizer.dummy(cfg.vocab_size))
+        cmvn = None
+        mvn_path = os.path.join(model_dir, "am.mvn")
+        if os.path.exists(mvn_path):
+            cmvn = ckpt.parse_kaldi_cmvn(mvn_path)
+        return cls(params, cfg, tokenizer, cmvn=cmvn, **kw)
+
+    # ----------------------------------------------------------- compiled
+    def _fn_for(self, batch: int, n_samples: int):
+        key = (batch, n_samples)
+        if key in self._compiled:
+            return self._compiled[key]
+        t_fb = fe.num_fbank_frames(n_samples, self.fe_cfg)
+        t_lfr = fe.num_lfr_frames(t_fb, self.fe_cfg.lfr_n)
+        k_max = paraformer.max_tokens_for(t_lfr)
+        cfg, fcfg, cmvn = self.cfg, self.fe_cfg, self.cmvn
+
+        def run(params, wavs, wav_lens):
+            feats = fe.fbank(wavs, fcfg, t_frames=t_fb)
+            feats = fe.apply_lfr(feats, fcfg.lfr_m, fcfg.lfr_n, t_out=t_lfr)
+            if cmvn is not None:
+                feats = fe.apply_cmvn(feats, cmvn[0], cmvn[1])
+            feat_lens = fe.frontend_valid_frames(wav_lens, fcfg)
+            return paraformer.forward(params, feats, feat_lens, k_max, cfg)
+
+        if self.mesh is not None:
+            sh = batch_sharding(self.mesh)
+            fn = jax.jit(run, in_shardings=(replicated_sharding(self.mesh), sh, sh))
+        else:
+            fn = jax.jit(run)
+        self._compiled[key] = fn
+        return fn
+
+    # ----------------------------------------------------------- public
+    def transcribe(self, wavs: Sequence[np.ndarray]) -> List[TranscribeResult]:
+        """Batch of float32 mono 16 kHz waveforms → results."""
+        if not isinstance(wavs, (list, tuple)):
+            wavs = [wavs]
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        batch, lens = self.bucketer.pad_batch([np.asarray(w) for w in wavs],
+                                              batch_multiple=n_dev)
+        t0 = time.perf_counter()
+        fn = self._fn_for(batch.shape[0], batch.shape[1])
+        out = fn(self.params, jnp.asarray(batch), jnp.asarray(lens))
+        out = jax.tree.map(np.asarray, jax.block_until_ready(out))
+        proc_s = time.perf_counter() - t0
+        timing_log("offline_asr_batch", proc_s * 1000)
+        sr = self.fe_cfg.sample_rate
+        audio_s = float(lens.sum()) / sr
+        rtf = self.rtf.record(proc_s, audio_s, label=f"b{len(wavs)}")
+        results = []
+        for i in range(len(wavs)):
+            n = int(out["token_count"][i])
+            ids = out["tokens"][i, :n].tolist()
+            toks = self.tokenizer.ids_to_tokens(ids)
+            ts = (out["fire_frame"][i, :n].astype(np.float64)
+                  * self.frame_ms).astype(int).tolist()
+            results.append(TranscribeResult(
+                text=self.tokenizer.ids_to_text(ids),
+                tokens=toks,
+                token_ids=ids,
+                timestamps_ms=ts,
+                audio_s=float(lens[i]) / sr,
+                rtf=rtf,
+            ))
+        return results
+
+    def transcribe_file(self, path: str) -> TranscribeResult:
+        from ..utils.audio import ensure_mono_16k, read_wav
+        x, sr = read_wav(path)
+        wav = ensure_mono_16k(x, sr, self.fe_cfg.sample_rate)
+        return self.transcribe([wav])[0]

@@ -91,8 +91,11 @@ def conv1d(p: Params, x: jnp.ndarray, stride: int = 1,
            padding: Tuple[int, int] = (0, 0), groups: int = 1,
            dilation: int = 1) -> jnp.ndarray:
     """x: [B, T, C_in] → [B, T', C_out]. Weight layout matches torch (O, I/g, K)."""
+    w = p["w"]
+    ct = jnp.promote_types(x.dtype, w.dtype)
+    x, w = x.astype(ct), w.astype(ct)
     y = jax.lax.conv_general_dilated(
-        x, jnp.transpose(p["w"], (2, 1, 0)),  # (K, I/g, O)
+        x, jnp.transpose(w, (2, 1, 0)),  # (K, I/g, O)
         window_strides=(stride,),
         padding=[padding],
         rhs_dilation=(dilation,),
@@ -113,6 +116,8 @@ def conv_transpose1d(p: Params, x: jnp.ndarray, stride: int,
     Output length = (T-1)*stride - 2*padding + K.
     """
     w = p["w"]  # (I, O, K)
+    ct = jnp.promote_types(x.dtype, w.dtype)
+    x, w = x.astype(ct), w.astype(ct)
     k = w.shape[2]
     y = jax.lax.conv_transpose(
         x, jnp.transpose(w, (2, 0, 1)),  # (K, I, O)

@@ -1,0 +1,266 @@
+"""ModelScope/PyTorch checkpoint → JAX pytree conversion, with on-disk cache.
+
+The reference resolves model weights with a 3-level fallback (container path
+→ dev path → ModelScope download; voice_interface.py:593-618,671-700) and
+loads them through FunASR/ModelScope PyTorch. Here the equivalent is:
+
+    resolve model dir → parse config/cmvn/vocab → map `model.pt` state_dict
+    names onto this framework's param pytrees → save converted `.npz` next to
+    the source so conversion happens once (survey §5 "checkpoint/resume").
+
+Torch is only needed the first time a given checkpoint is converted; the
+serving path loads the cached `.npz` with numpy alone.
+
+Name maps cover FunASR module naming for each family; `invert` mode builds a
+synthetic torch-style state dict from JAX params, which the tests use to
+round-trip the mapping without real weights (no ModelScope access in CI).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import re
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger("toolbox.checkpoints")
+
+
+# ------------------------------------------------------------------- kaldi
+def parse_kaldi_cmvn(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Parse a kaldi-nnet `am.mvn` file → (add_shift means, rescale istd).
+
+    Format: `<AddShift> ... [ m1 m2 ... ]` then `<Rescale> ... [ s1 s2 ... ]`.
+    The stored means are already negated (they are added), matching
+    `ops.frontend.apply_cmvn`.
+    """
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    vecs = re.findall(r"\[([^\]]*)\]", text)
+    arrays = [np.fromstring(v, sep=" ", dtype=np.float32) for v in vecs]
+    arrays = [a for a in arrays if a.size > 1]
+    if len(arrays) < 2:
+        raise ValueError(f"could not parse CMVN vectors from {path}")
+    return arrays[0], arrays[1]
+
+
+# ------------------------------------------------------- pytree <-> flat
+def flatten_params(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_params(v, f"{prefix}{k}." if prefix or True else k))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_params(v, f"{prefix}{i}."))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_like(template: Any, flat: Dict[str, np.ndarray], prefix: str = "") -> Any:
+    if isinstance(template, dict):
+        return {k: unflatten_like(v, flat, f"{prefix}{k}.") for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        return [unflatten_like(v, flat, f"{prefix}{i}.") for i, v in enumerate(template)]
+    key = prefix[:-1]
+    if key not in flat:
+        raise KeyError(f"missing parameter {key}")
+    got, want = flat[key].shape, np.asarray(template).shape
+    if got != want:
+        raise ValueError(f"shape mismatch for {key}: checkpoint {got} vs model {want}")
+    return flat[key]
+
+
+def save_converted(path: str, params: Any) -> None:
+    np.savez(path, **flatten_params(params))
+
+
+def load_converted(path: str, template: Any) -> Any:
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    return unflatten_like(template, flat)
+
+
+# ----------------------------------------------------------- name mapping
+# A rule maps a JAX flat path to (torch name, transform). Transforms:
+#   "t"    — transpose 2-D linear weight (torch [out,in] → ours [in,out])
+#   ""     — copy as-is (conv weights share torch's (O, I/g, K) layout;
+#             norms/biases are 1-D)
+Rule = Tuple[str, str]
+
+
+def _enc_layer(src: str, dst: str) -> List[Rule]:
+    return [
+        (f"{dst}.norm1.g", f"{src}.norm1.weight"),
+        (f"{dst}.norm1.b", f"{src}.norm1.bias"),
+        (f"{dst}.attn.qkv.w", f"{src}.self_attn.linear_q_k_v.weight!t"),
+        (f"{dst}.attn.qkv.b", f"{src}.self_attn.linear_q_k_v.bias"),
+        (f"{dst}.attn.out.w", f"{src}.self_attn.linear_out.weight!t"),
+        (f"{dst}.attn.out.b", f"{src}.self_attn.linear_out.bias"),
+        (f"{dst}.attn.fsmn.w", f"{src}.self_attn.fsmn_block.weight"),
+        (f"{dst}.norm2.g", f"{src}.norm2.weight"),
+        (f"{dst}.norm2.b", f"{src}.norm2.bias"),
+        (f"{dst}.ffn.w1.w", f"{src}.feed_forward.w_1.weight!t"),
+        (f"{dst}.ffn.w1.b", f"{src}.feed_forward.w_1.bias"),
+        (f"{dst}.ffn.w2.w", f"{src}.feed_forward.w_2.weight!t"),
+        (f"{dst}.ffn.w2.b", f"{src}.feed_forward.w_2.bias"),
+    ]
+
+
+def paraformer_rules(n_enc: int, n_dec: int) -> List[Rule]:
+    """FunASR Paraformer state_dict ↔ models/paraformer.py pytree."""
+    rules: List[Rule] = []
+    rules += _enc_layer("encoder.encoders0.0", "encoder.layers.0")
+    for i in range(1, n_enc):
+        rules += _enc_layer(f"encoder.encoders.{i-1}", f"encoder.layers.{i}")
+    rules += [
+        ("encoder.after_norm.g", "encoder.after_norm.weight"),
+        ("encoder.after_norm.b", "encoder.after_norm.bias"),
+        ("predictor.conv.w", "predictor.cif_conv1d.weight"),
+        ("predictor.conv.b", "predictor.cif_conv1d.bias"),
+        ("predictor.out.w", "predictor.cif_output.weight!t"),
+        ("predictor.out.b", "predictor.cif_output.bias"),
+    ]
+    for i in range(n_dec):
+        s, d = f"decoder.decoders.{i}", f"decoder.layers.{i}"
+        rules += [
+            (f"{d}.norm1.g", f"{s}.norm1.weight"),
+            (f"{d}.norm1.b", f"{s}.norm1.bias"),
+            (f"{d}.ffn.w1.w", f"{s}.feed_forward.w_1.weight!t"),
+            (f"{d}.ffn.w1.b", f"{s}.feed_forward.w_1.bias"),
+            (f"{d}.ffn.w2.w", f"{s}.feed_forward.w_2.weight!t"),
+            (f"{d}.ffn.w2.b", f"{s}.feed_forward.w_2.bias"),
+            (f"{d}.norm2.g", f"{s}.norm2.weight"),
+            (f"{d}.norm2.b", f"{s}.norm2.bias"),
+            (f"{d}.fsmn.w", f"{s}.self_attn.fsmn_block.weight"),
+            (f"{d}.norm3.g", f"{s}.norm3.weight"),
+            (f"{d}.norm3.b", f"{s}.norm3.bias"),
+            (f"{d}.src_attn.q.w", f"{s}.src_attn.linear_q.weight!t"),
+            (f"{d}.src_attn.q.b", f"{s}.src_attn.linear_q.bias"),
+            (f"{d}.src_attn.kv.w", f"{s}.src_attn.linear_k_v.weight!t"),
+            (f"{d}.src_attn.kv.b", f"{s}.src_attn.linear_k_v.bias"),
+            (f"{d}.src_attn.out.w", f"{s}.src_attn.linear_out.weight!t"),
+            (f"{d}.src_attn.out.b", f"{s}.src_attn.linear_out.bias"),
+        ]
+    rules += [
+        ("decoder.final.norm1.g", "decoder.decoders3.0.norm1.weight"),
+        ("decoder.final.norm1.b", "decoder.decoders3.0.norm1.bias"),
+        ("decoder.final.ffn.w1.w", "decoder.decoders3.0.feed_forward.w_1.weight!t"),
+        ("decoder.final.ffn.w1.b", "decoder.decoders3.0.feed_forward.w_1.bias"),
+        ("decoder.final.ffn.w2.w", "decoder.decoders3.0.feed_forward.w_2.weight!t"),
+        ("decoder.final.ffn.w2.b", "decoder.decoders3.0.feed_forward.w_2.bias"),
+        ("decoder.after_norm.g", "decoder.after_norm.weight"),
+        ("decoder.after_norm.b", "decoder.after_norm.bias"),
+        ("decoder.out.w", "decoder.output_layer.weight!t"),
+        ("decoder.out.b", "decoder.output_layer.bias"),
+    ]
+    return rules
+
+
+def fsmn_vad_rules(n_layers: int = 4) -> List[Rule]:
+    """FunASR FSMN-VAD encoder state_dict ↔ models/fsmn_vad.py pytree.
+
+    FunASR names (funasr FSMN): encoder.in_linear1/in_linear2 (AffineTransform
+    .linear.{weight,bias}), encoder.fsmn.{i}.0 LinearTransform, .1 FSMNBlock
+    (conv_left weight [d,1,l,1] as Conv2d), .2 AffineTransform, out_linear1/2.
+    """
+    rules: List[Rule] = [
+        ("in1.w", "encoder.in_linear1.linear.weight!t"),
+        ("in1.b", "encoder.in_linear1.linear.bias"),
+        ("in2.w", "encoder.in_linear2.linear.weight!t"),
+        ("in2.b", "encoder.in_linear2.linear.bias"),
+        ("out1.w", "encoder.out_linear1.linear.weight!t"),
+        ("out1.b", "encoder.out_linear1.linear.bias"),
+        ("out2.w", "encoder.out_linear2.linear.weight!t"),
+        ("out2.b", "encoder.out_linear2.linear.bias"),
+    ]
+    for i in range(n_layers):
+        rules += [
+            (f"blocks.{i}.proj.w", f"encoder.fsmn.{i}.0.linear.weight!t"),
+            (f"blocks.{i}.fsmn.w", f"encoder.fsmn.{i}.1.conv_left.weight!squeeze_flip"),
+            (f"blocks.{i}.affine.w", f"encoder.fsmn.{i}.2.linear.weight!t"),
+            (f"blocks.{i}.affine.b", f"encoder.fsmn.{i}.2.linear.bias"),
+        ]
+    return rules
+
+
+_TRANSFORMS: Dict[str, Callable[[np.ndarray], np.ndarray]] = {
+    "": lambda a: a,
+    "t": lambda a: a.T,
+    # FunASR VAD FSMNBlock conv_left is a Conv2d weight [d,1,lorder,1] applied
+    # to a time-REVERSED unfold (kaldi-style memory over past frames) — squeeze
+    # the trailing dim and flip time to get our causal depthwise conv1d taps.
+    "squeeze_flip": lambda a: a[..., 0][:, :, ::-1].copy(),
+}
+_INVERSE: Dict[str, Callable[[np.ndarray], np.ndarray]] = {
+    "": lambda a: a,
+    "t": lambda a: a.T,
+    "squeeze_flip": lambda a: a[:, :, ::-1][..., None].copy(),
+}
+
+
+def _parse(torch_name: str) -> Tuple[str, str]:
+    if "!" in torch_name:
+        name, tf = torch_name.split("!")
+        return name, tf
+    return torch_name, ""
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray], rules: List[Rule],
+                       template: Any, strict: bool = True) -> Any:
+    """Torch state_dict (as numpy) → param pytree shaped like `template`."""
+    flat: Dict[str, np.ndarray] = {}
+    missing = []
+    for jax_path, torch_spec in rules:
+        name, tf = _parse(torch_spec)
+        if name not in sd:
+            missing.append(name)
+            continue
+        flat[jax_path] = _TRANSFORMS[tf](np.asarray(sd[name], dtype=np.float32))
+    if missing:
+        msg = f"{len(missing)} parameters missing from checkpoint, e.g. {missing[:5]}"
+        if strict:
+            raise KeyError(msg)
+        logger.warning(msg)
+    return unflatten_like(template, flat)
+
+
+def invert_to_state_dict(params: Any, rules: List[Rule]) -> Dict[str, np.ndarray]:
+    """JAX params → synthetic torch-style state dict (for round-trip tests)."""
+    flat = flatten_params(params)
+    sd: Dict[str, np.ndarray] = {}
+    for jax_path, torch_spec in rules:
+        name, tf = _parse(torch_spec)
+        sd[name] = _INVERSE[tf](flat[jax_path])
+    return sd
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pt/.pb checkpoint to numpy arrays (torch CPU, lazy import)."""
+    import torch  # local import: only needed at conversion time
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()
+            if hasattr(v, "detach")}
+
+
+def convert_or_load_cached(model_dir: str, template: Any, rules: List[Rule],
+                           cache_name: str = "jax_params.npz") -> Any:
+    """Resolve `model_dir/model.pt` → converted pytree, with `.npz` cache."""
+    cache = os.path.join(model_dir, cache_name)
+    if os.path.exists(cache):
+        return load_converted(cache, template)
+    for fname in ("model.pt", "model.pb", "pytorch_model.bin"):
+        src = os.path.join(model_dir, fname)
+        if os.path.exists(src):
+            sd = load_torch_state_dict(src)
+            params = convert_state_dict(sd, rules, template)
+            try:
+                save_converted(cache, params)
+            except OSError:  # read-only model dir — conversion still works
+                logger.warning("could not write converted cache %s", cache)
+            return params
+    raise FileNotFoundError(f"no checkpoint found under {model_dir}")
