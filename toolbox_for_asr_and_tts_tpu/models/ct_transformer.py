@@ -1,0 +1,184 @@
+"""CT-Transformer: controllable time-delay transformer for punctuation.
+
+TPU-native re-implementation of the model behind ModelScope
+`punc_ct-transformer_cn-en-common-vocab471067-large`, which the reference
+loads as its punctuation restorer (voice-service/app/services/
+voice_interface.py:637-642,812-825).
+
+Structure (FunASR CT_Transformer):
+    token embedding (word vocab, 471067 for the large model)
+    → SAN-M encoder stack (same layer as models/paraformer.py's encoder)
+    → linear → punctuation-class logits per token.
+
+Punctuation classes follow FunASR's convention:
+    0 <unk>   1 _ (none)   2 ，   3 。   4 ？   5 、
+(up to `punc_size`; class 1 = no punctuation after this token).
+
+Prediction is per input token: the service inserts `punc_list[c]` after token
+i when c > 1. Inference is offline on the finalized utterance (the reference
+applies punctuation only at finalize through its diarization pipeline).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import nn
+
+DEFAULT_PUNC_LIST = ("<unk>", "_", "，", "。", "？", "、")
+
+
+@dataclasses.dataclass(frozen=True)
+class CTTransformerConfig:
+    vocab_size: int = 471067
+    embed_dim: int = 256
+    d_model: int = 512
+    n_heads: int = 8
+    ffn_dim: int = 2048
+    num_layers: int = 12
+    kernel_size: int = 11
+    sanm_shift: int = 0
+    punc_size: int = 6
+    punc_list: Tuple[str, ...] = DEFAULT_PUNC_LIST
+
+
+def init_params(key, cfg: CTTransformerConfig) -> nn.Params:
+    keys = jax.random.split(key, 2 * cfg.num_layers + 3)
+    layers = []
+    ki = 0
+    for i in range(cfg.num_layers):
+        d_in = cfg.embed_dim if i == 0 else cfg.d_model
+        layers.append({
+            "norm1": nn.layernorm_init(d_in),
+            "attn": nn.sanm_attention_init(keys[ki], d_in, cfg.d_model,
+                                           cfg.n_heads, cfg.kernel_size),
+            "norm2": nn.layernorm_init(cfg.d_model),
+            "ffn": nn.ffn_init(keys[ki + 1], cfg.d_model, cfg.ffn_dim),
+        })
+        ki += 2
+    return {
+        "embed": nn.embedding_init(keys[ki], cfg.vocab_size, cfg.embed_dim),
+        "encoder": {"layers": layers, "after_norm": nn.layernorm_init(cfg.d_model)},
+        "out": nn.linear_init(keys[ki + 1], cfg.d_model, cfg.punc_size),
+    }
+
+
+def forward(params: nn.Params, token_ids: jnp.ndarray, lengths: jnp.ndarray,
+            cfg: CTTransformerConfig) -> jnp.ndarray:
+    """token_ids [B, T] int32 → punct logits [B, T, punc_size]."""
+    t = token_ids.shape[1]
+    mask = nn.length_mask(lengths, t)
+    x = nn.embedding(params["embed"], token_ids)
+    x = x * (cfg.d_model ** 0.5)
+    x = x + nn.sinusoidal_posenc(t, x.shape[-1])[None]
+    for i, layer in enumerate(params["encoder"]["layers"]):
+        residual = x
+        h = nn.layernorm(layer["norm1"], x)
+        h = nn.sanm_attention(layer["attn"], h, cfg.n_heads, mask,
+                              cfg.kernel_size, cfg.sanm_shift)
+        x = h if (i == 0 and cfg.embed_dim != cfg.d_model) else residual + h
+        residual = x
+        x = residual + nn.ffn(layer["ffn"], nn.layernorm(layer["norm2"], x))
+    x = nn.layernorm(params["encoder"]["after_norm"], x)
+    return nn.linear(params["out"], x)
+
+
+# ---------------------------------------------------------------- service
+class PuncVocab:
+    """Word/char → id mapping for the punctuation model's own vocab."""
+
+    def __init__(self, tokens: Sequence[str], unk: str = "<unk>"):
+        self.tokens = list(tokens)
+        self.token_to_id = {t: i for i, t in enumerate(self.tokens)}
+        self.unk_id = self.token_to_id.get(unk, 0)
+
+    @classmethod
+    def dummy(cls, size: int = 4096) -> "PuncVocab":
+        toks = ["<unk>"] + [chr(0x4E00 + i) for i in range(size - 1)]
+        return cls(toks)
+
+    @classmethod
+    def load(cls, path: str) -> "PuncVocab":
+        import json
+        if path.endswith(".json"):
+            with open(path, encoding="utf-8") as f:
+                return cls(json.load(f))
+        with open(path, encoding="utf-8") as f:
+            return cls([ln.rstrip("\n").split()[0] for ln in f if ln.strip()])
+
+    def encode(self, words: Sequence[str]) -> List[int]:
+        return [self.token_to_id.get(w, self.unk_id) for w in words]
+
+
+def split_words(text: str) -> List[str]:
+    """CJK chars as single tokens; latin/digit runs as words (FunASR
+    split_words equivalent for mixed zh/en text)."""
+    words: List[str] = []
+    buf = ""
+    for ch in text:
+        if ch.isascii() and (ch.isalnum() or ch in "'-"):
+            buf += ch
+        else:
+            if buf:
+                words.append(buf)
+                buf = ""
+            if not ch.isspace():
+                words.append(ch)
+    if buf:
+        words.append(buf)
+    return words
+
+
+class Punctuator:
+    """Text → punctuated text, one compiled program per length bucket."""
+
+    def __init__(self, params, cfg: CTTransformerConfig, vocab: PuncVocab,
+                 buckets: Sequence[int] = (16, 32, 64, 128, 256, 512)):
+        self.params = params
+        self.cfg = cfg
+        self.vocab = vocab
+        from ..runtime.bucketing import Bucketer
+        self.bucketer = Bucketer(tuple(buckets))
+        self._fns: Dict[int, object] = {}
+
+    @classmethod
+    def random(cls, cfg: Optional[CTTransformerConfig] = None, seed: int = 0,
+               vocab: Optional[PuncVocab] = None) -> "Punctuator":
+        cfg = cfg or CTTransformerConfig(vocab_size=4096, num_layers=2,
+                                         d_model=64, embed_dim=64,
+                                         n_heads=2, ffn_dim=128)
+        params = init_params(jax.random.PRNGKey(seed), cfg)
+        return cls(params, cfg, vocab or PuncVocab.dummy(cfg.vocab_size))
+
+    def _fn(self, t: int):
+        if t not in self._fns:
+            self._fns[t] = jax.jit(
+                lambda p, ids, ln: forward(p, ids, ln, self.cfg))
+        return self._fns[t]
+
+    def punctuate(self, text: str) -> str:
+        words = split_words(text)
+        if not words:
+            return text
+        ids = self.vocab.encode(words)
+        t = self.bucketer.bucket(len(ids))
+        arr = np.zeros((1, t), np.int32)
+        n = min(len(ids), t)
+        arr[0, :n] = ids[:n]
+        logits = self._fn(t)(self.params, jnp.asarray(arr),
+                             jnp.asarray([n], np.int32))
+        cls_ids = np.asarray(jnp.argmax(logits[0, :n], axis=-1))
+        out = []
+        for w, c in zip(words[:n], cls_ids):
+            out.append(w)
+            if c > 1 and int(c) < len(self.cfg.punc_list):
+                out.append(self.cfg.punc_list[int(c)])
+        # sentence-final normalization: ensure terminal punctuation
+        s = "".join(out) + "".join(words[n:])
+        if s and s[-1] not in "。？！，、":
+            s += "。"
+        return s

@@ -1,0 +1,181 @@
+"""Char-CTC keyword spotting (wake word) model.
+
+TPU-native re-implementation of the capability behind ModelScope
+`speech_charctc_kws_phone-xiaohu` / `..._xiaoyun` — the wake-word detector
+the reference runs on every streaming chunk once its 1600 ms FIFO window is
+full (voice-service/app/services/voice_interface.py:404-502,1277-1486; the
+deployed keyword is "小护", voice_interface.py:424).
+
+Model: a compact DFSMN acoustic model over fbank features with a CTC output
+layer on a character vocabulary:
+
+    fbank80 (LFR 3/3 by default) → linear → N × [proj → causal FSMN (+res)
+    → affine → ReLU] → linear → char logits (+ blank at 0)
+
+Detection (`kws_score`): the CTC forward algorithm scores the keyword's label
+sequence against the window's posteriors; the length-normalized log-odds vs a
+blank-only path is thresholded. This mirrors the decision the FunASR KWS
+runtime makes ("detected"/"rejected", voice_interface.py:466-476) with fully
+static shapes (keyword padded to a fixed max length).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import nn
+from ..ops.frontend import FrontendConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class KwsConfig:
+    input_dim: int = 240          # 80 mel × LFR m=3
+    hidden_dim: int = 128
+    proj_dim: int = 64
+    num_layers: int = 4
+    lorder: int = 10
+    vocab_size: int = 2600        # chars (+ blank at 0)
+    blank_id: int = 0
+
+    @property
+    def frontend(self) -> FrontendConfig:
+        return FrontendConfig(lfr_m=3, lfr_n=3)
+
+
+def init_params(key, cfg: KwsConfig) -> nn.Params:
+    keys = jax.random.split(key, 2 + 3 * cfg.num_layers)
+    p = {
+        "in": nn.linear_init(keys[0], cfg.input_dim, cfg.hidden_dim),
+        "blocks": [],
+        "out": nn.linear_init(keys[1], cfg.hidden_dim, cfg.vocab_size),
+    }
+    ki = 2
+    for _ in range(cfg.num_layers):
+        p["blocks"].append({
+            "proj": nn.linear_init(keys[ki], cfg.hidden_dim, cfg.proj_dim, bias=False),
+            "fsmn": nn.fsmn_block_init(keys[ki + 1], cfg.proj_dim, cfg.lorder),
+            "affine": nn.linear_init(keys[ki + 2], cfg.proj_dim, cfg.hidden_dim),
+        })
+        ki += 3
+    return p
+
+
+def forward(params: nn.Params, feats: jnp.ndarray, cfg: KwsConfig) -> jnp.ndarray:
+    """feats [B, T, input_dim] → CTC log-probs [B, T, vocab]."""
+    x = jax.nn.relu(nn.linear(params["in"], feats))
+    pad = nn.fsmn_pad(cfg.lorder)
+    for blk in params["blocks"]:
+        h = nn.linear(blk["proj"], x)
+        h = nn.fsmn_block(blk["fsmn"], h, pad)
+        x = jax.nn.relu(nn.linear(blk["affine"], h))
+    return jax.nn.log_softmax(nn.linear(params["out"], x), axis=-1)
+
+
+def ctc_forward_score(logp: jnp.ndarray, labels: jnp.ndarray,
+                      label_len: jnp.ndarray, frame_len: jnp.ndarray,
+                      blank_id: int = 0) -> jnp.ndarray:
+    """Log P(labels | logp) under CTC, static shapes.
+
+    logp: [T, V] log-probs; labels: [L_max] padded label ids; label_len scalar;
+    frame_len scalar (valid frames). Standard forward recursion over the
+    extended sequence (blank-interleaved, length 2·L_max+1) via lax.scan.
+    """
+    t_max, _ = logp.shape
+    l_max = labels.shape[0]
+    s = 2 * l_max + 1
+    # extended labels: blank, l1, blank, l2, ... blank
+    ext = jnp.full((s,), blank_id, labels.dtype)
+    ext = ext.at[1::2].set(labels)
+    pos = jnp.arange(s)
+    valid_s = pos < (2 * label_len + 1)
+    # can skip from s-2 → s when ext[s] != blank and ext[s] != ext[s-2]
+    can_skip = (pos % 2 == 1) & (pos >= 2)
+    diff = jnp.concatenate([jnp.ones(2, bool), ext[2:] != ext[:-2]])
+    can_skip = can_skip & diff
+
+    neg = -1e30
+    alpha0 = jnp.full((s,), neg)
+    alpha0 = alpha0.at[0].set(logp[0, blank_id])
+    alpha0 = alpha0.at[1].set(jnp.where(label_len > 0, logp[0, ext[1]], neg))
+
+    def step(alpha, t):
+        stay = alpha
+        prev1 = jnp.concatenate([jnp.array([neg]), alpha[:-1]])
+        prev2 = jnp.concatenate([jnp.array([neg, neg]), alpha[:-2]])
+        prev2 = jnp.where(can_skip, prev2, neg)
+        a = jnp.logaddexp(jnp.logaddexp(stay, prev1), prev2)
+        a = a + logp[t, ext]
+        a = jnp.where(valid_s, a, neg)
+        # frames past frame_len: keep alpha unchanged
+        a = jnp.where(t < frame_len, a, alpha)
+        return a, None
+
+    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, t_max))
+    last = 2 * label_len
+    return jnp.logaddexp(alpha[last], alpha[jnp.maximum(last - 1, 0)])
+
+
+def kws_score(logp: jnp.ndarray, labels: jnp.ndarray, label_len: jnp.ndarray,
+              frame_len: jnp.ndarray, blank_id: int = 0) -> jnp.ndarray:
+    """Length-normalized keyword log-odds: (logP(kw) − logP(blank-only)) / L."""
+    kw = ctc_forward_score(logp, labels, label_len, frame_len, blank_id)
+    blank_path = jnp.sum(
+        jnp.where(jnp.arange(logp.shape[0]) < frame_len, logp[:, blank_id], 0.0))
+    return (kw - blank_path) / jnp.maximum(label_len.astype(jnp.float32), 1.0)
+
+
+class KeywordSpotter:
+    """Windowed wake-word detector (the reference's 1600 ms FIFO window)."""
+
+    def __init__(self, params, cfg: KwsConfig, char_to_id: Dict[str, int],
+                 keyword: str = "小护", threshold: float = 2.0,
+                 max_label_len: int = 8):
+        self.params = params
+        self.cfg = cfg
+        self.char_to_id = char_to_id
+        self.threshold = threshold
+        self.max_label_len = max_label_len
+        self.set_keyword(keyword)
+        self._fns: Dict[int, object] = {}
+
+    @classmethod
+    def random(cls, cfg: Optional[KwsConfig] = None, seed: int = 0,
+               keyword: str = "小护", **kw) -> "KeywordSpotter":
+        cfg = cfg or KwsConfig(vocab_size=64, hidden_dim=32, proj_dim=16,
+                               num_layers=2)
+        params = init_params(jax.random.PRNGKey(seed), cfg)
+        chars = {chr(0x4E00 + i): i + 1 for i in range(cfg.vocab_size - 1)}
+        chars.setdefault("小", 1)
+        chars.setdefault("护", 2)
+        return cls(params, cfg, chars, keyword=keyword, **kw)
+
+    def set_keyword(self, keyword: str) -> None:
+        ids = [self.char_to_id.get(c, 0) for c in keyword]
+        arr = np.zeros((self.max_label_len,), np.int32)
+        arr[: len(ids)] = ids[: self.max_label_len]
+        self.keyword = keyword
+        self._labels = jnp.asarray(arr)
+        self._label_len = jnp.asarray(min(len(ids), self.max_label_len), np.int32)
+
+    def _fn(self, t_frames: int):
+        if t_frames not in self._fns:
+            cfg = self.cfg
+
+            def run(params, feats, labels, label_len, frame_len):
+                logp = forward(params, feats, cfg)
+                return kws_score(logp[0], labels, label_len, frame_len,
+                                 cfg.blank_id)
+
+            self._fns[t_frames] = jax.jit(run)
+        return self._fns[t_frames]
+
+    def detect_feats(self, feats: np.ndarray, valid_frames: int) -> Tuple[bool, float]:
+        """feats: [T, input_dim] window features → (detected, score)."""
+        fn = self._fn(feats.shape[0])
+        score = float(fn(self.params, jnp.asarray(feats[None]), self._labels,
+                         self._label_len, jnp.asarray(valid_frames, np.int32)))
+        return score > self.threshold, score
