@@ -1,0 +1,168 @@
+import time
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from toolbox_for_asr_and_tts_tpu.tts.text_frontend import (  # noqa: E402
+    G2P,
+    PhoneVocab,
+    normalize_text,
+    pause_after,
+    split_pinyin,
+    split_text_for_tts,
+    text_to_phone_ids,
+)
+from toolbox_for_asr_and_tts_tpu.tts.concat import concat_segments, crossfade_concat  # noqa: E402
+from toolbox_for_asr_and_tts_tpu.tts.synthesizer import Synthesizer  # noqa: E402
+from toolbox_for_asr_and_tts_tpu.tts.jobs import TTSJobManager  # noqa: E402
+from toolbox_for_asr_and_tts_tpu.models import sambert, hifigan  # noqa: E402
+
+
+# --------------------------------------------------------- text frontend
+def test_normalize_text_reference_semantics():
+    assert normalize_text("a  b\t c") == "a b c"
+    assert normalize_text("第一行\n\n第二行") == "第一行，第二行"
+    assert normalize_text("你好\n世界") == "你好，世界"
+    # number stripping applies at line starts only; mid-string numbers after
+    # the newline→comma rewrite survive (matches the reference's rule order)
+    assert normalize_text("1. 休息\n2. 喝水") == "休息，2. 喝水"
+    assert normalize_text("1. 休息") == "休息"
+    assert normalize_text("，，测试，，") == "测试"
+    assert normalize_text("") == ""
+
+
+def test_split_text_targets():
+    text = "患者目前诊断为高血压和糖尿病。建议低盐低脂饮食，适量运动，定期监测血压和血糖。如有头晕头痛及时就诊。"
+    segs = split_text_for_tts(text, target=18, first_target=14, hard_max=22)
+    assert segs
+    assert all(len(s) <= 23 for s in segs)  # hard_max + patched comma
+    # non-final segments end with punctuation
+    for s in segs[:-1]:
+        assert s[-1] in "。！？；，、：\n"
+    assert "".join(segs).replace("，", "") .startswith("患者目前诊断")
+
+
+def test_split_long_run_hard_cut():
+    text = "一" * 100
+    segs = split_text_for_tts(text, 18, 14, 22)
+    assert all(len(s) <= 23 for s in segs)
+    assert sum(len(s.rstrip("，")) for s in segs) == 100
+
+
+def test_pause_after():
+    assert pause_after("你好。") == 200
+    assert pause_after("你好，") == 120
+    assert pause_after("你好") == 120
+
+
+def test_split_pinyin():
+    assert split_pinyin("zhong4") == ("zh", "ong", 4)
+    assert split_pinyin("a1") == ("", "a", 1)
+    assert split_pinyin("xiao3") == ("x", "iao", 3)
+
+
+def test_g2p_and_vocab():
+    g2p = G2P()
+    vocab = PhoneVocab.default()
+    ids = text_to_phone_ids("你好，小护。", g2p, vocab)
+    assert len(ids) >= 6  # ni3 hao3 #br xiao3 hu4 #sil → ≥6 symbols
+    assert all(0 <= i < len(vocab) for i in ids)
+    # known chars should not map to <unk>
+    known = text_to_phone_ids("你好", g2p, vocab)
+    assert vocab.to_id["<unk>"] not in known
+
+
+def test_g2p_fallback_unknown_char():
+    g2p = G2P()
+    phones = g2p("㑇")  # not in seed lexicon
+    assert phones[0].symbol.startswith("char_")
+
+
+# ---------------------------------------------------------------- concat
+def test_crossfade_concat_lengths():
+    a = np.ones(100, np.float32)
+    b = np.ones(80, np.float32) * -1
+    out = crossfade_concat(a, b, 20)
+    assert len(out) == 160
+    assert abs(out[90 - 1]) <= 1.0  # inside fade region mixes
+
+
+def test_concat_segments_pause():
+    a = np.ones(1600, np.float32)
+    b = np.ones(1600, np.float32)
+    out = concat_segments([a, b], [100], sample_rate=16000, crossfade_ms=0)
+    assert len(out) == 1600 + 1600 + 1600 * 0 + 1600  # 100ms = 1600 samples
+
+
+# ------------------------------------------------------------ models
+def test_length_regulate_static():
+    x = jnp.arange(2 * 3 * 2, dtype=jnp.float32).reshape(2, 3, 2)
+    dur = jnp.asarray([[2, 1, 3], [1, 0, 0]], jnp.int32)
+    out, mask = sambert.length_regulate(x, dur, t_mel=8)
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[0, 0], np.asarray(x[0, 0]))
+    np.testing.assert_allclose(out[0, 1], np.asarray(x[0, 0]))
+    np.testing.assert_allclose(out[0, 2], np.asarray(x[0, 1]))
+    np.testing.assert_allclose(out[0, 3], np.asarray(x[0, 2]))
+    assert np.asarray(mask)[0].sum() == 6
+    assert np.asarray(mask)[1].sum() == 1
+
+
+def test_hifigan_output_length():
+    cfg = hifigan.HifiGanConfig(upsample_initial_channel=16,
+                                resblock_kernels=(3,),
+                                resblock_dilations=((1,),))
+    params = hifigan.init_params(jax.random.PRNGKey(0), cfg)
+    mel = jnp.zeros((1, 10, 80))
+    wav = hifigan.forward(params, mel, cfg)
+    assert wav.shape == (1, 10 * cfg.hop_length)
+    assert cfg.hop_length == 200
+
+
+# --------------------------------------------------------- synthesizer
+@pytest.fixture(scope="module")
+def synth():
+    return Synthesizer.random(tiny=True)
+
+
+def test_synthesize_end_to_end(synth):
+    res = synth.synthesize("你好，今天天气怎么样。血压正常。")
+    assert res is not None
+    assert res.wav.dtype == np.float32
+    assert len(res.wav) > 16000 * 0.2  # produced audible-length audio
+    assert np.abs(res.wav).max() <= 1.0
+    assert res.rtf > 0
+    assert len(res.segments) >= 1
+
+
+def test_synthesize_empty(synth):
+    res = synth.synthesize("")
+    assert res is not None and len(res.wav) == 0
+
+
+def test_job_manager_lifecycle(synth):
+    mgr = TTSJobManager(synth, max_workers=2)
+    job_id = mgr.start_task("你好。测试语音合成。")
+    for _ in range(300):
+        r = mgr.get_result(job_id)
+        if r["status"] in ("completed", "error"):
+            break
+        time.sleep(0.1)
+    assert r["status"] == "completed", r["error"]
+    assert r["audio_base64"]
+    assert r["detailed_timing"]["rtf"] > 0
+    assert mgr.cleanup_job(job_id)
+    assert mgr.get_result(job_id) is None
+
+
+def test_job_cancel(synth):
+    mgr = TTSJobManager(synth, max_workers=1)
+    a = mgr.start_task("一" * 200)
+    b = mgr.start_task("二" * 200)  # queued behind a
+    assert mgr.cancel_task(b)
+    time.sleep(0.2)
+    r = mgr.get_result(b)
+    assert r["status"] == "cancelled"

@@ -119,8 +119,9 @@ def conv_transpose1d(p: Params, x: jnp.ndarray, stride: int,
     ct = jnp.promote_types(x.dtype, w.dtype)
     x, w = x.astype(ct), w.astype(ct)
     k = w.shape[2]
+    # transpose_kernel=True swaps the kernel's I/O axes, so pass (K, O, I)
     y = jax.lax.conv_transpose(
-        x, jnp.transpose(w, (2, 0, 1)),  # (K, I, O)
+        x, jnp.transpose(w, (2, 1, 0)),
         strides=(stride,),
         padding=[(k - 1 - padding, k - 1 - padding)],
         dimension_numbers=("NWC", "WIO", "NWC"),

@@ -1,0 +1,125 @@
+"""Async TTS job manager.
+
+Port of the reference `TTSManager` job lifecycle (tts-service/app/services/
+tts_service.py:44-57,507-1041): in-memory job dict, a small worker pool (2
+concurrent jobs by default, tts_service.py:47), cooperative cancellation,
+result polling with base64 WAV + `_detailed_timing` (per-segment ms/duration,
+total RTF, tts_service.py:915-936), and job cleanup.
+
+The TPU difference: within a job, segments are synthesized as one batched
+device program (tts/synthesizer.py) instead of a Python thread fan-out.
+"""
+from __future__ import annotations
+
+import base64
+import logging
+import threading
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Optional
+
+from ..utils.audio import encode_wav_bytes
+
+logger = logging.getLogger("toolbox.tts.jobs")
+
+
+class TTSJobManager:
+    def __init__(self, synthesizer, max_workers: int = 2):
+        self.synth = synthesizer
+        self.jobs: Dict[str, Dict[str, Any]] = {}
+        self._lock = threading.Lock()
+        self._pool = ThreadPoolExecutor(max_workers=max_workers,
+                                        thread_name_prefix="tts-job")
+
+    # ------------------------------------------------------------- API
+    def start_task(self, text: str, voice: str = "zhitian_emo") -> str:
+        job_id = uuid.uuid4().hex
+        with self._lock:
+            self.jobs[job_id] = {
+                "status": "pending",
+                "text": text,
+                "voice": voice,
+                "created_at": time.time(),
+                "audio_base64": None,
+                "error": None,
+                "_detailed_timing": None,
+            }
+        self._pool.submit(self._process, job_id)
+        return job_id
+
+    def cancel_task(self, job_id: str) -> bool:
+        with self._lock:
+            job = self.jobs.get(job_id)
+            if job is None or job["status"] in ("completed", "error"):
+                return False
+            job["status"] = "cancelled"
+        return True
+
+    def get_result(self, job_id: str) -> Optional[Dict[str, Any]]:
+        with self._lock:
+            job = self.jobs.get(job_id)
+            if job is None:
+                return None
+            return {
+                "job_id": job_id,
+                "status": job["status"],
+                "text": job["text"],
+                "audio_base64": job["audio_base64"],
+                "audio_size": len(job["audio_base64"] or ""),
+                "error": job["error"],
+                "detailed_timing": job["_detailed_timing"],
+            }
+
+    def cleanup_job(self, job_id: str) -> bool:
+        with self._lock:
+            return self.jobs.pop(job_id, None) is not None
+
+    @property
+    def active_jobs(self) -> int:
+        with self._lock:
+            return sum(1 for j in self.jobs.values()
+                       if j["status"] in ("pending", "processing"))
+
+    # ---------------------------------------------------------- worker
+    def _cancelled(self, job_id: str) -> bool:
+        with self._lock:
+            j = self.jobs.get(job_id)
+            return j is None or j["status"] == "cancelled"
+
+    def _process(self, job_id: str) -> None:
+        t0 = time.time()
+        try:
+            with self._lock:
+                job = self.jobs.get(job_id)
+                if job is None or job["status"] == "cancelled":
+                    return
+                job["status"] = "processing"
+                text, voice = job["text"], job["voice"]
+            result = self.synth.synthesize(
+                text, voice, cancelled=lambda: self._cancelled(job_id))
+            if result is None:  # cancelled mid-flight
+                return
+            wav_bytes = encode_wav_bytes(result.wav, result.sample_rate)
+            b64 = base64.b64encode(wav_bytes).decode()
+            timing = {
+                "total_ms": (time.time() - t0) * 1000,
+                "rtf": result.rtf,
+                "segments": len(result.segments),
+                "seg_times_ms": result.seg_times_ms,
+                "seg_durations_s": result.seg_durations_s,
+            }
+            with self._lock:
+                job = self.jobs.get(job_id)
+                if job is None or job["status"] == "cancelled":
+                    return
+                job["status"] = "completed"
+                job["audio_base64"] = b64
+                job["_detailed_timing"] = timing
+        except Exception as e:  # job errors recorded, worker survives
+            logger.exception("TTS job %s failed", job_id)
+            with self._lock:
+                job = self.jobs.get(job_id)
+                if job is not None:
+                    job["status"] = "error"
+                    job["error"] = str(e)

@@ -1,0 +1,167 @@
+"""TTS synthesis pipeline: text → segments → phonemes → mel → waveform.
+
+TPU-native replacement for the reference's per-segment ModelScope pipeline
+calls (tts-service/app/services/tts_service.py:507-936). Design differences,
+per the survey §7 build plan:
+
+- Sambert acoustic model + HiFi-GAN vocoder run as ONE fused jitted program
+  per phoneme-length bucket (`acoustic → length-regulate → vocoder`).
+- Segments of a job are synthesized as a single padded batch on the mesh
+  (replacing the reference's serial loop / optional thread fan-out,
+  tts_service.py:563-585) — real batching instead of Python threads.
+- Crossfade/pause concatenation stays on host (tts/concat.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import hifigan, sambert
+from ..runtime.bucketing import Bucketer
+from ..runtime.config import TTSConfig
+from ..runtime.metrics import RTFMeter, timing_log
+from .concat import concat_segments
+from .text_frontend import (G2P, PhoneVocab, pause_after, split_text_for_tts,
+                            text_to_phone_ids)
+
+logger = logging.getLogger("toolbox.tts")
+
+PHONE_BUCKETS = (16, 32, 48, 64, 96, 128)
+
+VOICES = ("zhitian_emo", "zhizhe_emo", "zhiyan_emo", "zhibei_emo")
+
+
+@dataclasses.dataclass
+class SynthesisResult:
+    wav: np.ndarray
+    sample_rate: int
+    segments: List[str]
+    seg_times_ms: List[float]
+    seg_durations_s: List[float]
+    rtf: float
+
+
+class Synthesizer:
+    def __init__(self, acoustic_params, acoustic_cfg: sambert.SambertConfig,
+                 vocoder_params, vocoder_cfg: hifigan.HifiGanConfig,
+                 g2p: Optional[G2P] = None,
+                 vocab: Optional[PhoneVocab] = None,
+                 tts_cfg: Optional[TTSConfig] = None,
+                 voices: Sequence[str] = VOICES):
+        self.ap, self.acfg = acoustic_params, acoustic_cfg
+        self.vp, self.vcfg = vocoder_params, vocoder_cfg
+        self.g2p = g2p or G2P()
+        self.vocab = vocab or PhoneVocab.default()
+        self.cfg = tts_cfg or TTSConfig()
+        self.voice_to_id = {v: i % acoustic_cfg.n_speakers
+                            for i, v in enumerate(voices)}
+        self.bucketer = Bucketer(PHONE_BUCKETS)
+        self._fns: Dict[Tuple[int, int], object] = {}
+        self.rtf = RTFMeter()
+        self.sample_rate = self.cfg.sampling_rate
+
+    @classmethod
+    def random(cls, seed: int = 0, tiny: bool = True, **kw) -> "Synthesizer":
+        vocab = PhoneVocab.default()
+        if tiny:
+            acfg = sambert.SambertConfig(
+                vocab_size=len(vocab), d_model=32, n_heads=2, ffn_dim=64,
+                encoder_layers=1, decoder_layers=1, var_channels=32,
+                postnet_channels=32, frames_per_phone=8)
+            vcfg = hifigan.HifiGanConfig(
+                upsample_initial_channel=32, upsample_rates=(5, 5, 4, 2),
+                upsample_kernels=(11, 11, 8, 4), resblock_kernels=(3,),
+                resblock_dilations=((1, 3),))
+        else:
+            acfg = sambert.SambertConfig(vocab_size=len(vocab))
+            vcfg = hifigan.HifiGanConfig()
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        return cls(sambert.init_params(k1, acfg), acfg,
+                   hifigan.init_params(k2, vcfg), vcfg, vocab=vocab, **kw)
+
+    # ---------------------------------------------------------- compiled
+    def _fn(self, b: int, l: int):
+        key = (b, l)
+        if key not in self._fns:
+            acfg, vcfg = self.acfg, self.vcfg
+
+            def run(ap, vp, ids, lens, spk):
+                out = sambert.forward(ap, ids, lens, spk, acfg)
+                wav = hifigan.forward(vp, out["mel"], vcfg)
+                return wav, out["mel_lens"]
+
+            self._fns[key] = jax.jit(run)
+        return self._fns[key]
+
+    # ------------------------------------------------------------ public
+    def synthesize_segments(self, segments: Sequence[str], voice: str
+                            ) -> Tuple[List[np.ndarray], List[float]]:
+        """Batch-synthesize text segments → per-segment waveforms."""
+        spk_id = self.voice_to_id.get(voice, 0)
+        ids_list = [text_to_phone_ids(s, self.g2p, self.vocab) for s in segments]
+        l = self.bucketer.bucket(max(max((len(i) for i in ids_list), default=1), 1))
+        b = len(segments)
+        ids = np.zeros((b, l), np.int32)
+        lens = np.zeros((b,), np.int32)
+        for i, seq in enumerate(ids_list):
+            n = min(len(seq), l)
+            ids[i, :n] = seq[:n]
+            lens[i] = max(n, 1)
+        spk = np.full((b,), spk_id, np.int32)
+        t0 = time.perf_counter()
+        wav, mel_lens = self._fn(b, l)(self.ap, self.vp, jnp.asarray(ids),
+                                       jnp.asarray(lens), jnp.asarray(spk))
+        wav = np.asarray(wav)
+        mel_lens = np.asarray(mel_lens)
+        elapsed = time.perf_counter() - t0
+        hop = self.vcfg.hop_length
+        wavs, durs = [], []
+        for i in range(b):
+            n = int(mel_lens[i]) * hop
+            wavs.append(wav[i, :n])
+            durs.append(n / self.sample_rate)
+        timing_log("tts_batch_synthesis", elapsed * 1000)
+        return wavs, durs
+
+    def synthesize(self, text: str, voice: str = "zhitian_emo",
+                   cancelled=lambda: False) -> Optional[SynthesisResult]:
+        """Full job: split → batch synth → pause/crossfade concat.
+
+        `cancelled` is polled between stages (cooperative cancel, reference
+        tts_service.py:590-591,692-694)."""
+        segments = split_text_for_tts(text, self.cfg.seg_target,
+                                      self.cfg.seg_first, self.cfg.seg_hard_max)
+        if not segments:
+            return SynthesisResult(np.zeros(0, np.float32), self.sample_rate,
+                                   [], [], [], 0.0)
+        if cancelled():
+            return None
+        t0 = time.perf_counter()
+        seg_wavs: List[np.ndarray] = []
+        seg_durs: List[float] = []
+        seg_times: List[float] = []
+        bs = max(1, self.cfg.batch_size)
+        for i in range(0, len(segments), bs):
+            if cancelled():
+                return None
+            ts = time.perf_counter()
+            wavs, durs = self.synthesize_segments(segments[i:i + bs], voice)
+            dt = (time.perf_counter() - ts) * 1000 / max(len(wavs), 1)
+            seg_wavs += wavs
+            seg_durs += durs
+            seg_times += [dt] * len(wavs)
+        pauses = [pause_after(s, self.cfg.pause_soft_ms, self.cfg.pause_hard_ms)
+                  for s in segments[:-1]]
+        wav = concat_segments(seg_wavs, pauses, self.sample_rate,
+                              self.cfg.crossfade_ms)
+        proc_s = time.perf_counter() - t0
+        audio_s = len(wav) / self.sample_rate
+        rtf = self.rtf.record(proc_s, max(audio_s, 1e-6), label="tts_job")
+        return SynthesisResult(wav, self.sample_rate, segments,
+                               seg_times, seg_durs, rtf)

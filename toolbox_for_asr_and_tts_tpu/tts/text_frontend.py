@@ -1,0 +1,228 @@
+"""TTS text frontend: normalization, prosody-aware splitting, G2P.
+
+Behavioral port of the reference's text handling
+(tts-service/app/services/tts_service.py:230-392): whitespace/newline →
+comma normalization, list-number stripping, strong-punctuation split, list
+merging, weak-punctuation split, hard cut at `hard_max`, trailing-comma
+patching — with the same default targets (18 / first 14 / hard max 22 chars,
+tts_service.py:66-68).
+
+G2P replaces the reference's native `ttsfrd` frontend (survey §2.3): a
+pinyin lexicon (initial/final + tone phonemes) with a per-character fallback
+token for out-of-lexicon characters. The lexicon ships with a seed vocabulary
+(tts/pinyin_data.py) and can be extended/overridden from a deployment lexicon
+file, which is how parity with ttsfrd's pronunciations is reached when real
+checkpoints are converted.
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from .pinyin_data import PINYIN_TABLE, INITIALS
+
+STRONG_PUNCT = "。！？；"
+WEAK_PUNCT = "，、："
+ALL_PUNCT = STRONG_PUNCT + WEAK_PUNCT + "\n"
+
+
+# ------------------------------------------------------------- normalize
+def normalize_text(text: str) -> str:
+    """Reference `_normalize_text` semantics (tts_service.py:230-266)."""
+    t = (text or "").strip()
+    if not t:
+        return ""
+    t = t.replace("\r\n", "\n").replace("\r", "\n")
+    t = re.sub(r"[ \t]+", " ", t)
+    t = re.sub(r"\n\s*\n+", "，", t)                       # blank lines → comma
+    t = re.sub(r"([^\n，。！？；\s])\s*\n\s*([^\n，。！？；\s])", r"\1，\2", t)
+    t = re.sub(r"(^|\n)\s*\d{1,2}\s*[\.、:：\)]\s*", r"\1", t)  # strip list nums
+    t = re.sub(r"，+", "，", t)
+    t = re.sub(r"^，+|，+$", "", t)
+    return t.strip()
+
+
+def merge_list_items(parts: List[str]) -> List[str]:
+    """Reference `_merge_list_items` (tts_service.py:268-302): numbered items
+    start fresh segments; plain text accumulates."""
+    out: List[str] = []
+    buf = ""
+    for p in parts:
+        s = p.strip()
+        if not s:
+            continue
+        if re.match(r"^\d{1,2}\.\s+", s):
+            if buf.strip():
+                out.append(buf.strip())
+                buf = ""
+            out.append(s)
+        else:
+            buf = s if not buf else buf + " " + s
+    if buf.strip():
+        out.append(buf.strip())
+    return out
+
+
+def split_text_for_tts(text: str, target: int = 18, first_target: int = 14,
+                       hard_max: int = 22) -> List[str]:
+    """Reference `_split_text_for_tts` (tts_service.py:304-392)."""
+    t = normalize_text(text)
+    if not t:
+        return []
+    strong = [p.strip() for p in re.split(r"(?<=[。！？；\n])", t) if p.strip()]
+    strong = merge_list_items(strong)
+
+    out: List[str] = []
+    buf = ""
+
+    def emit(s: str):
+        if s.strip():
+            out.append(s.strip())
+
+    def limit(is_first: bool) -> int:
+        return first_target if is_first else target
+
+    for p in strong:
+        p = p.strip()
+        if not p:
+            continue
+        lim = limit(len(out) == 0 and not buf)
+        if buf and len(buf) + len(p) <= lim:
+            buf += p
+            continue
+        if not buf and len(p) <= lim:
+            buf = p
+            continue
+        if buf:
+            emit(buf)
+            buf = ""
+        if len(p) > hard_max:
+            subs = [s.strip() for s in re.split(r"(?<=[，、：])", p) if s.strip()]
+            tmp = ""
+            for s in subs:
+                lim2 = limit(len(out) == 0 and not tmp)
+                if tmp and len(tmp) + len(s) <= lim2:
+                    tmp += s
+                elif not tmp and len(s) <= lim2:
+                    tmp = s
+                else:
+                    if tmp:
+                        emit(tmp)
+                        tmp = ""
+                    if len(s) <= hard_max:
+                        emit(s)
+                    else:
+                        for i in range(0, len(s), hard_max):
+                            emit(s[i:i + hard_max])
+            if tmp:
+                emit(tmp)
+        else:
+            emit(p)
+    if buf:
+        emit(buf)
+    # non-final segments without trailing punctuation get a comma
+    for i in range(len(out) - 1):
+        if out[i] and out[i][-1] not in "。！？；，、：\n":
+            out[i] += "，"
+    return out
+
+
+def pause_after(segment: str, soft_ms: int = 120, hard_ms: int = 200) -> int:
+    """Inter-segment pause (tts_service.py:664-671): hard after sentence-final
+    punctuation, soft otherwise."""
+    last = segment[-1] if segment else ""
+    return hard_ms if last in "。！？；\n" else soft_ms
+
+
+# --------------------------------------------------------------------- G2P
+@dataclasses.dataclass
+class Phone:
+    symbol: str
+    tone: int = 0          # 0 = none/neutral context (punct etc.)
+    is_punct: bool = False
+
+
+def split_pinyin(syllable: str) -> Tuple[str, str, int]:
+    """'zhong4' → ('zh', 'ong', 4). Tone 5 = neutral."""
+    tone = 5
+    if syllable and syllable[-1].isdigit():
+        tone = int(syllable[-1])
+        syllable = syllable[:-1]
+    for ini in INITIALS:  # longest-first list
+        if syllable.startswith(ini) and len(syllable) > len(ini):
+            return ini, syllable[len(ini):], tone
+    return "", syllable, tone
+
+
+class G2P:
+    """Character → phoneme sequence using the pinyin lexicon.
+
+    Out-of-lexicon CJK characters map to a per-char token (`char_<cp>`), so
+    synthesis still works end-to-end; latin letters/digits map to themselves.
+    """
+
+    def __init__(self, lexicon: Optional[Dict[str, str]] = None):
+        self.lexicon = dict(PINYIN_TABLE)
+        if lexicon:
+            self.lexicon.update(lexicon)
+
+    @classmethod
+    def with_lexicon_file(cls, path: str) -> "G2P":
+        """Load `char pinyin` lines (deployment lexicon, ttsfrd-extracted)."""
+        lex: Dict[str, str] = {}
+        with open(path, encoding="utf-8") as f:
+            for ln in f:
+                parts = ln.strip().split()
+                if len(parts) >= 2:
+                    lex[parts[0]] = parts[1]
+        return cls(lex)
+
+    def __call__(self, text: str) -> List[Phone]:
+        phones: List[Phone] = []
+        for ch in text:
+            if ch in ALL_PUNCT or ch in "！？":
+                phones.append(Phone("#sil" if ch in STRONG_PUNCT else "#br",
+                                    is_punct=True))
+            elif ch in self.lexicon:
+                ini, fin, tone = split_pinyin(self.lexicon[ch])
+                if ini:
+                    phones.append(Phone(ini, 0))  # initials carry no tone
+                phones.append(Phone(fin, tone))
+            elif ch.isascii() and ch.isalnum():
+                phones.append(Phone(ch.lower()))
+            elif ch.isspace():
+                continue
+            else:
+                phones.append(Phone(f"char_{ord(ch) % 4096}"))
+        return phones
+
+
+class PhoneVocab:
+    """Phoneme symbol ↔ id table (tone folded in as symbol_tone)."""
+
+    PAD, UNK = "<pad>", "<unk>"
+
+    def __init__(self, symbols: Sequence[str]):
+        self.symbols = [self.PAD, self.UNK] + [s for s in symbols
+                                               if s not in (self.PAD, self.UNK)]
+        self.to_id = {s: i for i, s in enumerate(self.symbols)}
+
+    def __len__(self):
+        return len(self.symbols)
+
+    @classmethod
+    def default(cls) -> "PhoneVocab":
+        from .pinyin_data import all_symbols
+        return cls(all_symbols())
+
+    def encode(self, phones: Sequence[Phone]) -> List[int]:
+        ids = []
+        for p in phones:
+            sym = p.symbol if (p.is_punct or p.tone == 0) else f"{p.symbol}{p.tone}"
+            ids.append(self.to_id.get(sym, self.to_id[self.UNK]))
+        return ids
+
+
+def text_to_phone_ids(text: str, g2p: G2P, vocab: PhoneVocab) -> List[int]:
+    return vocab.encode(g2p(text))
