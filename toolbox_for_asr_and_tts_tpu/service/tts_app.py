@@ -1,0 +1,114 @@
+"""TTS service app: REST endpoints over the TPU synthesis engine.
+
+Route-for-route port of the reference TTS API (tts-service/app/api/
+tts.py:27-133 mounted at /api/v1/tts, plus app-level endpoints
+tts-service/app/main.py:156-176):
+
+    POST   /api/v1/tts/start            → {job_id, status}
+    POST   /api/v1/tts/cancel           → {job_id, status}
+    GET    /api/v1/tts/result/{job_id}  → TTSResultResponse (poll)
+    DELETE /api/v1/tts/jobs/{job_id}    → cleanup
+    GET    /health                      → model_loaded + active_jobs
+    GET    /                            → service banner
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+from pydantic import ValidationError
+
+from ..runtime.config import TTSConfig, load_tts_config
+from ..tts.jobs import TTSJobManager
+from .http import App, HTTPError, Request, Response
+from .schemas import CancelRequest, TTSRequest
+
+logger = logging.getLogger("toolbox.tts.app")
+
+
+def create_app(synthesizer=None, cfg: Optional[TTSConfig] = None) -> App:
+    cfg = cfg or load_tts_config()
+    app = App("tts-service")
+    state = {"manager": None, "started_at": time.time()}
+
+    def manager() -> TTSJobManager:
+        if state["manager"] is None:  # lazy load (reference tts_service.py:80-226)
+            synth = synthesizer
+            if synth is None:
+                from ..tts.synthesizer import Synthesizer
+                synth = Synthesizer.random(tiny=False, tts_cfg=cfg)
+            state["manager"] = TTSJobManager(synth,
+                                             max_workers=cfg.max_concurrent_jobs)
+        return state["manager"]
+
+    def _parse(req: Request, model):
+        try:
+            return model.model_validate(req.json())
+        except ValidationError as e:
+            raise HTTPError(422, str(e))
+
+    @app.post("/api/v1/tts/start")
+    async def start(req: Request) -> Response:
+        body = _parse(req, TTSRequest)
+        if not body.text.strip():
+            raise HTTPError(400, "text is empty")
+        job_id = manager().start_task(body.text, body.voice)
+        logger.info("TTS job %s started (%d chars)", job_id, len(body.text))
+        return Response.json({"job_id": job_id, "status": "pending",
+                              "message": "task started"})
+
+    @app.post("/api/v1/tts/cancel")
+    async def cancel(req: Request) -> Response:
+        body = _parse(req, CancelRequest)
+        ok = manager().cancel_task(body.job_id)
+        if not ok:
+            raise HTTPError(404, f"job {body.job_id} not found or finished")
+        return Response.json({"job_id": body.job_id, "status": "cancelled",
+                              "message": "task cancelled"})
+
+    @app.get("/api/v1/tts/result/{job_id}")
+    async def result(req: Request) -> Response:
+        job_id = req.path_params["job_id"]
+        r = manager().get_result(job_id)
+        if r is None:
+            raise HTTPError(404, f"job {job_id} not found")
+        timing = r.pop("detailed_timing", None)
+        if timing:  # reference logs the timing breakdown on poll (tts.py:102-115)
+            logger.info("TTS job %s timing: %s", job_id, timing)
+        return Response.json(r)
+
+    @app.delete("/api/v1/tts/jobs/{job_id}")
+    async def cleanup(req: Request) -> Response:
+        job_id = req.path_params["job_id"]
+        if not manager().cleanup_job(job_id):
+            raise HTTPError(404, f"job {job_id} not found")
+        return Response.json({"job_id": job_id, "message": "job cleaned up"})
+
+    @app.get("/health")
+    async def health(req: Request) -> Response:
+        return Response.json({
+            "status": "healthy",
+            "model_loaded": state["manager"] is not None,
+            "active_jobs": (state["manager"].active_jobs
+                            if state["manager"] else 0),
+            "uptime_s": round(time.time() - state["started_at"], 1),
+        })
+
+    @app.get("/")
+    async def root(req: Request) -> Response:
+        return Response.json({"service": "tts-service",
+                              "engine": "toolbox_for_asr_and_tts_tpu",
+                              "docs": "/api/v1/tts"})
+
+    return app
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO, force=True)
+    cfg = load_tts_config()
+    create_app(cfg=cfg).run(cfg.server.host, cfg.server.port)
+
+
+if __name__ == "__main__":
+    main()
