@@ -1,0 +1,109 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from toolbox_for_asr_and_tts_tpu.asr.itn import apply_itn, parse_cn_number  # noqa: E402
+from toolbox_for_asr_and_tts_tpu.demo.full_voice_demo import (  # noqa: E402
+    VADRecorder,
+    VoiceAgentLoop,
+)
+from toolbox_for_asr_and_tts_tpu.service.engines import build_test_engines  # noqa: E402
+
+
+# ------------------------------------------------------------------- ITN
+def test_parse_cn_number():
+    assert parse_cn_number("一百二十三") == 123
+    assert parse_cn_number("三千五百") == 3500
+    assert parse_cn_number("十三") == 13
+    assert parse_cn_number("两万零五") == 20005
+    assert parse_cn_number("一亿二千万") == 120_000_000
+    assert parse_cn_number("你好") is None
+
+
+def test_apply_itn():
+    assert apply_itn("血压一百二十毫米汞柱") == "血压120毫米汞柱"
+    assert apply_itn("体温三十八点五度") == "体温38.5度"
+    assert apply_itn("血氧百分之九十八") == "血氧98%"
+    # lexical 一 untouched
+    assert apply_itn("我们一起去") == "我们一起去"
+    assert apply_itn("吃两片药") == "吃2片药"
+
+
+# ------------------------------------------------------------------ demo
+def _tone(freq, secs, amp=0.3, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(16000 * secs)) / 16000
+    return (amp * np.sin(2 * np.pi * freq * t)
+            + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+def test_vad_recorder_segments():
+    rec = VADRecorder()
+    rec.calibrate(np.zeros(16000, np.float32) + 1e-4)
+    audio = np.concatenate([
+        np.zeros(16000, np.float32),
+        _tone(300, 2.0),
+        np.zeros(24000, np.float32),
+        _tone(400, 1.0, seed=1),
+        np.zeros(20000, np.float32),
+    ])
+    segs = list(rec.segments(audio))
+    assert len(segs) == 2
+    assert 1.5 < len(segs[0].audio) / 16000 < 3.5
+    assert segs[0].start_s < segs[1].start_s
+
+
+def test_voice_agent_loop_runs():
+    engines = build_test_engines()
+    replies = []
+    loop = VoiceAgentLoop(engines, chat=lambda t: f"echo:{t}",
+                          use_sv=False, use_wake=False)
+    audio = np.concatenate([
+        np.full(16000, 1e-4, np.float32),
+        _tone(300, 2.0),
+        np.zeros(24000, np.float32),
+    ])
+    transcript = loop.run_audio(audio)
+    # one user turn (maybe empty if random model emits nothing) — loop ran
+    assert isinstance(transcript, list)
+
+
+def test_voice_agent_sv_enroll_then_verify():
+    engines = build_test_engines()
+    loop = VoiceAgentLoop(engines, chat=lambda t: "ok",
+                          use_sv=True, use_wake=False)
+    from toolbox_for_asr_and_tts_tpu.demo.full_voice_demo import Segment
+    seg = Segment(_tone(300, 2.5), 0.0, 2.5)
+    out = loop.handle_segment(seg)
+    assert out is None            # first ≥2 s segment enrolls
+    assert loop.enroll_emb is not None
+    out2 = loop.handle_segment(Segment(_tone(300, 2.5), 3.0, 5.5))
+    # same signal → same embedding → passes SV and reaches ASR/chat
+    assert out2 is None or isinstance(out2, str)
+
+
+# ------------------------------------------------------------------- CLI
+def test_cli_transcribe_and_tts(tmp_path, capsys, monkeypatch):
+    import sys
+    from toolbox_for_asr_and_tts_tpu import cli
+    from toolbox_for_asr_and_tts_tpu.utils.audio import write_wav
+
+    wav_path = str(tmp_path / "in.wav")
+    write_wav(wav_path, _tone(250, 1.0), 16000)
+    # transcribe with tiny random engines (patch build_engines)
+    import toolbox_for_asr_and_tts_tpu.service.engines as eng
+    monkeypatch.setattr(eng, "build_engines",
+                        lambda *a, **k: build_test_engines())
+    monkeypatch.setattr(sys, "argv",
+                        ["cli", "transcribe", wav_path, "--no-mesh"])
+    cli.main()
+    out = capsys.readouterr().out
+    assert '"text"' in out
+
+    out_path = str(tmp_path / "out.wav")
+    monkeypatch.setattr(sys, "argv",
+                        ["cli", "tts", "你好。", "-o", out_path, "--tiny"])
+    cli.main()
+    import os
+    assert os.path.exists(out_path)
