@@ -1,0 +1,155 @@
+"""Benchmark harnesses for the five BASELINE.json configs.
+
+Each subcommand prints one JSON line like bench.py. Usage:
+
+    python benchmarks/run.py offline      # config 1: one 10 s WAV, RTF
+    python benchmarks/run.py batch        # config 2: batched ASR + punc
+    python benchmarks/run.py streaming    # config 3: chunked VAD+ASR latency
+    python benchmarks/run.py tts          # config 4: full-size TTS RTF
+    python benchmarks/run.py voiceloop    # config 5: concurrent sessions
+    python benchmarks/run.py all
+
+Targets (driver north star, per TPU v5e chip): offline ASR RTF ≤ 0.05,
+TTS RTF ≤ 0.1. Synchronization is host-fetch based (see bench.py note on the
+axon runtime).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _wav(secs: float, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(16000 * secs)) / 16000
+    return (0.25 * np.sin(2 * np.pi * 280 * t)
+            + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+def _emit(metric: str, value: float, unit: str, baseline: float) -> None:
+    print(json.dumps({"metric": metric, "value": round(value, 6),
+                      "unit": unit,
+                      "vs_baseline": round(baseline / max(value, 1e-12), 3)}))
+
+
+def bench_offline() -> None:
+    """Config 1: single 10 s utterance through the full offline path."""
+    from toolbox_for_asr_and_tts_tpu.asr.recognizer import Recognizer
+    import jax.numpy as jnp
+    reco = Recognizer.random(use_mesh=False, param_dtype=jnp.bfloat16)
+    wav = _wav(10.0)
+    reco.transcribe([wav])   # compile + upload
+    reco.transcribe([wav])
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        reco.transcribe([wav])
+    rtf = (time.perf_counter() - t0) / iters / 10.0
+    _emit("offline_asr_rtf_b1", rtf, "rtf", 0.05)
+
+
+def bench_batch() -> None:
+    """Config 2: batched recognition + punctuation (REST-path compute)."""
+    from toolbox_for_asr_and_tts_tpu.asr.recognizer import Recognizer
+    from toolbox_for_asr_and_tts_tpu.models.ct_transformer import Punctuator
+    import jax.numpy as jnp
+    reco = Recognizer.random(use_mesh=False, param_dtype=jnp.bfloat16)
+    punc = Punctuator.random()
+    wavs = [_wav(10.0, seed=i) for i in range(8)]
+    reco.transcribe(wavs)
+    reco.transcribe(wavs)
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        results = reco.transcribe(wavs)
+        for r in results:
+            punc.punctuate(r.text or "你好")
+    rtf = (time.perf_counter() - t0) / iters / 80.0
+    _emit("batch_asr_punc_rtf", rtf, "rtf", 0.05)
+
+
+def bench_streaming() -> None:
+    """Config 3: per-chunk latency of the streaming session (400 ms chunks,
+    energy VAD + endpointing + finalize)."""
+    from toolbox_for_asr_and_tts_tpu.asr import session as S
+    from toolbox_for_asr_and_tts_tpu.service.engines import build_engines
+    engines = build_engines(None, use_mesh=False)
+    sess = S.StreamingASRSession(engines, use_wake=False, use_sv=False)
+    chunk = _wav(0.4)
+    silence = np.zeros(6400, np.float32)
+    # warm the finalize path
+    for i in range(3):
+        sess.process_chunk(_wav(0.4, seed=i))
+    for _ in range(6):
+        sess.process_chunk(silence)
+    sess.finalize()
+    sess.reset_asr_state()
+    lat = []
+    for i in range(50):
+        t0 = time.perf_counter()
+        sess.process_chunk(chunk if i % 3 else silence)
+        lat.append(time.perf_counter() - t0)
+    p95 = float(np.percentile(lat, 95))
+    # budget: a 400 ms chunk must process far faster than real time
+    _emit("streaming_chunk_p95_s", p95, "s", 0.4)
+
+
+def bench_tts() -> None:
+    """Config 4: full-size Sambert+HiFi-GAN synthesis RTF."""
+    from toolbox_for_asr_and_tts_tpu.tts.synthesizer import Synthesizer
+    synth = Synthesizer.random(tiny=False)
+    text = ("患者目前诊断为高血压和糖尿病。建议低盐低脂饮食，适量运动，"
+            "定期监测血压和血糖。如有头晕头痛及时就诊。注意休息，避免劳累。")
+    synth.synthesize(text)  # compile
+    synth.synthesize(text)
+    t0 = time.perf_counter()
+    iters = 3
+    total_audio = 0.0
+    for _ in range(iters):
+        res = synth.synthesize(text)
+        total_audio += len(res.wav) / res.sample_rate
+    rtf = (time.perf_counter() - t0) / max(total_audio, 1e-9)
+    _emit("tts_rtf", rtf, "rtf", 0.1)
+
+
+def bench_voiceloop() -> None:
+    """Config 5: N concurrent streaming sessions sharing one engine
+    (data-parallel batch serving is the TPU answer to concurrency)."""
+    from toolbox_for_asr_and_tts_tpu.asr.recognizer import Recognizer
+    import jax.numpy as jnp
+    reco = Recognizer.random(use_mesh=False, param_dtype=jnp.bfloat16)
+    n_streams = 16
+    wavs = [_wav(6.0, seed=i) for i in range(n_streams)]
+    reco.transcribe(wavs)
+    reco.transcribe(wavs)
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        reco.transcribe(wavs)
+    dt = (time.perf_counter() - t0) / iters
+    per_stream_rtf = dt / (n_streams * 6.0)
+    streams = 1.0 / per_stream_rtf  # sustainable real-time streams per chip
+    print(json.dumps({"metric": "concurrent_streams_per_chip",
+                      "value": round(streams, 1), "unit": "streams",
+                      "vs_baseline": round(streams / (1.0 / 0.05), 3)}))
+
+
+ALL = {"offline": bench_offline, "batch": bench_batch,
+       "streaming": bench_streaming, "tts": bench_tts,
+       "voiceloop": bench_voiceloop}
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which == "all":
+        for name, fn in ALL.items():
+            fn()
+    else:
+        ALL[which]()
+
+
+if __name__ == "__main__":
+    main()

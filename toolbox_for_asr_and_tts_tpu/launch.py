@@ -1,0 +1,85 @@
+"""Service launchers (reference start.py equivalents).
+
+Voice (reference voice-service/start.py:55-222): bring up the native
+WebSocket ASR server on :10095, verify TCP readiness, then serve the HTTP/WS
+app; SIGTERM/SIGINT stop both. The native server runs IN-PROCESS here (a
+ctypes-loaded C++ library, native/bridge.py) instead of the reference's
+supervised subprocess — there is no separate process tree to babysit, which
+retires the stale-process cleanup and log-tail machinery (start.py:55-61,
+116-143) by construction.
+
+TTS (reference tts-service/start.py): plain app serve on :7001.
+"""
+from __future__ import annotations
+
+import asyncio
+import logging
+import os
+import signal
+import socket
+import time
+
+logger = logging.getLogger("toolbox.launch")
+
+
+def _wait_tcp(port: int, timeout_s: float = 30.0) -> bool:
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=1):
+                return True
+        except OSError:
+            time.sleep(0.3)
+    return False
+
+
+def launch_voice() -> None:
+    from .runtime.config import load_voice_config
+    from .service.engines import build_engines
+    from .service.voice_app import create_app
+
+    logging.basicConfig(level=logging.INFO, force=True)
+    cfg = load_voice_config()
+    engines = build_engines(cfg.model_dir)
+
+    ws_server = None
+    ws_port = int(os.getenv("FUNASR_WS_PORT", "10095"))
+    if os.getenv("FUNASR_WS_ENABLE", "1") not in ("0", "false"):
+        try:
+            from .native.bridge import start_offline_asr_server
+            ws_server = start_offline_asr_server(engines, port=ws_port)
+            if not _wait_tcp(ws_server.port):
+                raise RuntimeError("native WS server not reachable")
+            logger.info("native offline-ASR WS server ready on :%d",
+                        ws_server.port)
+        except Exception:
+            logger.exception("native WS server unavailable; REST/WS API "
+                             "still serves (degraded, like the reference's "
+                             "lazy-tolerant boot)")
+
+    app = create_app(engines=engines, cfg=cfg)
+
+    def _stop(signum, frame):
+        logger.info("signal %d — shutting down", signum)
+        if ws_server is not None:
+            ws_server.stop()
+        raise SystemExit(0)
+
+    signal.signal(signal.SIGTERM, _stop)
+    signal.signal(signal.SIGINT, _stop)
+    try:
+        app.run(cfg.server.host, cfg.server.port)
+    finally:
+        if ws_server is not None:
+            ws_server.stop()
+
+
+def launch_tts() -> None:
+    from .runtime.config import load_tts_config
+    from .service.tts_app import create_app
+
+    logging.basicConfig(level=logging.INFO, force=True)
+    cfg = load_tts_config()
+    app = create_app(cfg=cfg)
+    signal.signal(signal.SIGTERM, lambda s, f: (_ for _ in ()).throw(SystemExit(0)))
+    app.run(cfg.server.host, cfg.server.port)
