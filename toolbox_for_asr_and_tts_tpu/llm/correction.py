@@ -135,10 +135,16 @@ def process_speech_result(hotwords: Sequence[str], text: str) -> str:
 
 
 def load_hotwords_list(path: Optional[str] = None) -> List[str]:
-    """Reference `load_hotwords_list` (LLM_functions.py:454-502): hotword file
-    if present, else the built-in SYMS symptom list."""
+    """Reference `load_hotwords_list` (LLM_functions.py:454-502): explicit
+    path → HOTWORDS_FILE env → packaged assets/hotwords.txt → SYMS."""
     from ..asr.hotwords import load_hotwords_from_file, positive_hotword_list
-    if path and os.path.exists(path):
-        return positive_hotword_list(load_hotwords_from_file(path))
+    candidates = [path, os.getenv("HOTWORDS_FILE"),
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), "assets", "hotwords.txt")]
+    for p in candidates:
+        if p and os.path.exists(p):
+            words = positive_hotword_list(load_hotwords_from_file(p))
+            if words:
+                return words
     from .syms import SYMS
     return list(SYMS)

@@ -94,7 +94,11 @@ class Synthesizer:
             def run(ap, vp, ids, lens, spk):
                 out = sambert.forward(ap, ids, lens, spk, acfg)
                 wav = hifigan.forward(vp, out["mel"], vcfg)
-                return wav, out["mel_lens"]
+                # int16 on device: 4× less host-transfer than f32, and it is
+                # the final PCM format anyway
+                pcm = jnp.clip(jnp.round(wav * 32767.0), -32768, 32767
+                               ).astype(jnp.int16)
+                return pcm, out["mel_lens"]
 
             self._fns[key] = jax.jit(run)
         return self._fns[key]
@@ -115,16 +119,16 @@ class Synthesizer:
             lens[i] = max(n, 1)
         spk = np.full((b,), spk_id, np.int32)
         t0 = time.perf_counter()
-        wav, mel_lens = self._fn(b, l)(self.ap, self.vp, jnp.asarray(ids),
+        pcm, mel_lens = self._fn(b, l)(self.ap, self.vp, jnp.asarray(ids),
                                        jnp.asarray(lens), jnp.asarray(spk))
-        wav = np.asarray(wav)
         mel_lens = np.asarray(mel_lens)
+        pcm = np.asarray(pcm)
         elapsed = time.perf_counter() - t0
         hop = self.vcfg.hop_length
         wavs, durs = [], []
         for i in range(b):
             n = int(mel_lens[i]) * hop
-            wavs.append(wav[i, :n])
+            wavs.append(pcm[i, :n].astype(np.float32) / 32767.0)
             durs.append(n / self.sample_rate)
         timing_log("tts_batch_synthesis", elapsed * 1000)
         return wavs, durs
