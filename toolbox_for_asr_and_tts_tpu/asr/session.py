@@ -271,6 +271,8 @@ class StreamingASRSession:
         if not np.isfinite(wav).all():   # NaN/Inf guard (:1930-1948)
             logger.error("non-finite audio in finalize buffer")
             return ASR_RESULT_EMPTY
+        from ..ops.vad_energy import dump_clipped_audio
+        dump_clipped_audio(wav)  # QC telemetry (voice_interface.py:942-980)
         sents = self.engines.diarizer.diarize(wav)
         if not sents:
             return ASR_RESULT_EMPTY

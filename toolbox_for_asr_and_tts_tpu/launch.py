@@ -22,6 +22,27 @@ import time
 logger = logging.getLogger("toolbox.launch")
 
 
+def setup_service_logging() -> None:
+    """Reference `shared.service_launcher.setup_service_logging` equivalent:
+    YAML dictConfig (assets/logging.yaml or LOG_CONFIG_FILE) with rotating
+    file handlers unless LOG_TO_CONSOLE_ONLY is set."""
+    if os.getenv("LOG_TO_CONSOLE_ONLY"):
+        logging.basicConfig(level=logging.INFO, force=True)
+        return
+    path = os.getenv("LOG_CONFIG_FILE", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "assets", "logging.yaml"))
+    try:
+        import logging.config
+        import yaml
+        with open(path, encoding="utf-8") as f:
+            cfg = yaml.safe_load(f)
+        os.makedirs("logs", exist_ok=True)
+        logging.config.dictConfig(cfg)
+    except Exception:
+        logging.basicConfig(level=logging.INFO, force=True)
+        logger.exception("falling back to basicConfig (bad %s)", path)
+
+
 def _wait_tcp(port: int, timeout_s: float = 30.0) -> bool:
     t0 = time.time()
     while time.time() - t0 < timeout_s:
@@ -38,7 +59,7 @@ def launch_voice() -> None:
     from .service.engines import build_engines
     from .service.voice_app import create_app
 
-    logging.basicConfig(level=logging.INFO, force=True)
+    setup_service_logging()
     cfg = load_voice_config()
     engines = build_engines(cfg.model_dir)
 
@@ -78,7 +99,7 @@ def launch_tts() -> None:
     from .runtime.config import load_tts_config
     from .service.tts_app import create_app
 
-    logging.basicConfig(level=logging.INFO, force=True)
+    setup_service_logging()
     cfg = load_tts_config()
     app = create_app(cfg=cfg)
     signal.signal(signal.SIGTERM, lambda s, f: (_ for _ in ()).throw(SystemExit(0)))

@@ -48,6 +48,31 @@ def rms(x) -> float:
     return jnp.sqrt(jnp.mean(jnp.square(x)) + 1e-12)
 
 
+def dump_clipped_audio(x: np.ndarray, sample_rate: int = 16000,
+                       dump_dir: str = "/tmp/voice_service_debug_audio",
+                       clipping_threshold: float = 0.01) -> "str | None":
+    """Write a debug WAV when a buffer shows heavy clipping (reference
+    `_dump_clipped_audio`, voice_interface.py:942-980). Returns the path, or
+    None when the buffer is clean."""
+    import os
+    import time as _time
+    stats = audio_quality_stats(x)
+    if stats["clipping_ratio"] < clipping_threshold:
+        return None
+    try:
+        os.makedirs(dump_dir, exist_ok=True)
+        from ..utils.audio import write_wav
+        path = os.path.join(
+            dump_dir, f"clipped_{int(_time.time() * 1000)}.wav")
+        write_wav(path, np.asarray(x, np.float32), sample_rate)
+        logger = __import__("logging").getLogger("toolbox.vad")
+        logger.warning("clipped audio (%.1f%%) dumped to %s",
+                       stats["clipping_ratio"] * 100, path)
+        return path
+    except OSError:
+        return None
+
+
 def audio_quality_stats(x: np.ndarray) -> dict:
     """RMS / clipping ratio / dynamic range / peak symmetry telemetry
     (port of `_log_audio_statistics`, voice_interface.py:873-939)."""

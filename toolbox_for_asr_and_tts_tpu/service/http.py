@@ -274,6 +274,14 @@ class App:
         resp.headers.setdefault("Access-Control-Allow-Origin", "*")
         for k, v in SECURITY_HEADERS.items():
             resp.headers.setdefault(k, v)
+        # gzip large JSON bodies (reference uses GZipMiddleware,
+        # voice-service/app/main.py) — matters for base64 TTS results
+        if (len(resp.body) > 1024
+                and "gzip" in req.headers.get("accept-encoding", "")
+                and "Content-Encoding" not in resp.headers):
+            import gzip as _gzip
+            resp.body = _gzip.compress(resp.body, compresslevel=1)
+            resp.headers["Content-Encoding"] = "gzip"
         status_text = _STATUS_TEXT.get(resp.status, "Unknown")
         head = [f"HTTP/1.1 {resp.status} {status_text}",
                 f"Content-Type: {resp.content_type}",
