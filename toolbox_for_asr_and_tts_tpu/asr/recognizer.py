@@ -131,8 +131,13 @@ class Recognizer:
         return fn
 
     # ----------------------------------------------------------- public
-    def transcribe(self, wavs: Sequence[np.ndarray]) -> List[TranscribeResult]:
-        """Batch of float32 mono 16 kHz waveforms → results."""
+    def transcribe(self, wavs: Sequence[np.ndarray],
+                   hotwords: Optional[dict] = None) -> List[TranscribeResult]:
+        """Batch of float32 mono 16 kHz waveforms → results.
+
+        `hotwords` ({word: weight}) applies constrained rescoring of the
+        greedy output (asr/hotword_bias.py), the round-1 stand-in for
+        FunASR's in-decoder contextual biasing."""
         if not isinstance(wavs, (list, tuple)):
             wavs = [wavs]
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
@@ -151,6 +156,13 @@ class Recognizer:
         for i in range(len(wavs)):
             n = int(out["token_count"][i])
             ids = out["tokens"][i, :n].tolist()
+            if hotwords and n:
+                from scipy.special import log_softmax
+                from .hotword_bias import apply_hotword_bias
+                logp = log_softmax(
+                    out["logits"][i, :n].astype(np.float64), axis=-1)
+                ids = apply_hotword_bias(ids, logp, hotwords,
+                                         self.tokenizer.token_to_id)
             toks = self.tokenizer.ids_to_tokens(ids)
             ts = (out["fire_frame"][i, :n].astype(np.float64)
                   * self.frame_ms).astype(int).tolist()
