@@ -76,8 +76,13 @@ class StreamingASRSession:
     ENROLL_SILENCE_S = 2.0             # voice.py:540
 
     def __init__(self, engines: VoiceEngines, use_wake: bool = True,
-                 use_sv: bool = True):
+                 use_sv: bool = True, generated_dir: Optional[str] = None):
+        """generated_dir: when set, persist enrollment samples and finalize
+        buffers as WAVs (reference `_save_enroll_sample` /
+        `_save_kws_audio` / finalize dumps, voice_interface.py:1488-1544,
+        1970-2028, 2449-2475)."""
         self.engines = engines
+        self.generated_dir = generated_dir
         self.use_wake = use_wake
         self.use_speaker_verification = use_sv
         self.is_activated = False
@@ -196,6 +201,7 @@ class StreamingASRSession:
         cond2 = self.enroll_silence_timer >= self.ENROLL_SILENCE_S
         if cond1 and cond2 and not self.is_enrolled:   # AND logic, voice.py:538
             self.enroll_audio = self.enroll_audio_buffer.copy()
+            self._save_generated("enroll_samples", self.enroll_audio)
             self.is_enrolled = True
             self.enroll_audio_buffer = np.array([], np.float32)
             self.enroll_has_detected_speech = False
@@ -273,6 +279,7 @@ class StreamingASRSession:
             return ASR_RESULT_EMPTY
         from ..ops.vad_energy import dump_clipped_audio
         dump_clipped_audio(wav)  # QC telemetry (voice_interface.py:942-980)
+        self._save_generated("asr_final_audio", wav)
         sents = self.engines.diarizer.diarize(wav)
         if not sents:
             return ASR_RESULT_EMPTY
@@ -301,6 +308,20 @@ class StreamingASRSession:
         if is_punct_only(text):
             return ASR_RESULT_EMPTY  # :2277-2301
         return text
+
+    def _save_generated(self, subdir: str, wav: np.ndarray) -> None:
+        if not self.generated_dir or len(wav) == 0:
+            return
+        try:
+            import os
+            import time
+            from ..utils.audio import write_wav
+            d = os.path.join(self.generated_dir, subdir)
+            os.makedirs(d, exist_ok=True)
+            write_wav(os.path.join(d, f"{int(time.time() * 1000)}.wav"),
+                      wav, SR)
+        except OSError:
+            logger.warning("could not persist %s audio", subdir)
 
     def _enroll_embedding(self) -> np.ndarray:
         if getattr(self, "_enroll_emb", None) is None:

@@ -55,7 +55,10 @@ class VoiceService:
         self.samples_dir = os.path.join(cfg.generated_dir, "asr_samples")
 
     def create_streaming_session(self) -> S.StreamingASRSession:
-        return S.StreamingASRSession(self.engines, use_wake=True, use_sv=True)
+        return S.StreamingASRSession(
+            self.engines, use_wake=True, use_sv=True,
+            generated_dir=self.cfg.generated_dir
+            if self.cfg.always_save_sample else None)
 
     def _sample_path(self, sample_id: str) -> str:
         return os.path.join(self.samples_dir, f"{sample_id}.wav")
