@@ -155,6 +155,7 @@ class StreamingASRSession:
             return False
         detected = self._run_kws(self.kws_buffer)
         if detected:
+            self._save_generated("kws_trigger", self.kws_buffer)  # :1488-1544
             # success purges buffers so the wake word never reaches ASR
             # (voice_interface.py:1448-1466; voice.py:383-423)
             kws_audio = self.kws_buffer

@@ -52,9 +52,9 @@ def build_engines(model_dir: Optional[str] = None, use_mesh: bool = True):
     from ..models.kws_ctc import KeywordSpotter
     from ..models.ct_transformer import Punctuator
 
-    asr_dir = model_dir and os.path.join(
-        model_dir, "speech_paraformer-large_asr_nat-zh-cn-16k-common-vocab8404")
-    if asr_dir and os.path.isdir(asr_dir):
+    from ..runtime.registry import resolve
+    asr_dir = resolve("paraformer_offline", model_dir)
+    if asr_dir is not None:
         reco = Recognizer.from_model_dir(asr_dir, use_mesh=use_mesh)
     else:
         logger.warning("no ASR checkpoint dir; using randomly initialized "
