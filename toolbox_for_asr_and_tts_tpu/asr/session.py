@@ -65,6 +65,8 @@ class VoiceEngines:
     kws: Any = None               # models.kws_ctc.KeywordSpotter
     verifier: Any = None          # asr.speaker.SpeakerVerifier
     vad_step: Any = None          # optional streaming FSMN-VAD callable
+    streaming_factory: Any = None  # optional () -> StreamingRecognizer;
+                                   # per-session (2-pass partials + offline final)
 
 
 class StreamingASRSession:
@@ -83,6 +85,8 @@ class StreamingASRSession:
         1970-2028, 2449-2475)."""
         self.engines = engines
         self.generated_dir = generated_dir
+        self.streaming = (engines.streaming_factory()
+                          if engines.streaming_factory else None)
         self.use_wake = use_wake
         self.use_speaker_verification = use_sv
         self.is_activated = False
@@ -95,6 +99,8 @@ class StreamingASRSession:
 
     # ------------------------------------------------------------- state
     def _init_asr_state(self) -> None:
+        if getattr(self, "streaming", None) is not None:
+            self.streaming.reset()
         self.audio_buffer = np.array([], np.float32)
         self.pre_speech_buffer = np.array([], np.float32)
         self.silence_timer = 0.0
@@ -260,12 +266,22 @@ class StreamingASRSession:
         should_finalize = (self.silence_timer >= self.SILENCE_THRESHOLD_S
                            and len(self.audio_buffer) > 0
                            and self.has_detected_speech)
+        # 2-pass partials: the reference loads the online model but disables
+        # mid-chunk decode (voice_interface.py:1749-1809); here it is opt-in
+        # via an attached StreamingRecognizer — the final result still comes
+        # from the offline finalize pass.
+        intermediate = ""
+        if self.streaming is not None and is_speech:
+            try:
+                intermediate = self.streaming.push_audio(audio_np)
+            except Exception:
+                logger.exception("streaming partial decode failed")
         return {
             "is_speech": is_speech,
             "should_finalize": should_finalize,
             "buffer_s": len(self.audio_buffer) / SR,
             "silence_s": self.silence_timer,
-            "intermediate_text": "",  # mid-chunk decode disabled, as reference
+            "intermediate_text": intermediate,
         }
 
     def finalize(self) -> str:

@@ -39,7 +39,23 @@ def build_test_engines():
     punc = Punctuator.random()
     diar = Diarizer(reco, sv, punctuator=punc)
     kws = KeywordSpotter.random(threshold=1e9)  # random weights: never fires
-    return VoiceEngines(diarizer=diar, kws=kws, verifier=sv)
+    return VoiceEngines(diarizer=diar, kws=kws, verifier=sv,
+                        streaming_factory=_streaming_factory(reco))
+
+
+def _streaming_factory(reco):
+    """Per-session streaming recognizer factory (2-pass partials), opt-in via
+    VOICE_ENABLE_PARTIALS=1 (the reference keeps mid-chunk decode off)."""
+    if os.getenv("VOICE_ENABLE_PARTIALS", "0") not in ("1", "true"):
+        return None
+    from ..models.paraformer_streaming import (StreamingConfig,
+                                               StreamingRecognizer)
+
+    def factory():
+        return StreamingRecognizer(reco.params, reco.cfg, reco.tokenizer,
+                                   StreamingConfig())
+
+    return factory
 
 
 def build_engines(model_dir: Optional[str] = None, use_mesh: bool = True):
@@ -64,4 +80,5 @@ def build_engines(model_dir: Optional[str] = None, use_mesh: bool = True):
     punc = Punctuator.random()
     diar = Diarizer(reco, sv, punctuator=punc)
     kws = KeywordSpotter.random(threshold=1e9)
-    return VoiceEngines(diarizer=diar, kws=kws, verifier=sv)
+    return VoiceEngines(diarizer=diar, kws=kws, verifier=sv,
+                        streaming_factory=_streaming_factory(reco))

@@ -224,6 +224,13 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
                 continue
             elif sess.mode == S.ASR_ACTIVE:
                 r = sess.process_chunk(audio_np)
+                if r["intermediate_text"]:
+                    # 2-pass partials (opt-in; same shape as the message the
+                    # reference left commented out, voice.py:618-625)
+                    await ws.send_json({"type": "processing",
+                                        "status": "processing",
+                                        "intermediate_text":
+                                            r["intermediate_text"]})
                 if not r["should_finalize"]:
                     continue
                 await ws.send_json({"type": "processing",
