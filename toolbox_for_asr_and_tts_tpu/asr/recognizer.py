@@ -50,9 +50,23 @@ class Recognizer:
                  cmvn: Optional[Tuple[np.ndarray, np.ndarray]] = None,
                  bucketer: Optional[Bucketer] = None,
                  use_mesh: bool = True,
-                 param_dtype=None):
+                 param_dtype=None,
+                 lm=None, lm_weight: float = 0.3):
+        """lm: optional asr.ngram_lm.ArpaLM fused into decoding (the
+        reference's optional n-gram LM, start.py:73-99, gated by
+        FUNASR_DISABLE_LM). Loaded from $NGRAM_LM_FILE when unset."""
         self.cfg = cfg
         self.tokenizer = tokenizer
+        import os
+        if lm is None and os.getenv("NGRAM_LM_FILE") \
+                and not os.getenv("FUNASR_DISABLE_LM"):
+            try:
+                from .ngram_lm import ArpaLM
+                lm = ArpaLM.load(os.environ["NGRAM_LM_FILE"])
+            except Exception:
+                logger.exception("failed to load NGRAM_LM_FILE")
+        self.lm = lm
+        self.lm_weight = lm_weight
         self.fe_cfg = cfg.frontend
         self.bucketer = bucketer or Bucketer.for_audio(self.fe_cfg.sample_rate)
         self.mesh = serving_mesh() if use_mesh else None
@@ -156,13 +170,18 @@ class Recognizer:
         for i in range(len(wavs)):
             n = int(out["token_count"][i])
             ids = out["tokens"][i, :n].tolist()
-            if hotwords and n:
+            if n and (hotwords or self.lm is not None):
                 from scipy.special import log_softmax
-                from .hotword_bias import apply_hotword_bias
                 logp = log_softmax(
                     out["logits"][i, :n].astype(np.float64), axis=-1)
-                ids = apply_hotword_bias(ids, logp, hotwords,
-                                         self.tokenizer.token_to_id)
+                if self.lm is not None:
+                    from .ngram_lm import lm_rescore
+                    ids = lm_rescore(ids, logp, self.lm,
+                                     self.tokenizer.tokens, self.lm_weight)
+                if hotwords:
+                    from .hotword_bias import apply_hotword_bias
+                    ids = apply_hotword_bias(ids, logp, hotwords,
+                                             self.tokenizer.token_to_id)
             toks = self.tokenizer.ids_to_tokens(ids)
             ts = (out["fire_frame"][i, :n].astype(np.float64)
                   * self.frame_ms).astype(int).tolist()
