@@ -119,8 +119,8 @@ class Recognizer:
         return cls(params, cfg, tokenizer, cmvn=cmvn, **kw)
 
     # ----------------------------------------------------------- compiled
-    def _fn_for(self, batch: int, n_samples: int):
-        key = (batch, n_samples)
+    def _fn_for(self, batch: int, n_samples: int, want_logits: bool):
+        key = (batch, n_samples, want_logits)
         if key in self._compiled:
             return self._compiled[key]
         t_fb = fe.num_fbank_frames(n_samples, self.fe_cfg)
@@ -134,7 +134,12 @@ class Recognizer:
             if cmvn is not None:
                 feats = fe.apply_cmvn(feats, cmvn[0], cmvn[1])
             feat_lens = fe.frontend_valid_frames(wav_lens, fcfg)
-            return paraformer.forward(params, feats, feat_lens, k_max, cfg)
+            out = paraformer.forward(params, feats, feat_lens, k_max, cfg)
+            if not want_logits:
+                # the [B, K, vocab] logits are ~MBs per batch; only fetch
+                # them when hotword/LM rescoring needs the distribution
+                out = {k: v for k, v in out.items() if k != "logits"}
+            return out
 
         if self.mesh is not None:
             sh = batch_sharding(self.mesh)
@@ -157,8 +162,9 @@ class Recognizer:
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         batch, lens = self.bucketer.pad_batch([np.asarray(w) for w in wavs],
                                               batch_multiple=n_dev)
+        want_logits = bool(hotwords) or self.lm is not None
         t0 = time.perf_counter()
-        fn = self._fn_for(batch.shape[0], batch.shape[1])
+        fn = self._fn_for(batch.shape[0], batch.shape[1], want_logits)
         out = fn(self.params, jnp.asarray(batch), jnp.asarray(lens))
         out = jax.tree.map(np.asarray, jax.block_until_ready(out))
         proc_s = time.perf_counter() - t0
