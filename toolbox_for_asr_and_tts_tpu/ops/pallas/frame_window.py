@@ -9,9 +9,13 @@ performs DC removal, pre-emphasis and Hamming windowing in one VMEM pass —
 the fused alternative to the XLA gather + 3 elementwise ops in
 `ops/frontend.fbank`.
 
-The kernel is numerically identical to the jnp path (tested in interpret
-mode on CPU); `fbank` uses it when `frontend.USE_PALLAS` is on and the
-backend is TPU.
+TPU-lowering constraints honored: the audio stays in HBM (ANY would let the
+compiler pull it into VMEM, breaking the manual DMA), DMA spans and slice
+starts are 128-lane multiples, and output rows are written as full lanes
+(concatenate instead of scatter/partial stores).
+
+Numerically identical to the jnp path (tested in interpret mode on CPU and
+on hardware).
 """
 from __future__ import annotations
 
@@ -26,26 +30,33 @@ from jax.experimental.pallas import tpu as pltpu
 FRAMES_PER_BLOCK = 8
 
 
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
 def _kernel(audio_hbm, win_ref, out_ref, scratch, sem,
             *, frame_len: int, frame_shift: int, n_fft: int,
-            preemphasis: float, remove_dc: bool, frames_per_block: int):
+            preemphasis: float, remove_dc: bool, frames_per_block: int,
+            span_pad: int):
+    i = pl.program_id(0)
     j = pl.program_id(1)
-    span = (frames_per_block - 1) * frame_shift + frame_len
-    start = j * frames_per_block * frame_shift
+    start = j * frames_per_block * frame_shift  # multiple of 128 for fs=16k
     dma = pltpu.make_async_copy(
-        audio_hbm.at[0, pl.ds(start, span)], scratch.at[0, :span], sem)
+        audio_hbm.at[i, pl.ds(start, span_pad)], scratch.at[0, :], sem)
     dma.start()
     dma.wait()
-    for f in range(frames_per_block):  # static unroll (8 frames/block)
-        fr = scratch[0, pl.ds(f * frame_shift, frame_len)]
+    rows = []
+    for f in range(frames_per_block):  # static unroll
+        fr = scratch[0, f * frame_shift: f * frame_shift + frame_len]
         if remove_dc:
             fr = fr - jnp.mean(fr)
         if preemphasis:
             prev = jnp.concatenate([fr[:1], fr[:-1]])
             fr = fr - preemphasis * prev
         fr = fr * win_ref[0, :]
-        row = jnp.zeros((n_fft,), jnp.float32).at[:frame_len].set(fr)
-        out_ref[0, f, :] = row
+        rows.append(jnp.concatenate(
+            [fr, jnp.zeros((n_fft - frame_len,), jnp.float32)]))
+    out_ref[0] = jnp.stack(rows)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -60,19 +71,19 @@ def frame_window(audio: jnp.ndarray, window: jnp.ndarray, t_frames: int,
     fpb = FRAMES_PER_BLOCK
     n_blocks = (t_frames + fpb - 1) // fpb
     span = (fpb - 1) * frame_shift + frame_len
-    # pad audio so every block's DMA span is in-bounds
-    need = (n_blocks - 1) * fpb * frame_shift + span
+    span_pad = _round_up(span, 128)
+    # pad audio so every block's (aligned) DMA span is in-bounds
+    need = (n_blocks - 1) * fpb * frame_shift + span_pad
     if audio.shape[1] < need:
         audio = jnp.pad(audio, ((0, 0), (0, need - audio.shape[1])))
     out = pl.pallas_call(
         functools.partial(_kernel, frame_len=frame_len,
                           frame_shift=frame_shift, n_fft=n_fft,
                           preemphasis=preemphasis, remove_dc=remove_dc,
-                          frames_per_block=fpb),
+                          frames_per_block=fpb, span_pad=span_pad),
         grid=(b, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, audio.shape[1]), lambda i, j: (i, 0),
-                         memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),   # DMA'd manually per block
             pl.BlockSpec((1, frame_len), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -81,7 +92,7 @@ def frame_window(audio: jnp.ndarray, window: jnp.ndarray, t_frames: int,
         out_shape=jax.ShapeDtypeStruct((b, n_blocks * fpb, n_fft),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((1, span + frame_shift), jnp.float32),
+            pltpu.VMEM((1, span_pad), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -3,15 +3,17 @@
 The FSMN memory block — y[t] = x[t] + Σ_k w[k] · x[t+k−pad_l] per channel —
 appears in every SAN-M attention layer (50× in the Paraformer encoder, 16×
 in its decoder), in FSMN-VAD and in the KWS model. Depthwise time-convs are
-VPU work, and XLA lowers them through its general conv path; this kernel
-instead computes the taps as K shifted elementwise multiply-adds over a
-time-haloed block in VMEM — the natural VPU formulation.
+VPU work; this kernel computes the taps as K shifted elementwise
+multiply-adds over the full (pre-padded) time axis resident in VMEM — the
+natural VPU formulation, with no general-conv lowering.
 
-Time blocks overlap by the conv halo, which `BlockSpec` index maps cannot
-express (they are block-granular), so the haloed slice is DMA'd from
-HBM/ANY into VMEM scratch per grid step (guide: Async DMA + scratch).
+Grid: (B, D_tiles). Each step holds one [T+K−1, 128] channel tile in VMEM
+(≤ ~1 MB for 2000 frames — minutes of audio), so no manual DMA is needed
+(manual HBM→VMEM DMA is unsupported on the axon remote runtime; the blocked
+pipeline feeds VMEM automatically).
 
-Numerically identical to `ops.nn.fsmn_block` (tested interpret-mode on CPU).
+Numerically identical to `ops.nn.fsmn_block` (tested interpret-mode on CPU
+and on TPU hardware).
 """
 from __future__ import annotations
 
@@ -22,23 +24,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_T = 128
 TILE_D = 128
 
 
-def _kernel(halo_hbm, w_ref, x_ref, out_ref, scratch, sem, *, kernel: int):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    l = pl.program_id(2)
-    span = TILE_T + kernel - 1
-    dma = pltpu.make_async_copy(
-        halo_hbm.at[i, pl.ds(j * TILE_T, span), pl.ds(l * TILE_D, TILE_D)],
-        scratch.at[:span, :], sem)
-    dma.start()
-    dma.wait()
-    acc = x_ref[0]  # residual [TILE_T, TILE_D]
+def _kernel(halo_ref, w_ref, x_ref, out_ref, *, kernel: int, t: int):
+    acc = x_ref[0]  # residual [T, TILE_D]
     for k in range(kernel):  # static unroll over taps
-        acc = acc + scratch[pl.ds(k, TILE_T), :] * w_ref[pl.ds(k, 1), :]
+        acc = acc + halo_ref[0, k: k + t, :] * w_ref[k: k + 1, :]
     out_ref[0] = acc
 
 
@@ -52,30 +44,25 @@ def fsmn_depthwise(x: jnp.ndarray, w: jnp.ndarray, pad_l: int, pad_r: int,
     b, t, d = x.shape
     k = w.shape[2]
     assert pad_l + pad_r == k - 1, "FSMN conv must be length-preserving"
-    t_pad = ((t + TILE_T - 1) // TILE_T) * TILE_T
     d_pad = ((d + TILE_D - 1) // TILE_D) * TILE_D
-    x_p = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, d_pad - d)))
+    x_p = jnp.pad(x, ((0, 0), (0, 0), (0, d_pad - d)))
     halo = jnp.pad(x_p, ((0, 0), (pad_l, pad_r), (0, 0)))
     wt = jnp.pad(w[:, 0, :].T, ((0, 0), (0, d_pad - d)))  # [K, D_pad]
-    grid = (b, t_pad // TILE_T, d_pad // TILE_D)
-    span = TILE_T + k - 1
+    grid = (b, d_pad // TILE_D)
     out = pl.pallas_call(
-        functools.partial(_kernel, kernel=k),
+        functools.partial(_kernel, kernel=k, t=t),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # haloed input (DMA'd)
-            pl.BlockSpec((k, TILE_D), lambda i, j, l: (0, l),
+            pl.BlockSpec((1, t + k - 1, TILE_D), lambda i, l: (i, 0, l),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_T, TILE_D), lambda i, j, l: (i, j, l),
+            pl.BlockSpec((k, TILE_D), lambda i, l: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, TILE_D), lambda i, l: (i, 0, l),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_T, TILE_D), lambda i, j, l: (i, j, l),
+        out_specs=pl.BlockSpec((1, t, TILE_D), lambda i, l: (i, 0, l),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, d_pad), x_p.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((span, TILE_D), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, t, d_pad), x_p.dtype),
         interpret=interpret,
     )(halo, wt, x_p)
-    return out[:, :t, :d]
+    return out[:, :, :d]
