@@ -206,58 +206,64 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
                                     "code": "AUDIO_DECODE_ERROR"})
                 continue
 
-            if sess.mode == S.WAITING_FOR_WAKEUP:
-                if sess.process_wakeup_chunk(audio_np):
-                    await ws.send_json({"type": "wakeup",
-                                        "status": "activated",
-                                        "message": "系统已唤醒，等待声纹录制"})
-                continue
-            elif sess.mode == S.WAITING_FOR_ENROLLMENT:
-                r = sess.process_enrollment_chunk(audio_np)
-                if r["completed"]:
-                    await ws.send_json({
-                        "type": "enrollment_completed",
-                        "status": "completed",
-                        "message": "Enrollment is completed, please close the window."})
-                continue
-            elif sess.mode == S.WAITING_FOR_ENROLLMENT_CONFIRM:
-                continue
-            elif sess.mode == S.ASR_ACTIVE:
-                r = sess.process_chunk(audio_np)
-                if r["intermediate_text"]:
-                    # 2-pass partials (opt-in; same shape as the message the
-                    # reference left commented out, voice.py:618-625)
-                    await ws.send_json({"type": "processing",
-                                        "status": "processing",
-                                        "intermediate_text":
-                                            r["intermediate_text"]})
-                if not r["should_finalize"]:
-                    continue
+            try:
+                await _process_audio(ws, sess, audio_np, use_llm)
+            except Exception as e:  # error frame, keep connection (voice.py:881-888)
+                logger.exception("audio processing error")
+                await ws.send_json({"type": "error",
+                                    "message": f"处理音频失败: {e}",
+                                    "code": "PROCESSING_ERROR"})
+
+    async def _process_audio(ws: WebSocket, sess, audio_np, use_llm) -> None:
+        if sess.mode == S.WAITING_FOR_WAKEUP:
+            if sess.process_wakeup_chunk(audio_np):
+                await ws.send_json({"type": "wakeup",
+                                    "status": "activated",
+                                    "message": "系统已唤醒，等待声纹录制"})
+        elif sess.mode == S.WAITING_FOR_ENROLLMENT:
+            r = sess.process_enrollment_chunk(audio_np)
+            if r["completed"]:
+                await ws.send_json({
+                    "type": "enrollment_completed",
+                    "status": "completed",
+                    "message": "Enrollment is completed, please close the window."})
+        elif sess.mode == S.WAITING_FOR_ENROLLMENT_CONFIRM:
+            pass  # waiting for start_asr control message
+        elif sess.mode == S.ASR_ACTIVE:
+            r = sess.process_chunk(audio_np)
+            if r["intermediate_text"]:
+                # 2-pass partials (opt-in; same shape as the message the
+                # reference left commented out, voice.py:618-625)
                 await ws.send_json({"type": "processing",
-                                    "status": "finalizing",
-                                    "message": "正在处理音频..."})
-                final_text = sess.finalize()
-                if final_text in (S.SV_VERIFICATION_FAILED, S.ASR_RESULT_EMPTY):
-                    await ws.send_json({"type": "result", "status": "completed",
-                                        "text": "", "success": False,
-                                        "message": "抱歉，请再说一遍！"})
-                elif final_text == S.SV_NOT_ACTIVATED:
-                    await ws.send_json({"type": "result", "status": "completed",
-                                        "text": "", "success": False,
-                                        "message": "非认证注册声音，拒绝访问。"})
-                else:
-                    text = apply_hard_corrections(final_text)
-                    if use_llm and text:
-                        try:
-                            from ..llm.correction import (correct_text_only,
-                                                          load_hotwords_list)
-                            text = correct_text_only(
-                                latest_options=load_hotwords_list(), text=text)
-                        except Exception:
-                            logger.exception("LLM correction failed")
-                    await ws.send_json({"type": "result", "status": "completed",
-                                        "text": text, "success": True})
-                sess.reset_asr_state()
+                                    "status": "processing",
+                                    "intermediate_text": r["intermediate_text"]})
+            if not r["should_finalize"]:
+                return
+            await ws.send_json({"type": "processing",
+                                "status": "finalizing",
+                                "message": "正在处理音频..."})
+            final_text = sess.finalize()
+            if final_text in (S.SV_VERIFICATION_FAILED, S.ASR_RESULT_EMPTY):
+                await ws.send_json({"type": "result", "status": "completed",
+                                    "text": "", "success": False,
+                                    "message": "抱歉，请再说一遍！"})
+            elif final_text == S.SV_NOT_ACTIVATED:
+                await ws.send_json({"type": "result", "status": "completed",
+                                    "text": "", "success": False,
+                                    "message": "非认证注册声音，拒绝访问。"})
+            else:
+                text = apply_hard_corrections(final_text)
+                if use_llm and text:
+                    try:
+                        from ..llm.correction import (correct_text_only,
+                                                      load_hotwords_list)
+                        text = correct_text_only(
+                            latest_options=load_hotwords_list(), text=text)
+                    except Exception:
+                        logger.exception("LLM correction failed")
+                await ws.send_json({"type": "result", "status": "completed",
+                                    "text": text, "success": True})
+            sess.reset_asr_state()
 
     return app
 
