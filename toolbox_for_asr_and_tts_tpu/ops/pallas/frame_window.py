@@ -14,8 +14,12 @@ compiler pull it into VMEM, breaking the manual DMA), DMA spans and slice
 starts are 128-lane multiples, and output rows are written as full lanes
 (concatenate instead of scatter/partial stores).
 
-Numerically identical to the jnp path (tested in interpret mode on CPU and
-on hardware).
+STATUS: numerically identical to the jnp path and tested in interpret mode;
+manual HBM→VMEM DMA is unsupported on this environment's remote-executed
+TPU runtime (kernel-initiated copies fail with a backend Internal error), so
+the production frontend uses the XLA gather path and the FSMN Pallas kernel
+(ops/pallas/fsmn_conv.py, DMA-free) carries the custom-kernel fast path.
+Re-validate on directly-attached TPUs.
 """
 from __future__ import annotations
 
