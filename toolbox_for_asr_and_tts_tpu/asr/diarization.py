@@ -13,11 +13,9 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
-
-from ..models.campplus import cosine_score
 
 logger = logging.getLogger("toolbox.diarization")
 

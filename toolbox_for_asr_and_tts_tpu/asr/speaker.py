@@ -8,7 +8,6 @@ demo uses 0.31, full_voice_demo.py:35).
 """
 from __future__ import annotations
 
-import dataclasses
 import logging
 from typing import Dict, List, Optional, Tuple
 

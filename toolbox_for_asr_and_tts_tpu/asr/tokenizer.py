@@ -9,8 +9,7 @@ merge into the following token.
 from __future__ import annotations
 
 import json
-import os
-from typing import Iterable, List, Optional, Sequence
+from typing import Iterable, List, Sequence
 
 DEFAULT_SPECIAL = ("<blank>", "<s>", "</s>", "<unk>")
 

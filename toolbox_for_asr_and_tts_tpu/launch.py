@@ -12,7 +12,6 @@ TTS (reference tts-service/start.py): plain app serve on :7001.
 """
 from __future__ import annotations
 
-import asyncio
 import logging
 import os
 import signal

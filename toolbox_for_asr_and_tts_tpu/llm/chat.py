@@ -10,7 +10,7 @@ from __future__ import annotations
 import json
 import logging
 import os
-from typing import Callable, Iterator, List, Optional
+from typing import Callable, List, Optional
 
 logger = logging.getLogger("toolbox.llm.chat")
 

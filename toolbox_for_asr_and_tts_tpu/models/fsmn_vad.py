@@ -21,7 +21,7 @@ pytree threaded through `jit` (survey §7 "hard parts": ring-buffer pytrees).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

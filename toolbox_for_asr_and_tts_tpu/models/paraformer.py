@@ -28,11 +28,10 @@ on frame t is the measure overlap of [k, k+1) with [cumsum α_{t-1}, cumsum
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import nn
 from ..ops.frontend import FrontendConfig

@@ -14,7 +14,7 @@ import ctypes
 import logging
 import os
 import subprocess
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 

@@ -12,7 +12,6 @@ all-gathers automatically.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import jax

@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 logger = logging.getLogger("toolbox.registry")
 

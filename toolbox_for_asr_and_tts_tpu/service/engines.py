@@ -16,8 +16,6 @@ import logging
 import os
 from typing import Optional
 
-import jax
-
 logger = logging.getLogger("toolbox.engines")
 
 

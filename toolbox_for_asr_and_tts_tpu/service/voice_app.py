@@ -21,7 +21,6 @@ WS wire protocol (kept byte-compatible with the reference):
 """
 from __future__ import annotations
 
-import base64
 import json
 import logging
 import os

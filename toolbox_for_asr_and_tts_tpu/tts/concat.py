@@ -8,7 +8,7 @@ vectorized over numpy float32 instead of 16-bit byte loops.
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

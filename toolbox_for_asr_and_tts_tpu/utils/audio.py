@@ -14,7 +14,6 @@ the TPU; per the survey §7 only model math moves on-device.
 from __future__ import annotations
 
 import base64
-import io
 import shutil
 import struct
 import subprocess
