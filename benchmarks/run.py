@@ -99,8 +99,9 @@ def bench_streaming() -> None:
 
 def bench_tts() -> None:
     """Config 4: full-size Sambert+HiFi-GAN synthesis RTF."""
+    import jax.numpy as jnp
     from toolbox_for_asr_and_tts_tpu.tts.synthesizer import Synthesizer
-    synth = Synthesizer.random(tiny=False)
+    synth = Synthesizer.random(tiny=False, param_dtype=jnp.bfloat16)
     text = ("患者目前诊断为高血压和糖尿病。建议低盐低脂饮食，适量运动，"
             "定期监测血压和血糖。如有头晕头痛及时就诊。注意休息，避免劳累。")
     synth.synthesize(text)  # compile

@@ -142,7 +142,7 @@ def forward(params: nn.Params, phone_ids: jnp.ndarray, phone_lens: jnp.ndarray,
     t_mel = l * cfg.frames_per_phone
     pmask = nn.length_mask(phone_lens, l)
     x = nn.embedding(params["embed"], phone_ids)
-    x = x + nn.sinusoidal_posenc(l, cfg.d_model)[None]
+    x = x + nn.sinusoidal_posenc(l, cfg.d_model, dtype=x.dtype)[None]
     x = x + nn.embedding(params["spk"], speaker_ids)[:, None, :]
     for layer in params["encoder"]:
         x = _transformer_layer(layer, x, cfg.n_heads, pmask)
@@ -161,7 +161,7 @@ def forward(params: nn.Params, phone_ids: jnp.ndarray, phone_lens: jnp.ndarray,
     x = x + nn.conv1d(params["energy_embed"], energy[..., None], padding=(4, 4))
 
     h, mel_mask = length_regulate(x, dur, t_mel)
-    h = h + nn.sinusoidal_posenc(t_mel, cfg.d_model)[None]
+    h = h + nn.sinusoidal_posenc(t_mel, cfg.d_model, dtype=h.dtype)[None]
     for layer in params["decoder"]:
         h = _transformer_layer(layer, h, cfg.n_heads, mel_mask)
     mel = nn.linear(params["mel_out"], h)

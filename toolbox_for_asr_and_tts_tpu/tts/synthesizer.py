@@ -53,7 +53,12 @@ class Synthesizer:
                  g2p: Optional[G2P] = None,
                  vocab: Optional[PhoneVocab] = None,
                  tts_cfg: Optional[TTSConfig] = None,
-                 voices: Sequence[str] = VOICES):
+                 voices: Sequence[str] = VOICES,
+                 param_dtype=None):
+        if param_dtype is not None:
+            cast = lambda a: jnp.asarray(a, param_dtype)  # noqa: E731
+            acoustic_params = jax.tree.map(cast, acoustic_params)
+            vocoder_params = jax.tree.map(cast, vocoder_params)
         self.ap, self.acfg = acoustic_params, acoustic_cfg
         self.vp, self.vcfg = vocoder_params, vocoder_cfg
         self.g2p = g2p or G2P()
