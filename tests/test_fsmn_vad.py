@@ -85,3 +85,17 @@ def test_vad_streaming_incremental():
     closed = sm.push(np.zeros(40))
     assert len(closed) == 1
     assert not sm.in_speech
+
+
+def test_streaming_vad_stepper(params):
+    """Per-session stepper: chunked model VAD with carried conv cache."""
+    from toolbox_for_asr_and_tts_tpu.asr.vad import StreamingVadStepper
+    stepper = StreamingVadStepper(params, CFG, threshold=0.5)
+    rng = np.random.default_rng(5)
+    outs = [stepper(0.2 * rng.standard_normal(6400).astype(np.float32))
+            for _ in range(4)]
+    assert all(isinstance(o, bool) for o in outs)
+    stepper.reset()
+    outs2 = [stepper(0.2 * rng.standard_normal(6400).astype(np.float32))
+             for _ in range(4)]
+    assert all(isinstance(o, bool) for o in outs2)

@@ -64,7 +64,7 @@ class VoiceEngines:
     diarizer: Diarizer
     kws: Any = None               # models.kws_ctc.KeywordSpotter
     verifier: Any = None          # asr.speaker.SpeakerVerifier
-    vad_step: Any = None          # optional streaming FSMN-VAD callable
+    vad_factory: Any = None        # optional () -> StreamingVadStepper
     streaming_factory: Any = None  # optional () -> StreamingRecognizer;
                                    # per-session (2-pass partials + offline final)
 
@@ -87,6 +87,7 @@ class StreamingASRSession:
         self.generated_dir = generated_dir
         self.streaming = (engines.streaming_factory()
                           if engines.streaming_factory else None)
+        self.vad = engines.vad_factory() if engines.vad_factory else None
         self.use_wake = use_wake
         self.use_speaker_verification = use_sv
         self.is_activated = False
@@ -101,6 +102,8 @@ class StreamingASRSession:
     def _init_asr_state(self) -> None:
         if getattr(self, "streaming", None) is not None:
             self.streaming.reset()
+        if getattr(self, "vad", None) is not None:
+            self.vad.reset()  # reference clears vad_cache on reset (:1257-1275)
         self.audio_buffer = np.array([], np.float32)
         self.pre_speech_buffer = np.array([], np.float32)
         self.silence_timer = 0.0
@@ -227,10 +230,10 @@ class StreamingASRSession:
         return False
 
     def _model_vad(self, audio_np: np.ndarray) -> bool:
-        if self.engines.vad_step is None:
+        if self.vad is None:
             return False
         try:
-            return bool(self.engines.vad_step(audio_np))
+            return bool(self.vad(audio_np))
         except Exception:
             logger.exception("VAD model step failed; energy-only")
             return False

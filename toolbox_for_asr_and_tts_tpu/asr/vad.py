@@ -101,3 +101,44 @@ def segments_from_probs(probs: np.ndarray,
     out = sm.push(probs)
     out += sm.finalize()
     return out
+
+
+class StreamingVadStepper:
+    """Per-connection FSMN-VAD model stepper: audio chunk → bool speech.
+
+    The reference runs the VAD model on every chunk with a per-session cache
+    (`vad_model.generate(…, cache=session.vad_cache)`, voice.py:449-484,
+    voice_interface.py:1580-1602). Here the cache is the FSMN conv state
+    pytree plus the incremental frontend's buffers.
+    """
+
+    def __init__(self, params, cfg=None, threshold: float = 0.5):
+        from ..models import fsmn_vad
+        from ..models.paraformer_streaming import StreamingFrontend
+        self._fsmn_vad = fsmn_vad
+        self.params = params
+        self.cfg = cfg or fsmn_vad.FsmnVadConfig()
+        self.threshold = threshold
+        self.frontend = StreamingFrontend(self.cfg.frontend)
+        self.cache = fsmn_vad.init_cache(1, self.cfg)
+        self._step = None
+
+    def __call__(self, chunk: np.ndarray) -> bool:
+        import jax
+        import jax.numpy as jnp
+        feats = self.frontend.push(np.asarray(chunk, np.float32))
+        if len(feats) == 0:
+            return False
+        if self._step is None:
+            cfg = self.cfg
+            self._step = jax.jit(
+                lambda p, f, c: self._fsmn_vad.apply_streaming(p, f, c, cfg))
+        post, self.cache = self._step(self.params, jnp.asarray(feats[None]),
+                                      self.cache)
+        probs = np.asarray(self._fsmn_vad.speech_prob(post, self.cfg))[0]
+        return bool((probs > self.threshold).any())
+
+    def reset(self) -> None:
+        from ..models import fsmn_vad
+        self.frontend.reset()
+        self.cache = fsmn_vad.init_cache(1, self.cfg)

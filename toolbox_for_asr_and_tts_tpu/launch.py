@@ -88,7 +88,10 @@ def launch_voice() -> None:
     signal.signal(signal.SIGTERM, _stop)
     signal.signal(signal.SIGINT, _stop)
     try:
-        app.run(cfg.server.host, cfg.server.port)
+        from .service.http import ssl_context_from
+        ssl_ctx = (ssl_context_from(cfg.ssl.certfile, cfg.ssl.keyfile)
+                   if cfg.ssl.enabled else None)
+        app.run(cfg.server.host, cfg.server.port, ssl_context=ssl_ctx)
     finally:
         if ws_server is not None:
             ws_server.stop()

@@ -38,7 +38,8 @@ class SambertConfig:
     decoder_layers: int = 4
     n_mels: int = 80
     max_duration: int = 20          # frames per phone cap (static shapes)
-    frames_per_phone: int = 12      # mel bucket = phones × this
+    frames_per_phone: int = 10      # mel bucket = phones × this (125 ms avg
+                                    # per phone ≈ 2× typical Mandarin rate)
     postnet_layers: int = 5
     postnet_channels: int = 256
     postnet_kernel: int = 5

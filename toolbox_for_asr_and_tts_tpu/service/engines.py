@@ -37,8 +37,25 @@ def build_test_engines():
     punc = Punctuator.random()
     diar = Diarizer(reco, sv, punctuator=punc)
     kws = KeywordSpotter.random(threshold=1e9)  # random weights: never fires
+    # no model-VAD in test engines: random FSMN-VAD weights fire on silence,
+    # which would distort the enrollment FSM's energy-based pacing
     return VoiceEngines(diarizer=diar, kws=kws, verifier=sv,
                         streaming_factory=_streaming_factory(reco))
+
+
+def _vad_factory():
+    """Per-session FSMN-VAD stepper factory (per-connection cache, like the
+    reference's `session.vad_cache`). Shares one weight pytree."""
+    import jax
+    from ..asr.vad import StreamingVadStepper
+    from ..models import fsmn_vad
+    cfg = fsmn_vad.FsmnVadConfig()
+    params = fsmn_vad.init_params(jax.random.PRNGKey(7), cfg)
+
+    def factory():
+        return StreamingVadStepper(params, cfg)
+
+    return factory
 
 
 def _streaming_factory(reco):
@@ -79,4 +96,5 @@ def build_engines(model_dir: Optional[str] = None, use_mesh: bool = True):
     diar = Diarizer(reco, sv, punctuator=punc)
     kws = KeywordSpotter.random(threshold=1e9)
     return VoiceEngines(diarizer=diar, kws=kws, verifier=sv,
+                        vad_factory=_vad_factory(),
                         streaming_factory=_streaming_factory(reco))

@@ -354,11 +354,12 @@ class App:
 
     # ------------------------------------------------------------ serve
     async def serve(self, host: str = "0.0.0.0", port: int = 8000,
-                    ready: Optional[asyncio.Event] = None) -> None:
+                    ready: Optional[asyncio.Event] = None,
+                    ssl_context=None) -> None:
         for hook in self.on_startup:
             await hook()
         server = await asyncio.start_server(
-            self._handle_conn, host, port, limit=MAX_BODY)
+            self._handle_conn, host, port, limit=MAX_BODY, ssl=ssl_context)
         self.port = server.sockets[0].getsockname()[1]  # resolved (port=0 ok)
         logger.info("%s listening on %s:%d", self.name, host, self.port)
         if ready is not None:
@@ -366,5 +367,18 @@ class App:
         async with server:
             await server.serve_forever()
 
-    def run(self, host: str = "0.0.0.0", port: int = 8000) -> None:
-        asyncio.run(self.serve(host, port))
+    def run(self, host: str = "0.0.0.0", port: int = 8000,
+            ssl_context=None) -> None:
+        asyncio.run(self.serve(host, port, ssl_context=ssl_context))
+
+
+def ssl_context_from(certfile: Optional[str],
+                     keyfile: Optional[str]):
+    """TLS context from cert/key paths (reference SSLConfig / uvicorn TLS
+    options, voice-service/start.py:193-218). Returns None when unset."""
+    if not certfile or not keyfile:
+        return None
+    import ssl as _ssl
+    ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile, keyfile)
+    return ctx
