@@ -173,10 +173,13 @@ class StreamingRecognizer:
     def _encode_fn(self, t: int):
         key = f"enc{t}"
         if key not in self._fns:
-            cfg, scfg = self.cfg, self.scfg
+            cfg = self.cfg
 
-            def run(params, feats, n_new):
-                mask = jnp.ones((1, t))
+            def run(params, feats, n_valid):
+                # the window is right-aligned: its first (t − n_valid) frames
+                # are zero left-padding and must not serve as attention keys
+                mask = (jnp.arange(t)[None, :] >= t - n_valid).astype(
+                    jnp.float32)
                 enc = paraformer.encode(params, feats, mask, cfg)
                 alphas = paraformer.predictor_alphas(params, enc, mask, cfg)
                 return enc[0], alphas[0]
@@ -226,7 +229,8 @@ class StreamingRecognizer:
         padded = np.zeros((t_win, self.cfg.input_dim), np.float32)
         padded[-len(self._window):] = self._window  # left-pad with zeros
         enc, alphas = self._encode_fn(t_win)(
-            self.params, jnp.asarray(padded[None]), cf)
+            self.params, jnp.asarray(padded[None]),
+            jnp.asarray(len(self._window), np.int32))
         enc_new = enc[-cf:]
         alpha_new = alphas[-cf:]
         embeds, n_fired, self._mass, self._acc = self._cif_fn()(
