@@ -148,6 +148,7 @@ class StreamingASRSession:
         if not use_sv:
             self.is_enrolled = False
             self.enroll_audio = None
+            self._enroll_emb = None
             self.enroll_audio_buffer = np.array([], np.float32)
 
     # --------------------------------------------------------------- KWS
@@ -211,6 +212,7 @@ class StreamingASRSession:
         cond2 = self.enroll_silence_timer >= self.ENROLL_SILENCE_S
         if cond1 and cond2 and not self.is_enrolled:   # AND logic, voice.py:538
             self.enroll_audio = self.enroll_audio_buffer.copy()
+            self._enroll_emb = None  # invalidate any cached embedding
             self._save_generated("enroll_samples", self.enroll_audio)
             self.is_enrolled = True
             self.enroll_audio_buffer = np.array([], np.float32)
