@@ -62,3 +62,20 @@ def test_float32_wav():
     hdr += b"data" + struct.pack("<I", len(raw))
     y, sr = decode_wav_bytes(hdr + raw)
     np.testing.assert_allclose(y[:, 0], x, atol=1e-6)
+
+
+def test_decode_fuzz_never_crashes():
+    """Truncated/corrupted WAVs must raise ValueError, never crash."""
+    rng = np.random.default_rng(0)
+    good = encode_wav_bytes(_sine(secs=0.1), 16000)
+    for i in range(200):
+        data = bytearray(good)
+        if i % 3 == 0:
+            data = data[: rng.integers(0, len(data))]
+        for _ in range(rng.integers(0, 8)):
+            if len(data):
+                data[rng.integers(0, len(data))] = rng.integers(0, 256)
+        try:
+            decode_wav_bytes(bytes(data))
+        except ValueError:
+            pass

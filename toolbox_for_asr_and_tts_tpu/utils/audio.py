@@ -41,9 +41,11 @@ def decode_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
         (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
-            raw = body
+            raw = body  # may be shorter than declared (truncated upload)
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
