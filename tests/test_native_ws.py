@@ -87,3 +87,4 @@ def test_concurrent_connections(server):
     for t in threads:
         t.join()
     assert sorted(results) == ["c0", "c1", "c2", "c3"]
+

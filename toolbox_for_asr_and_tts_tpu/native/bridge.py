@@ -26,6 +26,9 @@ _LIB = os.path.join(_DIR, "libfunasr_ws.so")
 _RECOGNIZE_CB = ctypes.CFUNCTYPE(ctypes.c_void_p,
                                  ctypes.POINTER(ctypes.c_float),
                                  ctypes.c_int, ctypes.c_char_p)
+_PARTIAL_CB = ctypes.CFUNCTYPE(ctypes.c_void_p, ctypes.c_ulonglong,
+                               ctypes.POINTER(ctypes.c_float),
+                               ctypes.c_int, ctypes.c_int)
 _FREE_CB = ctypes.CFUNCTYPE(None, ctypes.c_void_p)
 
 _libc = ctypes.CDLL(None)
@@ -46,14 +49,28 @@ class NativeWSServer:
     """In-process native WebSocket ASR server bound to a recognize fn."""
 
     def __init__(self, recognize: Callable[[np.ndarray, str], str],
-                 port: int = 10095):
+                 port: int = 10095,
+                 streaming_factory: Callable[[], object] = None):
+        """streaming_factory: optional () -> StreamingRecognizer-like object
+        (push_audio / finalize / reset). When provided, the server also
+        serves FunASR modes "online" and "2pass" with per-connection state."""
         self.lib = ctypes.CDLL(build_library())
-        self.lib.ws_server_start.argtypes = [ctypes.c_int, _RECOGNIZE_CB,
-                                             _FREE_CB]
-        self.lib.ws_server_start.restype = ctypes.c_int
+        self.lib.ws_server_start2.argtypes = [ctypes.c_int, _RECOGNIZE_CB,
+                                              _PARTIAL_CB, _FREE_CB]
+        self.lib.ws_server_start2.restype = ctypes.c_int
         self.lib.ws_server_port.restype = ctypes.c_int
         self._recognize = recognize
         self._port_arg = port
+        self._streaming_factory = streaming_factory
+        self._sessions = {}
+        import threading
+        self._sess_lock = threading.Lock()
+
+        def _alloc(text: str):
+            data = text.encode("utf-8") + b"\x00"
+            buf = _libc.malloc(len(data))
+            ctypes.memmove(buf, data, len(data))
+            return buf
 
         def _cb(samples, n, hotwords):
             try:
@@ -63,20 +80,39 @@ class NativeWSServer:
             except Exception:
                 logger.exception("recognition callback failed")
                 text = ""
-            data = text.encode("utf-8") + b"\x00"
-            buf = _libc.malloc(len(data))
-            ctypes.memmove(buf, data, len(data))
-            return buf
+            return _alloc(text)
+
+        def _partial(session_id, samples, n, reset):
+            try:
+                if self._streaming_factory is None:
+                    return None
+                with self._sess_lock:
+                    sr = self._sessions.get(session_id)
+                    if sr is None and not reset:
+                        sr = self._streaming_factory()
+                        self._sessions[session_id] = sr
+                if reset:
+                    with self._sess_lock:
+                        sr = self._sessions.pop(session_id, None)
+                    return _alloc(sr.finalize() if sr is not None else "")
+                arr = np.ctypeslib.as_array(samples, shape=(n,)).copy()
+                return _alloc(sr.push_audio(arr) or "")
+            except Exception:
+                logger.exception("partial callback failed")
+                return None
 
         def _free(ptr):
             _libc.free(ptr)
 
         # keep references so the callbacks aren't GC'd while C++ holds them
         self._cb = _RECOGNIZE_CB(_cb)
+        self._partial_cb = (_PARTIAL_CB(_partial) if streaming_factory
+                            else ctypes.cast(None, _PARTIAL_CB))
         self._free = _FREE_CB(_free)
 
     def start(self) -> int:
-        rc = self.lib.ws_server_start(self._port_arg, self._cb, self._free)
+        rc = self.lib.ws_server_start2(self._port_arg, self._cb,
+                                       self._partial_cb, self._free)
         if rc != 0:
             raise RuntimeError(f"ws_server_start failed: {rc}")
         self.port = int(self.lib.ws_server_port())
@@ -103,6 +139,8 @@ def start_offline_asr_server(engines=None, port: int = 10095,
             text = itn(text)
         return text
 
-    server = NativeWSServer(recognize, port=port)
+    server = NativeWSServer(
+        recognize, port=port,
+        streaming_factory=getattr(engines, "streaming_factory", None))
     server.start()
     return server

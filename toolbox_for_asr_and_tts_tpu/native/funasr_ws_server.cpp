@@ -41,9 +41,17 @@ extern "C" {
 // frees with `free_result`. hotwords_json may be empty.
 typedef char* (*recognize_cb)(const float* samples, int n_samples,
                               const char* hotwords_json);
+// Incremental recognition for mode "online"/"2pass": called per audio chunk
+// with a per-connection session id; reset=1 flushes/clears the session
+// state (utterance end). Returns the current partial hypothesis (malloc'd)
+// or NULL.
+typedef char* (*partial_cb)(unsigned long long session_id,
+                            const float* samples, int n_samples, int reset);
 typedef void (*free_cb)(char*);
 
 int ws_server_start(int port, recognize_cb cb, free_cb free_fn);
+int ws_server_start2(int port, recognize_cb cb, partial_cb pcb,
+                     free_cb free_fn);
 void ws_server_stop();
 int ws_server_port();  // resolved port (for port=0)
 }
@@ -53,7 +61,9 @@ namespace {
 std::atomic<bool> g_running{false};
 std::atomic<int> g_listen_fd{-1};
 std::atomic<int> g_port{-1};
+std::atomic<unsigned long long> g_next_session{1};
 recognize_cb g_recognize = nullptr;
+partial_cb g_partial = nullptr;
 free_cb g_free = nullptr;
 std::thread g_accept_thread;
 
@@ -265,12 +275,25 @@ void handle_connection(int fd) {
     return;
   }
 
-  // FunASR session: accumulate PCM until {"is_speaking": false}
+  // FunASR session: accumulate PCM until {"is_speaking": false}.
+  // mode "offline": single final result. mode "online": streaming partials
+  // only. mode "2pass": partials per chunk + offline-quality final.
   std::string wav_name = "default", hotwords, mode = "offline";
   std::vector<float> pcm;
+  unsigned long long session_id = g_next_session.fetch_add(1);
   uint8_t opcode;
   std::string payload;
+  auto send_result = [&](const std::string& m, const std::string& text,
+                         bool is_final) {
+    std::string out = "{\"mode\":\"" + json_escape(m) +
+                      "\",\"wav_name\":\"" + json_escape(wav_name) +
+                      "\",\"text\":\"" + json_escape(text) +
+                      std::string("\",\"is_final\":") +
+                      (is_final ? "true}" : "false}");
+    ws_send(fd, 0x1, out);
+  };
   while (g_running && ws_recv(fd, &opcode, &payload)) {
+    bool streaming_mode = (mode == "online" || mode == "2pass");
     if (opcode == 0x1) {  // text: init / control
       std::string wn = json_string_field(payload, "wav_name");
       if (!wn.empty()) wav_name = wn;
@@ -280,19 +303,24 @@ void handle_connection(int fd) {
       if (!md.empty()) mode = md;
       bool speaking = json_bool_field(payload, "is_speaking", true);
       if (!speaking) {
-        std::string text;
-        if (g_recognize && !pcm.empty()) {
+        if (mode != "online" && g_recognize && !pcm.empty()) {
           char* r = g_recognize(pcm.data(), (int)pcm.size(), hotwords.c_str());
+          std::string text;
           if (r) {
             text = r;
             if (g_free) g_free(r);
           }
+          send_result(mode == "2pass" ? "2pass-offline" : mode, text, true);
         }
-        std::string out = "{\"mode\":\"" + json_escape(mode) +
-                          "\",\"wav_name\":\"" + json_escape(wav_name) +
-                          "\",\"text\":\"" + json_escape(text) +
-                          "\",\"is_final\":true}";
-        ws_send(fd, 0x1, out);
+        if (streaming_mode && g_partial) {  // flush + reset streaming state
+          char* r = g_partial(session_id, nullptr, 0, 1);
+          if (r) {
+            if (mode == "online") send_result("online", r, true);
+            if (g_free) g_free(r);
+          } else if (mode == "online") {
+            send_result("online", "", true);
+          }
+        }
         pcm.clear();  // session may continue with a new utterance
       }
     } else if (opcode == 0x2) {  // binary: PCM s16le chunks
@@ -301,8 +329,20 @@ void handle_connection(int fd) {
       pcm.resize(old + n);
       const int16_t* s = (const int16_t*)payload.data();
       for (size_t i = 0; i < n; i++) pcm[old + i] = s[i] / 32768.0f;
+      if (streaming_mode && g_partial && n > 0) {
+        char* r = g_partial(session_id, pcm.data() + old, (int)n, 0);
+        if (r) {
+          if (r[0] != '\0')
+            send_result(mode == "2pass" ? "2pass-online" : "online", r, false);
+          if (g_free) g_free(r);
+        }
+      }
       if (pcm.size() > 16000ULL * 600) pcm.clear();  // runaway guard
     }
+  }
+  if (g_partial) {  // connection gone: drop any streaming state
+    char* r = g_partial(session_id, nullptr, 0, 1);
+    if (r && g_free) g_free(r);
   }
   close(fd);
 }
@@ -325,8 +365,14 @@ void accept_loop() {
 extern "C" {
 
 int ws_server_start(int port, recognize_cb cb, free_cb free_fn) {
+  return ws_server_start2(port, cb, nullptr, free_fn);
+}
+
+int ws_server_start2(int port, recognize_cb cb, partial_cb pcb,
+                     free_cb free_fn) {
   if (g_running) return -1;
   g_recognize = cb;
+  g_partial = pcb;
   g_free = free_fn;
   int fd = socket(AF_INET, SOCK_STREAM, 0);
   if (fd < 0) return -2;
