@@ -132,3 +132,14 @@ def test_cmvn_parse(tmp_path):
     means, istd = ckpt.parse_kaldi_cmvn(str(p))
     np.testing.assert_allclose(means, [-1.5, -2.5, -3.5])
     np.testing.assert_allclose(istd, [0.5, 0.25, 0.125])
+
+
+def test_recognizer_on_mesh():
+    """use_mesh=True shards the batch over the 8-device CPU mesh and pads
+    the batch to a mesh multiple."""
+    reco = Recognizer.random(TINY, use_mesh=True)
+    res = reco.transcribe([_wav(1.0), _wav(1.0, seed=9), _wav(0.5, seed=3)])
+    assert len(res) == 3
+    local = Recognizer.random(TINY, use_mesh=False)
+    res_local = local.transcribe([_wav(1.0)])
+    assert res[0].token_ids == res_local[0].token_ids  # same weights/seed
