@@ -17,3 +17,11 @@ def test_resolve_missing_returns_none(tmp_path):
 def test_all_keys_have_specs():
     for key, spec in MODELS.items():
         assert spec.name and spec.modelscope_id
+
+
+def test_warmup_tool():
+    from toolbox_for_asr_and_tts_tpu.service.engines import build_test_engines
+    from toolbox_for_asr_and_tts_tpu.tools.warmup import warmup_asr
+    engines = build_test_engines()
+    report = warmup_asr(engines, seconds=[1.0])
+    assert "asr_1.0s_b1" in report
