@@ -21,7 +21,7 @@ def test_convert_from_real_torch_file(tmp_path):
     params = paraformer.init_params(jax.random.PRNGKey(0), TINY)
     rules = ckpt.paraformer_rules(TINY.encoder_layers, TINY.decoder_layers)
     sd = ckpt.invert_to_state_dict(params, rules)
-    torch_sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+    torch_sd = {k: torch.from_numpy(np.array(v, copy=True))
                 for k, v in sd.items()}
     model_dir = tmp_path / "model"
     model_dir.mkdir()
