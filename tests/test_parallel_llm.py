@@ -123,3 +123,32 @@ def test_extract_json():
     assert _extract_json('{"a": 1}') == {"a": 1}
     assert _extract_json('text {"a": 1} more') == {"a": 1}
     assert _extract_json("none") is None
+
+
+def test_train_step_with_remat_matches():
+    """jax.checkpoint'ed encoder gives the same loss/grads as plain."""
+    import dataclasses
+    cfg_plain = TINY
+    cfg_remat = dataclasses.replace(TINY, remat=True)
+    params = paraformer.init_params(jax.random.PRNGKey(3), TINY)
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(rng.standard_normal((2, 10, 32)), jnp.float32)
+    lens = jnp.asarray([10, 8], jnp.int32)
+    tgt = jnp.asarray(rng.integers(3, 32, (2, 5)), jnp.int32)
+    tlens = jnp.asarray([5, 4], jnp.int32)
+
+    def loss(cfg):
+        l, _ = paraformer_loss(params, feats, lens, tgt, tlens, cfg)
+        return l
+
+    g_plain = jax.grad(lambda p: paraformer_loss(
+        p, feats, lens, tgt, tlens, cfg_plain)[0])(params)
+    g_remat = jax.grad(lambda p: paraformer_loss(
+        p, feats, lens, tgt, tlens, cfg_remat)[0])(params)
+    np.testing.assert_allclose(float(loss(cfg_plain)), float(loss(cfg_remat)),
+                               rtol=1e-5)
+    a = jax.tree.leaves(g_plain)
+    b = jax.tree.leaves(g_remat)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)

@@ -54,6 +54,8 @@ class ParaformerConfig:
     sos_id: int = 1
     eos_id: int = 2
     unk_id: int = 8403
+    remat: bool = False            # jax.checkpoint each encoder layer
+                                   # (training-memory ↔ FLOPs trade)
 
     @property
     def frontend(self) -> FrontendConfig:
@@ -122,15 +124,21 @@ def encode(params: nn.Params, feats: jnp.ndarray, mask: jnp.ndarray,
     b, t, _ = feats.shape
     x = feats * (cfg.d_model ** 0.5)
     x = x + nn.sinusoidal_posenc(t, feats.shape[-1])[None]
-    for i, layer in enumerate(params["encoder"]["layers"]):
+
+    def layer_fn(layer, x, first: bool):
         residual = x
         h = nn.layernorm(layer["norm1"], x)
         h = nn.sanm_attention(layer["attn"], h, cfg.n_heads, mask,
                               cfg.kernel_size, cfg.sanm_shift)
-        x = h if i == 0 else residual + h  # no residual when in_dim ≠ d_model
+        x = h if first else residual + h  # no residual when in_dim ≠ d_model
         residual = x
         h = nn.ffn(layer["ffn"], nn.layernorm(layer["norm2"], x))
-        x = residual + h
+        return residual + h
+
+    if cfg.remat:  # rematerialize activations during fine-tuning
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=(2,))
+    for i, layer in enumerate(params["encoder"]["layers"]):
+        x = layer_fn(layer, x, i == 0)
     x = nn.layernorm(params["encoder"]["after_norm"], x)
     return x * mask[..., None]
 

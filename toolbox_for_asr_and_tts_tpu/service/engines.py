@@ -66,9 +66,14 @@ def _streaming_factory(reco):
     from ..models.paraformer_streaming import (StreamingConfig,
                                                StreamingRecognizer)
 
+    cmvn = None
+    if reco.cmvn is not None:
+        import numpy as _np
+        cmvn = (_np.asarray(reco.cmvn[0]), _np.asarray(reco.cmvn[1]))
+
     def factory():
         return StreamingRecognizer(reco.params, reco.cfg, reco.tokenizer,
-                                   StreamingConfig())
+                                   StreamingConfig(), cmvn=cmvn)
 
     return factory
 
