@@ -213,3 +213,31 @@ def test_is_punct_only():
     assert is_punct_only("。，！")
     assert is_punct_only("")
     assert not is_punct_only("好。")
+
+
+def test_session_soak_many_rounds(engines):
+    """State hygiene across many utterance rounds on one connection:
+    buffers, timers and flags must not leak between rounds."""
+    sess = S.StreamingASRSession(engines, use_wake=False, use_sv=False)
+    for round_i in range(5):
+        for i in range(3):
+            r = sess.process_chunk(speech(round_i * 10 + i))
+            assert not r["should_finalize"]
+        fired = False
+        for _ in range(6):
+            r = sess.process_chunk(silence())
+            if r["should_finalize"]:
+                fired = True
+                break
+        assert fired, f"round {round_i} never finalized"
+        text = sess.finalize()
+        assert isinstance(text, str)
+        sess.reset_asr_state()
+        assert len(sess.audio_buffer) == 0
+        assert sess.silence_timer == 0.0
+        assert not sess.has_detected_speech
+        assert sess.mode == S.ASR_ACTIVE
+    # a full reset also clears activation
+    sess.is_activated = True
+    sess.reset()
+    assert not sess.is_activated

@@ -53,12 +53,28 @@ def _wait_tcp(port: int, timeout_s: float = 30.0) -> bool:
     return False
 
 
+def setup_compilation_cache() -> None:
+    """Persistent XLA compilation cache: restarts reuse compiled buckets
+    (complements tools/warmup.py). Dir via JAX_COMPILATION_CACHE_DIR."""
+    cache_dir = os.getenv("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/toolbox_xla"))
+    try:
+        import jax
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        logger.info("XLA compilation cache at %s", cache_dir)
+    except Exception:
+        logger.exception("compilation cache unavailable")
+
+
 def launch_voice() -> None:
     from .runtime.config import load_voice_config
     from .service.engines import build_engines
     from .service.voice_app import create_app
 
     setup_service_logging()
+    setup_compilation_cache()
     cfg = load_voice_config()
     engines = build_engines(cfg.model_dir)
 
@@ -102,6 +118,7 @@ def launch_tts() -> None:
     from .service.tts_app import create_app
 
     setup_service_logging()
+    setup_compilation_cache()
     cfg = load_tts_config()
     app = create_app(cfg=cfg)
     signal.signal(signal.SIGTERM, lambda s, f: (_ for _ in ()).throw(SystemExit(0)))
