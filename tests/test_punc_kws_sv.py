@@ -160,3 +160,11 @@ def test_group_and_extract():
     wav = np.arange(48000, dtype=np.float32)
     x = extract_speaker_audio(wav, sents, 0)
     assert len(x) == 32000
+
+
+def test_punctuator_classify():
+    p = Punctuator.random()
+    cls = p.classify(["你", "好", "吗"])
+    assert cls.shape == (3,)
+    assert (cls >= 0).all()
+    assert p.classify([]).shape == (0,)

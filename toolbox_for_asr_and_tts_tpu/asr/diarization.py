@@ -87,16 +87,27 @@ class Diarizer:
         self.gap_split_ms = gap_split_ms
 
     def _sentences_from_tokens(self, result) -> List[Sentence]:
-        """Split a TranscribeResult into sentences at punctuation (if the
-        punctuator ran) or at >gap_split_ms timestamp gaps."""
+        """Split a TranscribeResult into sentences at predicted sentence-final
+        punctuation (the reference's `sentence_info` granularity) and at
+        >gap_split_ms timestamp gaps."""
         toks, ts = result.tokens, result.timestamps_ms
         if not toks:
             return []
+        final_after = set()
+        if self.punctuator is not None:
+            try:
+                cls = self.punctuator.classify(toks)
+                plist = self.punctuator.cfg.punc_list
+                for i, c in enumerate(cls):
+                    if int(c) < len(plist) and plist[int(c)] in "。？！；":
+                        final_after.add(i)
+            except Exception:
+                logger.exception("punctuation classify failed; gaps only")
         sents: List[Sentence] = []
         start = 0
         for i in range(1, len(toks) + 1):
             gap = (ts[i] - ts[i - 1]) if i < len(toks) else self.gap_split_ms + 1
-            if gap > self.gap_split_ms:
+            if gap > self.gap_split_ms or (i - 1) in final_after:
                 text = "".join(toks[start:i])
                 sents.append(Sentence(text=text, start_ms=ts[start],
                                       end_ms=ts[i - 1] + 60))

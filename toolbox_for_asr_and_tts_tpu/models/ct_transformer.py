@@ -160,6 +160,23 @@ class Punctuator:
                 lambda p, ids, ln: forward(p, ids, ln, self.cfg))
         return self._fns[t]
 
+    def classify(self, words: Sequence[str]) -> "np.ndarray":
+        """Per-word punctuation class ids (0 <unk>, 1 none, 2 ，, 3 。, …) —
+        the raw decision the diarizer uses for sentence boundaries."""
+        if not words:
+            return np.zeros((0,), np.int64)
+        ids = self.vocab.encode(list(words))
+        t = self.bucketer.bucket(len(ids))
+        arr = np.zeros((1, t), np.int32)
+        n = min(len(ids), t)
+        arr[0, :n] = ids[:n]
+        logits = self._fn(t)(self.params, jnp.asarray(arr),
+                             jnp.asarray([n], np.int32))
+        cls = np.asarray(jnp.argmax(logits[0, :n], axis=-1))
+        out = np.ones((len(words),), np.int64)
+        out[:n] = cls
+        return out
+
     def punctuate(self, text: str) -> str:
         words = split_words(text)
         if not words:
