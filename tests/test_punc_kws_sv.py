@@ -168,3 +168,29 @@ def test_punctuator_classify():
     assert cls.shape == (3,)
     assert (cls >= 0).all()
     assert p.classify([]).shape == (0,)
+
+
+def test_ct_transformer_right_context_is_causal_bound():
+    """With right_context=0, position t must not see future tokens."""
+    cfg = ct_transformer.CTTransformerConfig(
+        vocab_size=64, embed_dim=32, d_model=32, n_heads=2, ffn_dim=64,
+        num_layers=2, right_context=0)
+    params = ct_transformer.init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(0)
+    a = rng.integers(1, 64, (1, 12)).astype(np.int32)
+    b = a.copy()
+    b[0, 8:] = rng.integers(1, 64, 4)  # change the future
+    la = np.asarray(ct_transformer.forward(params, jnp.asarray(a),
+                                           jnp.asarray([12]), cfg))
+    lb = np.asarray(ct_transformer.forward(params, jnp.asarray(b),
+                                           jnp.asarray([12]), cfg))
+    np.testing.assert_allclose(la[0, :8], lb[0, :8], rtol=1e-4, atol=1e-5)
+    # unlimited context: the future does change early positions
+    cfg2 = ct_transformer.CTTransformerConfig(
+        vocab_size=64, embed_dim=32, d_model=32, n_heads=2, ffn_dim=64,
+        num_layers=2, right_context=-1)
+    la2 = np.asarray(ct_transformer.forward(params, jnp.asarray(a),
+                                            jnp.asarray([12]), cfg2))
+    lb2 = np.asarray(ct_transformer.forward(params, jnp.asarray(b),
+                                            jnp.asarray([12]), cfg2))
+    assert not np.allclose(la2[0, :8], lb2[0, :8])

@@ -44,6 +44,11 @@ class CTTransformerConfig:
     sanm_shift: int = 0
     punc_size: int = 6
     punc_list: Tuple[str, ...] = DEFAULT_PUNC_LIST
+    # the "controllable time-delay": each position attends at most this many
+    # future tokens (−1 = unlimited, offline). Bounding it gives the
+    # fixed-latency streaming-punctuation behavior the CT in the model's
+    # name refers to.
+    right_context: int = -1
 
 
 def init_params(key, cfg: CTTransformerConfig) -> nn.Params:
@@ -72,6 +77,19 @@ def forward(params: nn.Params, token_ids: jnp.ndarray, lengths: jnp.ndarray,
     """token_ids [B, T] int32 → punct logits [B, T, punc_size]."""
     t = token_ids.shape[1]
     mask = nn.length_mask(lengths, t)
+    att_mask = None
+    if cfg.right_context >= 0:
+        # [B, Tq, Tk]: key visible iff valid AND k ≤ q + right_context
+        q = jnp.arange(t)[:, None]
+        k = jnp.arange(t)[None, :]
+        delay = (k <= q + cfg.right_context).astype(jnp.float32)
+        att_mask = mask[:, None, :] * delay[None]
+    # the FSMN memory conv must honor the delay bound too: shift its window
+    # so it reads at most right_context future frames
+    shift = cfg.sanm_shift
+    if cfg.right_context >= 0:
+        half = (cfg.kernel_size - 1) // 2
+        shift = max(shift, half - min(cfg.right_context, half))
     x = nn.embedding(params["embed"], token_ids)
     x = x * (cfg.d_model ** 0.5)
     x = x + nn.sinusoidal_posenc(t, x.shape[-1])[None]
@@ -79,7 +97,8 @@ def forward(params: nn.Params, token_ids: jnp.ndarray, lengths: jnp.ndarray,
         residual = x
         h = nn.layernorm(layer["norm1"], x)
         h = nn.sanm_attention(layer["attn"], h, cfg.n_heads, mask,
-                              cfg.kernel_size, cfg.sanm_shift)
+                              cfg.kernel_size, shift,
+                              att_mask=att_mask)
         x = h if (i == 0 and cfg.embed_dim != cfg.d_model) else residual + h
         residual = x
         x = residual + nn.ffn(layer["ffn"], nn.layernorm(layer["norm2"], x))

@@ -241,15 +241,19 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def sanm_attention(p: Params, x: jnp.ndarray, n_heads: int,
                    mask: Optional[jnp.ndarray] = None,
-                   kernel_size: int = 11, sanm_shift: int = 0) -> jnp.ndarray:
+                   kernel_size: int = 11, sanm_shift: int = 0,
+                   att_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """FunASR `MultiHeadedAttentionSANM`: MHA + depthwise FSMN memory on V.
 
-    mask: [B, T] validity (1 = valid). Returns [B, T, d].
+    mask: [B, T] validity (1 = valid). att_mask optionally overrides the
+    attention visibility with a full [B, Tq, Tk] pattern (e.g. the
+    CT-Transformer's bounded right context). Returns [B, T, d].
     """
     qkv = linear(p["qkv"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     mem = fsmn_block(p["fsmn"], v, sanm_pad(kernel_size, sanm_shift), mask)
-    att_mask = None if mask is None else mask[:, None, :]  # [B,1,Tk]
+    if att_mask is None:
+        att_mask = None if mask is None else mask[:, None, :]  # [B,1,Tk]
     out = attend(_split_heads(q, n_heads), _split_heads(k, n_heads),
                  _split_heads(v, n_heads), att_mask)
     return linear(p["out"], _merge_heads(out)) + mem
