@@ -99,7 +99,9 @@ def build_engines(model_dir: Optional[str] = None, use_mesh: bool = True):
     sv = SpeakerVerifier.random()
     punc = Punctuator.random()
     diar = Diarizer(reco, sv, punctuator=punc)
-    kws = KeywordSpotter.random(threshold=1e9)
+    kws = KeywordSpotter.random(
+        keyword=os.getenv("VOICE_KWS_KEYWORD", "小护"),
+        threshold=float(os.getenv("VOICE_KWS_THRESHOLD", "1e9")))
     return VoiceEngines(diarizer=diar, kws=kws, verifier=sv,
                         vad_factory=_vad_factory(),
                         streaming_factory=_streaming_factory(reco))
