@@ -107,3 +107,16 @@ def test_cli_transcribe_and_tts(tmp_path, capsys, monkeypatch):
     cli.main()
     import os
     assert os.path.exists(out_path)
+
+
+def test_asr_wake_module_api():
+    from toolbox_for_asr_and_tts_tpu.asr.batch import asr_wake, kws_wakeup
+    engines = build_test_engines()
+    wav = _tone(280, 1.5)
+    # never-firing KWS → gated call returns empty
+    assert asr_wake(wav, use_wake=True, use_llm=False, engines=engines) == ""
+    detected, _ = kws_wakeup(wav, engines)
+    assert detected is False
+    # ungated call recognizes
+    out = asr_wake(wav, use_wake=False, use_llm=False, engines=engines)
+    assert isinstance(out, str)

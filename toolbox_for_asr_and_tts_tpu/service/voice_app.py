@@ -187,6 +187,11 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
                 sess.set_use_wake(bool(data["use_wake"]))
             if data.get("use_sv") is not None:
                 sess.set_use_sv(bool(data["use_sv"]))
+            if data.get("save_sample"):
+                # WS audio message carries save_sample/diagnosis_session_id
+                # (reference WebSocketAudioMessage schema) — persist the
+                # finalize buffers for this session
+                sess.generated_dir = sess.generated_dir or cfg.generated_dir
             use_llm = bool(data.get("use_llm")) if data.get("use_llm") is not None \
                 else use_llm_default
             wav_b64 = data.get("wav_base64") or data.get("audio_data")
