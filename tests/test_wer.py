@@ -35,3 +35,17 @@ def test_corpus_cer():
     assert stats["n"] == 2
     assert stats["exact_match"] == 0.5
     assert abs(stats["cer"] - 1 / 6) < 1e-9
+
+
+def test_mel_distance():
+    import numpy as np
+    pytest.importorskip("jax")
+    from toolbox_for_asr_and_tts_tpu.tools.mel_distance import mel_distance
+    t = np.arange(16000) / 16000
+    a = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    b = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    same = mel_distance(a, a.copy())
+    diff = mel_distance(a, b)
+    assert same["rmse_db"] < 1e-4
+    assert same["corr"] > 0.999
+    assert diff["rmse_db"] > same["rmse_db"] + 1.0
