@@ -99,3 +99,26 @@ def test_streaming_vad_stepper(params):
     outs2 = [stepper(0.2 * rng.standard_normal(6400).astype(np.float32))
              for _ in range(4)]
     assert all(isinstance(o, bool) for o in outs2)
+
+
+def test_vad_windowed_voting_tolerates_flips():
+    """With voting on, brief single-frame dropouts inside speech don't reset
+    the onset counter (strict-run mode would)."""
+    base = dict(speech_noise_thres=0.5, sil_to_speech_ms=50,
+                max_end_silence_ms=100, speech_to_sil_ms=100)
+    # speech with a flip every 5th frame
+    p = np.ones(60)
+    p[::5] = 0.0
+    p = np.concatenate([np.zeros(10), p, np.zeros(30)])
+    strict = segments_from_probs(p, VadOptions(**base))
+    voting = segments_from_probs(
+        p, VadOptions(window_ms=50, vote_ratio=0.6, **base))
+    # voting yields one contiguous segment; strict may fragment or match
+    assert len(voting) == 1
+    assert len(voting) <= max(len(strict), 1)
+
+
+def test_vad_windowed_voting_still_rejects_silence():
+    opts = VadOptions(speech_noise_thres=0.5, sil_to_speech_ms=30,
+                      window_ms=50, vote_ratio=0.8)
+    assert segments_from_probs(np.zeros(200), opts) == []

@@ -89,3 +89,14 @@ def test_compile_cache_stats():
     c = CompileCacheStats()
     assert c.record(8, 16000) is True
     assert c.record(8, 16000) is False
+
+
+def test_profiling_helpers(tmp_path):
+    from toolbox_for_asr_and_tts_tpu.runtime.profiling import (
+        annotate, device_memory_stats, trace_to)
+    import jax.numpy as jnp
+    with trace_to(str(tmp_path / "tb")):
+        with annotate("work"):
+            jnp.ones(128).sum().block_until_ready()
+    stats = device_memory_stats()
+    assert isinstance(stats, dict) and len(stats) >= 1

@@ -28,6 +28,11 @@ class VadOptions:
     max_end_silence_ms: int = 800
     max_single_segment_ms: int = 60000
     speech_pad_ms: int = 0  # lead/tail padding applied to emitted segments
+    # FunASR WindowDetector-style majority voting: transitions count voiced
+    # frames within a sliding window instead of requiring strict runs
+    # (tolerates brief flips). 0 = strict-run hysteresis (default).
+    window_ms: int = 0
+    vote_ratio: float = 0.8  # fraction of window frames that must agree
 
 
 class VadStateMachine:
@@ -43,6 +48,9 @@ class VadStateMachine:
         self.run_len = 0            # consecutive frames contradicting state
         self.seg_start: Optional[int] = None
         self.segments: List[Tuple[int, int]] = []
+        from collections import deque
+        self._win = deque(maxlen=max(1, opts.window_ms // opts.frame_ms)) \
+            if opts.window_ms > 0 else None
 
     def _emit(self, start_f: int, end_f: int) -> Tuple[int, int]:
         o = self.opts
@@ -62,6 +70,16 @@ class VadStateMachine:
         max_len = o.max_single_segment_ms // o.frame_ms
         for p in np.asarray(probs).reshape(-1):
             is_sp = p > o.speech_noise_thres
+            if self._win is not None:
+                # windowed voting (WindowDetector style): a frame counts as
+                # its window's majority once the window has filled
+                self._win.append(is_sp)
+                if len(self._win) == self._win.maxlen:
+                    votes = sum(self._win)
+                    if votes >= o.vote_ratio * len(self._win):
+                        is_sp = True
+                    elif votes <= (1.0 - o.vote_ratio) * len(self._win):
+                        is_sp = False
             if self.state == self.SIL:
                 self.run_len = self.run_len + 1 if is_sp else 0
                 if self.run_len >= up:
