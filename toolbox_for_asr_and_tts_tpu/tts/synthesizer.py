@@ -111,31 +111,44 @@ class Synthesizer:
     # ------------------------------------------------------------ public
     def synthesize_segments(self, segments: Sequence[str], voice: str
                             ) -> Tuple[List[np.ndarray], List[float]]:
-        """Batch-synthesize text segments → per-segment waveforms."""
+        """Batch-synthesize text segments → per-segment waveforms.
+
+        Segments are grouped by phone-length bucket so short segments don't
+        pad (and transfer) at the longest segment's mel length; original
+        order is restored on return."""
         spk_id = self.voice_to_id.get(voice, 0)
-        ids_list = [text_to_phone_ids(s, self.g2p, self.vocab) for s in segments]
-        l = self.bucketer.bucket(max(max((len(i) for i in ids_list), default=1), 1))
-        b = len(segments)
-        ids = np.zeros((b, l), np.int32)
-        lens = np.zeros((b,), np.int32)
-        for i, seq in enumerate(ids_list):
-            n = min(len(seq), l)
-            ids[i, :n] = seq[:n]
-            lens[i] = max(n, 1)
-        spk = np.full((b,), spk_id, np.int32)
-        t0 = time.perf_counter()
-        pcm, mel_lens = self._fn(b, l)(self.ap, self.vp, jnp.asarray(ids),
-                                       jnp.asarray(lens), jnp.asarray(spk))
-        mel_lens = np.asarray(mel_lens)
-        pcm = np.asarray(pcm)
-        elapsed = time.perf_counter() - t0
+        ids_list = [text_to_phone_ids(s, self.g2p, self.vocab)
+                    for s in segments]
+        groups: Dict[int, List[int]] = {}
+        for idx, seq in enumerate(ids_list):
+            groups.setdefault(self.bucketer.bucket(max(len(seq), 1)),
+                              []).append(idx)
         hop = self.vcfg.hop_length
-        wavs, durs = [], []
-        for i in range(b):
-            n = int(mel_lens[i]) * hop
-            wavs.append(pcm[i, :n].astype(np.float32) / 32767.0)
-            durs.append(n / self.sample_rate)
-        timing_log("tts_batch_synthesis", elapsed * 1000)
+        wavs: List[Optional[np.ndarray]] = [None] * len(segments)
+        durs: List[float] = [0.0] * len(segments)
+        t0 = time.perf_counter()
+        for l, idxs in sorted(groups.items()):
+            # exact batch rows: b ≤ cfg.batch_size and l has ~6 buckets, so
+            # the compiled-program space stays small without padding rows
+            # (padded rows would synthesize full-length garbage mels)
+            b = len(idxs)
+            ids = np.zeros((b, l), np.int32)
+            lens = np.ones((b,), np.int32)
+            for row, idx in enumerate(idxs):
+                seq = ids_list[idx]
+                n = min(len(seq), l)
+                ids[row, :n] = seq[:n]
+                lens[row] = max(n, 1)
+            spk = np.full((b,), spk_id, np.int32)
+            pcm, mel_lens = self._fn(b, l)(self.ap, self.vp, jnp.asarray(ids),
+                                           jnp.asarray(lens), jnp.asarray(spk))
+            mel_lens = np.asarray(mel_lens)
+            pcm = np.asarray(pcm)
+            for row, idx in enumerate(idxs):
+                n = int(mel_lens[row]) * hop
+                wavs[idx] = pcm[row, :n].astype(np.float32) / 32767.0
+                durs[idx] = n / self.sample_rate
+        timing_log("tts_batch_synthesis", (time.perf_counter() - t0) * 1000)
         return wavs, durs
 
     def synthesize(self, text: str, voice: str = "zhitian_emo",
