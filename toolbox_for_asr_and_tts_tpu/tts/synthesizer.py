@@ -66,6 +66,9 @@ class Synthesizer:
         self.cfg = tts_cfg or TTSConfig()
         self.voice_to_id = {v: i % acoustic_cfg.n_speakers
                             for i, v in enumerate(voices)}
+        import os
+        self.group_by_length = os.getenv("TTS_GROUP_BY_LENGTH", "0") in (
+            "1", "true")
         self.bucketer = Bucketer(PHONE_BUCKETS)
         self._fns: Dict[Tuple[int, int], object] = {}
         self.rtf = RTFMeter()
@@ -120,9 +123,19 @@ class Synthesizer:
         ids_list = [text_to_phone_ids(s, self.g2p, self.vocab)
                     for s in segments]
         groups: Dict[int, List[int]] = {}
-        for idx, seq in enumerate(ids_list):
-            groups.setdefault(self.bucketer.bucket(max(len(seq), 1)),
-                              []).append(idx)
+        if self.group_by_length:
+            # one device call per length bucket: less padding compute, more
+            # round trips — wins on direct-attached TPUs
+            for idx, seq in enumerate(ids_list):
+                groups.setdefault(self.bucketer.bucket(max(len(seq), 1)),
+                                  []).append(idx)
+        else:
+            # one device call for the whole batch: fewest round trips — wins
+            # when host↔device latency dominates (measured on the dev tunnel:
+            # 0.086 vs 0.106 RTF for grouped)
+            l_all = self.bucketer.bucket(
+                max(max((len(s) for s in ids_list), default=1), 1))
+            groups[l_all] = list(range(len(ids_list)))
         hop = self.vcfg.hop_length
         wavs: List[Optional[np.ndarray]] = [None] * len(segments)
         durs: List[float] = [0.0] * len(segments)
