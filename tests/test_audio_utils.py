@@ -79,3 +79,43 @@ def test_decode_fuzz_never_crashes():
             decode_wav_bytes(bytes(data))
         except ValueError:
             pass
+
+
+def _extensible_wav(x, fmt_tag, bits):
+    """Build a WAVE_FORMAT_EXTENSIBLE file (tag 0xFFFE, SubFormat GUID)."""
+    import struct
+    if fmt_tag == 3:
+        raw = x.astype("<f4" if bits == 32 else "<f8").tobytes()
+    else:
+        raw = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    guid = struct.pack("<H", fmt_tag) + bytes.fromhex("000000001000800000aa00389b71")
+    ext = struct.pack("<HHI", 22, bits, 0x4) + guid
+    body = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 16000 * bits // 8, bits // 8, bits) + ext
+    hdr = b"RIFF" + struct.pack("<I", 20 + len(body) + len(raw)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<I", len(body)) + body
+    hdr += b"data" + struct.pack("<I", len(raw))
+    return hdr + raw
+
+
+def test_extensible_float32_wav():
+    """Extensible float WAVs must decode as float, not be misread as int PCM
+    (ADVICE.md round-1 medium finding)."""
+    x = _sine()
+    y, sr = decode_wav_bytes(_extensible_wav(x, fmt_tag=3, bits=32))
+    assert sr == 16000
+    np.testing.assert_allclose(y[:, 0], x, atol=1e-6)
+
+
+def test_extensible_pcm16_wav():
+    x = _sine()
+    y, _ = decode_wav_bytes(_extensible_wav(x, fmt_tag=1, bits=16))
+    np.testing.assert_allclose(y[:, 0], x, atol=1e-4)
+
+
+def test_extensible_unknown_guid_rejected():
+    import struct
+    data = bytearray(_extensible_wav(_sine(secs=0.05), fmt_tag=3, bits=32))
+    # corrupt the GUID suffix
+    data[20 + 26] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_wav_bytes(bytes(data))

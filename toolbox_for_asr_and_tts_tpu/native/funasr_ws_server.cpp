@@ -237,6 +237,9 @@ bool ws_recv(int fd, uint8_t* opcode_out, std::string* payload_out) {
     if (opcode == 0x9) { ws_send(fd, 0xA, payload); continue; }  // ping
     if (opcode == 0xA) continue;                     // pong
     if (opcode == 0x1 || opcode == 0x2) msg_opcode = opcode;
+    // cap the TOTAL message across continuation fragments too, not just each
+    // frame — unbounded accumulation is a memory-exhaustion DoS
+    if (message.size() + payload.size() > (64ULL << 20)) return false;
     message += payload;
     if (fin && msg_opcode) {
       *opcode_out = msg_opcode;

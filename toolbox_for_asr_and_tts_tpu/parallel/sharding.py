@@ -84,7 +84,14 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
 
 def make_2d_mesh(n_devices: int, model_parallel: int = 2) -> Mesh:
     """(data, model) mesh; model axis capped by divisibility."""
-    devices = np.array(jax.devices()[:n_devices])
+    avail = jax.devices()
+    if len(avail) < n_devices:
+        raise ValueError(
+            f"make_2d_mesh: requested {n_devices} devices but only "
+            f"{len(avail)} available ({avail[0].platform} backend). Force a "
+            "larger backend first, e.g. jax.config.update('jax_platforms', "
+            "'cpu') + jax.config.update('jax_num_cpu_devices', N).")
+    devices = np.array(avail[:n_devices])
     mp = model_parallel
     while n_devices % mp != 0 and mp > 1:
         mp -= 1

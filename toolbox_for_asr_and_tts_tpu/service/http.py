@@ -130,6 +130,11 @@ class WebSocket:
                 msg_opcode = opcode
             if msg_opcode is None:
                 continue
+            if len(message) + len(payload) > MAX_WS_FRAME:
+                # bound the TOTAL message across continuation fragments, not
+                # just each frame — otherwise a client can grow one message
+                # unboundedly (memory-exhaustion DoS)
+                raise HTTPError(400, "WS message too large")
             message += payload
             if fin:
                 return msg_opcode, message

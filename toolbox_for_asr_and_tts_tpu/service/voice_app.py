@@ -66,11 +66,17 @@ class VoiceService:
         use_wake = req.use_wake if req.use_wake is not None else True
         use_llm = req.use_llm if req.use_llm is not None else not self.cfg.disable_llm
         sample_id = req.sample_id
-        if sample_id and os.path.exists(self._sample_path(sample_id)):
-            x, sr = read_wav(self._sample_path(sample_id))
-            wav = ensure_mono_16k(x, sr)
-        else:
-            wav = base64_to_audio_np(req.audio_data)
+        try:
+            if sample_id and os.path.exists(self._sample_path(sample_id)):
+                x, sr = read_wav(self._sample_path(sample_id))
+                wav = ensure_mono_16k(x, sr)
+            else:
+                wav = base64_to_audio_np(req.audio_data)
+        except (ValueError, OSError) as e:
+            # bad audio is a client error, not a server crash — the reference
+            # returns ASRResponse(success=False) too (voice_service.py:161-175)
+            return {"text": "", "success": False,
+                    "message": f"音频解析失败: {e}", "sample_id": sample_id}
         # KWS gate (reference asr_wake, voice_interface.py:531-578)
         if (use_wake or self.cfg.require_wake) and self.engines.kws is not None:
             sess = S.StreamingASRSession(self.engines, use_wake=True, use_sv=False)

@@ -35,6 +35,7 @@ def decode_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = b""
     raw: Optional[bytes] = None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
@@ -44,14 +45,25 @@ def decode_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
             if len(body) < 16:
                 raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             raw = body  # may be shorter than declared (truncated upload)
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, channels, sr, _brate, _align, bits = fmt
-    if audio_fmt == 0xFFFE and len(raw) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_fmt = 1 if bits != 32 else 1  # treat as PCM; float handled below
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag is in SubFormat
+        # fmt ext: cbSize(2) validbits(2) chanmask(4) SubFormat GUID(16) at
+        # body[24:40]; GUID = <u16 tag> 00 00 + fixed 12-byte suffix.
+        if len(fmt_body) < 40:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        guid = fmt_body[24:40]
+        _KSDATA_SUFFIX = bytes.fromhex("000000001000800000aa00389b71")
+        if guid[2:] != _KSDATA_SUFFIX:
+            raise ValueError(f"unknown WAVE_FORMAT_EXTENSIBLE SubFormat {guid.hex()}")
+        (audio_fmt,) = struct.unpack("<H", guid[:2])
+        if audio_fmt not in (1, 3):
+            raise ValueError(f"unsupported extensible WAV SubFormat tag {audio_fmt}")
     if audio_fmt == 1:  # integer PCM
         if bits == 8:
             x = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
