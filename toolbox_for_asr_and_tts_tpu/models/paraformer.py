@@ -91,7 +91,7 @@ def init_params(key, cfg: ParaformerConfig = ParaformerConfig()) -> nn.Params:
     for _ in range(n_dec):
         dec_layers.append({
             "norm1": nn.layernorm_init(cfg.d_model),
-            "ffn": nn.ffn_init(keys[next(ki)], cfg.d_model, cfg.ffn_dim),
+            "ffn": nn.dec_ffn_init(keys[next(ki)], cfg.d_model, cfg.ffn_dim),
             "norm2": nn.layernorm_init(cfg.d_model),
             "fsmn": nn.fsmn_memory_init(keys[next(ki)], cfg.d_model, cfg.kernel_size),
             "norm3": nn.layernorm_init(cfg.d_model),
@@ -100,7 +100,7 @@ def init_params(key, cfg: ParaformerConfig = ParaformerConfig()) -> nn.Params:
         })
     dec_final = {
         "norm1": nn.layernorm_init(cfg.d_model),
-        "ffn": nn.ffn_init(keys[next(ki)], cfg.d_model, cfg.ffn_dim),
+        "ffn": nn.dec_ffn_init(keys[next(ki)], cfg.d_model, cfg.ffn_dim),
     }
     return {
         "encoder": {"layers": enc_layers,
@@ -149,7 +149,9 @@ def predictor_alphas(params: nn.Params, enc: jnp.ndarray, mask: jnp.ndarray,
     """CIF v2 α weights: [B, T] in [0, 1), masked."""
     p = params["predictor"]
     pad = (cfg.predictor_kernel - 1) // 2
-    h = nn.conv1d(p["conv"], enc, padding=(pad, pad))
+    # FunASR CifPredictorV2: conv output adds onto its input (residual) BEFORE
+    # the relu — `output = memory + context` in predictor.py
+    h = nn.conv1d(p["conv"], enc, padding=(pad, pad)) + enc
     h = jax.nn.relu(h)
     alphas = jax.nn.sigmoid(nn.linear(p["out"], h))[..., 0]
     return alphas * mask
@@ -210,7 +212,7 @@ def decode(params: nn.Params, embeds: jnp.ndarray, token_mask: jnp.ndarray,
     for layer in params["decoder"]["layers"]:
         residual = x
         h = nn.layernorm(layer["norm1"], x)
-        h = nn.ffn(layer["ffn"], h)
+        h = nn.dec_ffn(layer["ffn"], h)
         h = nn.layernorm(layer["norm2"], h)
         h = nn.fsmn_block(layer["fsmn"], h, pad, token_mask)
         x = residual + h
@@ -218,8 +220,11 @@ def decode(params: nn.Params, embeds: jnp.ndarray, token_mask: jnp.ndarray,
         h = nn.layernorm(layer["norm3"], x)
         x = residual + nn.cross_attention(layer["src_attn"], h, memory,
                                           cfg.n_heads, memory_mask)
+    # decoders3: ffn-only DecoderLayerSANM — norm1 → ffn, NO residual
+    # (FunASR decoder.py: with self_attn=src_attn=None, forward returns the
+    # ffn output directly)
     fin = params["decoder"]["final"]
-    x = x + nn.ffn(fin["ffn"], nn.layernorm(fin["norm1"], x))
+    x = nn.dec_ffn(fin["ffn"], nn.layernorm(fin["norm1"], x))
     x = nn.layernorm(params["decoder"]["after_norm"], x)
     return nn.linear(params["decoder"]["out"], x)
 

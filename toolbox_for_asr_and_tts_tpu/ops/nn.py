@@ -316,6 +316,19 @@ def ffn(p: Params, x: jnp.ndarray, activation=jax.nn.relu) -> jnp.ndarray:
     return linear(p["w2"], activation(linear(p["w1"], x)))
 
 
+def dec_ffn_init(key, d: int, d_hidden: int, d_out: Optional[int] = None) -> Params:
+    """FunASR `PositionwiseFeedForwardDecoderSANM`: w_1 (bias) → act →
+    LayerNorm over the hidden dim → w_2 (NO bias)."""
+    k1, k2 = jax.random.split(key)
+    return {"w1": linear_init(k1, d, d_hidden),
+            "norm": layernorm_init(d_hidden),
+            "w2": linear_init(k2, d_hidden, d_out or d, bias=False)}
+
+
+def dec_ffn(p: Params, x: jnp.ndarray, activation=jax.nn.relu) -> jnp.ndarray:
+    return linear(p["w2"], layernorm(p["norm"], activation(linear(p["w1"], x))))
+
+
 # ----------------------------------------------------------------- sampling
 def glu(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     a, b = jnp.split(x, 2, axis=axis)

@@ -128,10 +128,13 @@ def paraformer_rules(n_enc: int, n_dec: int) -> List[Rule]:
         rules += [
             (f"{d}.norm1.g", f"{s}.norm1.weight"),
             (f"{d}.norm1.b", f"{s}.norm1.bias"),
+            # decoder FFN = PositionwiseFeedForwardDecoderSANM: inner
+            # LayerNorm over the hidden dim, w_2 has bias=False upstream
             (f"{d}.ffn.w1.w", f"{s}.feed_forward.w_1.weight!t"),
             (f"{d}.ffn.w1.b", f"{s}.feed_forward.w_1.bias"),
+            (f"{d}.ffn.norm.g", f"{s}.feed_forward.norm.weight"),
+            (f"{d}.ffn.norm.b", f"{s}.feed_forward.norm.bias"),
             (f"{d}.ffn.w2.w", f"{s}.feed_forward.w_2.weight!t"),
-            (f"{d}.ffn.w2.b", f"{s}.feed_forward.w_2.bias"),
             (f"{d}.norm2.g", f"{s}.norm2.weight"),
             (f"{d}.norm2.b", f"{s}.norm2.bias"),
             (f"{d}.fsmn.w", f"{s}.self_attn.fsmn_block.weight"),
@@ -149,8 +152,9 @@ def paraformer_rules(n_enc: int, n_dec: int) -> List[Rule]:
         ("decoder.final.norm1.b", "decoder.decoders3.0.norm1.bias"),
         ("decoder.final.ffn.w1.w", "decoder.decoders3.0.feed_forward.w_1.weight!t"),
         ("decoder.final.ffn.w1.b", "decoder.decoders3.0.feed_forward.w_1.bias"),
+        ("decoder.final.ffn.norm.g", "decoder.decoders3.0.feed_forward.norm.weight"),
+        ("decoder.final.ffn.norm.b", "decoder.decoders3.0.feed_forward.norm.bias"),
         ("decoder.final.ffn.w2.w", "decoder.decoders3.0.feed_forward.w_2.weight!t"),
-        ("decoder.final.ffn.w2.b", "decoder.decoders3.0.feed_forward.w_2.bias"),
         ("decoder.after_norm.g", "decoder.after_norm.weight"),
         ("decoder.after_norm.b", "decoder.after_norm.bias"),
         ("decoder.out.w", "decoder.output_layer.weight!t"),
