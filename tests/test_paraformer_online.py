@@ -1,0 +1,253 @@
+"""Chunked online Paraformer: cache mechanics, offline equivalence anchors,
+finalize draining, and partials convergence (VERDICT round-1 items #4/#10)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from toolbox_for_asr_and_tts_tpu.asr.tokenizer import CharTokenizer
+from toolbox_for_asr_and_tts_tpu.models import paraformer
+from toolbox_for_asr_and_tts_tpu.models import paraformer_online as po
+from toolbox_for_asr_and_tts_tpu.models.paraformer_streaming import (
+    StreamingFrontend)
+from toolbox_for_asr_and_tts_tpu.ops import frontend as fe
+from toolbox_for_asr_and_tts_tpu.ops import nn
+
+
+def _tiny_cfg(input_dim=24):
+    return paraformer.ParaformerConfig(
+        input_dim=input_dim, d_model=16, n_heads=2, ffn_dim=32,
+        encoder_layers=3, decoder_layers=2, vocab_size=40)
+
+
+def test_degenerate_single_chunk_equals_offline():
+    """With c0=c2=0 and one chunk covering the whole utterance, the chunked
+    encoder+CIF must equal the offline forward exactly — the offline-prefix
+    equivalence anchor on shared weights."""
+    cfg = _tiny_cfg()
+    t = 12
+    ocfg = po.OnlineConfig(c0=0, c1=t, c2=0, encoder_look_back=2)
+    params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((1, t, cfg.input_dim)).astype(np.float32) * 0.5
+
+    state = po.init_state(cfg, ocfg, b=1)
+    state, enc = po.encode_chunk(params, state, jnp.asarray(feats), cfg, ocfg)
+    mask = jnp.ones((1, t))
+    enc_off = paraformer.encode(params, jnp.asarray(feats), mask, cfg)
+    np.testing.assert_allclose(np.asarray(enc), np.asarray(enc_off),
+                               rtol=1e-5, atol=1e-5)
+
+    active = jnp.ones((1, t))
+    state, embeds, n_fired = po.predictor_chunk(params, enc, active, state,
+                                                cfg, k_cap=16)
+    alphas_off = paraformer.predictor_alphas(params, enc_off, mask, cfg)
+    k_max = paraformer.max_tokens_for(t)
+    emb_off, count_off, _ = paraformer.cif(enc_off, alphas_off, k_max,
+                                           cfg.predictor_tail_threshold)
+    # offline cif includes the tail fire; replicate via flush_tail
+    acc, fired = po.flush_tail(state, cfg.predictor_tail_threshold)
+    n_total = int(n_fired[0]) + int(fired[0])
+    assert n_total == int(count_off[0])
+    got = list(np.asarray(embeds[0, : int(n_fired[0])]))
+    if bool(fired[0]):
+        got.append(np.asarray(acc[0]))
+    np.testing.assert_allclose(np.stack(got),
+                               np.asarray(emb_off)[0, :n_total],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_incremental_kv_cache_matches_list_replay():
+    """The fixed-size ring k/v cache == an unbounded-list replay of FunASR's
+    strided-key semantics (keys = all prior non-lookahead window keys,
+    truncated to look_back*c1, plus the current window)."""
+    cfg = _tiny_cfg()
+    ocfg = po.OnlineConfig(c0=0, c1=4, c2=3, encoder_look_back=2)
+    params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    n_chunks = 6
+    chunks = [rng.standard_normal((1, ocfg.c1, cfg.input_dim))
+              .astype(np.float32) * 0.5 for _ in range(n_chunks)]
+
+    # --- incremental (the implementation under test)
+    state = po.init_state(cfg, ocfg, b=1)
+    enc_inc = []
+    for c in chunks:
+        state, enc = po.encode_chunk(params, state, jnp.asarray(c), cfg, ocfg)
+        enc_inc.append(np.asarray(enc))
+
+    # --- replay with plain python lists, recomputed per chunk from scratch
+    L = ocfg.kv_frames
+    h_heads = cfg.n_heads
+    start_idx = 0
+    feats_cache = np.zeros((1, ocfg.c0 + ocfg.c2, cfg.input_dim), np.float32)
+    hist = [([], []) for _ in params["encoder"]["layers"]]  # (ks, vs) lists
+    for ci, c in enumerate(chunks):
+        x = c * (cfg.d_model ** 0.5)
+        pos = jnp.asarray(start_idx + np.arange(ocfg.c1)[None] + 1)
+        x = x + np.asarray(po._posenc_rows(pos, cfg.input_dim))
+        start_idx += ocfg.c1
+        window = np.concatenate([feats_cache, x], axis=1)
+        feats_cache = window[:, -(ocfg.c0 + ocfg.c2):]
+        h = jnp.asarray(window)
+        for li, layer in enumerate(params["encoder"]["layers"]):
+            residual = h
+            hn = nn.layernorm(layer["norm1"], h)
+            qkv = nn.linear(layer["attn"]["qkv"], hn)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            mem = nn.fsmn_block(layer["attn"]["fsmn"], v,
+                                nn.sanm_pad(cfg.kernel_size, cfg.sanm_shift))
+            qh, kh, vh = (po._heads(a, h_heads) for a in (q, k, v))
+            ks, vs = hist[li]
+            if ks:
+                cache_k = jnp.concatenate(ks, axis=2)[:, :, -L:]
+                cache_v = jnp.concatenate(vs, axis=2)[:, :, -L:]
+                keys = jnp.concatenate([cache_k, kh], axis=2)
+                vals = jnp.concatenate([cache_v, vh], axis=2)
+            else:
+                keys, vals = kh, vh
+            out = nn.attend(qh, keys, vals, None)
+            att = nn.linear(layer["attn"]["out"], po._merge(out)) + mem
+            h = att if li == 0 else residual + att
+            residual = h
+            h = residual + nn.ffn(layer["ffn"],
+                                  nn.layernorm(layer["norm2"], h))
+            w = window.shape[1]
+            ks.append(kh[:, :, : w - ocfg.c2])
+            vs.append(vh[:, :, : w - ocfg.c2])
+        h = nn.layernorm(params["encoder"]["after_norm"], h)
+        np.testing.assert_allclose(enc_inc[ci], np.asarray(h),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"chunk {ci}")
+
+
+def test_cif_chunk_carry_matches_one_shot():
+    """Chunked CIF with carried (mass, frame) state fires the same embeddings
+    as the one-shot overlap-matmul over the concatenated sequence."""
+    cfg = _tiny_cfg()
+    rng = np.random.default_rng(3)
+    t, d = 24, cfg.d_model
+    enc = rng.standard_normal((1, t, d)).astype(np.float32)
+    alphas = rng.uniform(0.1, 0.6, (1, t)).astype(np.float32)
+    k_max = paraformer.max_tokens_for(t)
+    emb_full, count_full, _ = paraformer.cif(jnp.asarray(enc),
+                                             jnp.asarray(alphas), k_max, 0.45)
+    from toolbox_for_asr_and_tts_tpu.models.paraformer_streaming import cif_step
+    mass = jnp.zeros(())
+    acc = jnp.zeros((d,))
+    fired = []
+    for s in range(0, t, 6):
+        e, a = jnp.asarray(enc[0, s:s+6]), jnp.asarray(alphas[0, s:s+6])
+        embeds, n, mass, acc = cif_step(e, a, mass, acc, k_cap=8)
+        fired.extend(np.asarray(embeds[: int(n)]))
+    frac = float(mass) - np.floor(float(mass))
+    if frac > 0 and frac + 0.45 >= 1.0:
+        fired.append(np.asarray(acc))
+    assert len(fired) == int(count_full[0])
+    np.testing.assert_allclose(np.stack(fired),
+                               np.asarray(emb_full)[0, : len(fired)],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_frontend_flush_matches_offline():
+    """StreamingFrontend push+flush == the offline fbank→LFR pipeline
+    frame-for-frame (ADVICE round-1: finalize dropped the LFR lookahead)."""
+    cfg = fe.FrontendConfig(lfr_m=7, lfr_n=6)
+    rng = np.random.default_rng(4)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+
+    t_fb = fe.num_fbank_frames(len(audio), cfg)
+    fb = fe.fbank(jnp.asarray(audio[None]), cfg, t_frames=t_fb)
+    offline = np.asarray(fe.apply_lfr(fb, cfg.lfr_m, cfg.lfr_n))[0]
+
+    sf = StreamingFrontend(cfg)
+    got = []
+    for s in range(0, len(audio), 1600):
+        out = sf.push(audio[s:s+1600])
+        if len(out):
+            got.append(out)
+    tail = sf.flush()
+    if len(tail):
+        got.append(tail)
+    got = np.concatenate(got)
+    assert got.shape == offline.shape
+    np.testing.assert_allclose(got, offline, rtol=1e-4, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def online_reco():
+    cfg = paraformer.ParaformerConfig(
+        input_dim=560, d_model=32, n_heads=2, ffn_dim=64,
+        encoder_layers=2, decoder_layers=2, vocab_size=64)
+    params = paraformer.init_params(jax.random.PRNGKey(5), cfg)
+    tok = CharTokenizer.dummy(cfg.vocab_size)
+    return po.OnlineRecognizer(params, cfg, tok,
+                               po.OnlineConfig(c1=4, c2=5, encoder_look_back=4))
+
+
+def test_online_recognizer_runs_and_finalizes(online_reco):
+    rng = np.random.default_rng(6)
+    audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    partials = []
+    for s in range(0, len(audio), 6400):  # 400 ms chunks
+        partials.append(online_reco.push_audio(audio[s:s+6400]))
+    final = online_reco.finalize()
+    assert isinstance(final, str)
+    # streaming drained everything: state reset after finalize
+    assert len(online_reco._embeds) == 0
+    assert int(online_reco._state["start_idx"][0]) == 0
+
+
+def test_online_finalize_drains_all_frames(online_reco):
+    """Every LFR frame ends up in the NAR re-decode memory exactly once —
+    the encoder lookahead and the partial chunk are drained at finalize."""
+    rng = np.random.default_rng(7)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    cfg = fe.FrontendConfig(lfr_m=7, lfr_n=6)
+    t_lfr = fe.num_lfr_frames(fe.num_fbank_frames(len(audio), cfg), cfg.lfr_n)
+
+    seen = {"n": 0}
+    orig = online_reco._run_chunk
+
+    def counting(chunk, n_valid, final):
+        orig(chunk, n_valid, final)
+        seen["n"] = len(online_reco._memory)
+
+    online_reco._run_chunk = counting
+    try:
+        for s in range(0, len(audio), 3200):
+            online_reco.push_audio(audio[s:s+3200])
+        online_reco.finalize()
+    finally:
+        online_reco._run_chunk = orig
+    # memory counts settled frames; the first chunk's active region includes
+    # c2 synthetic (zero-init cache) positions, so total = t_lfr + c2
+    assert seen["n"] == t_lfr + online_reco.ocfg.c2
+
+
+def test_partials_converge_to_final(online_reco):
+    """Partial hypotheses converge to the finalize result: the token list
+    grows monotonically across pushes, embeddings fired before finalize are
+    preserved by finalize (it only appends drained/tail tokens), and the
+    partial text is reproducible (VERDICT round-1 item #10)."""
+    rng = np.random.default_rng(8)
+    audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    counts = []
+    for s in range(0, len(audio), 6400):
+        online_reco.push_audio(audio[s:s+6400])
+        counts.append(len(online_reco._embeds))
+    assert counts == sorted(counts), "fired-token count must be monotonic"
+    pre_embeds = [e.copy() for e in online_reco._embeds]
+    final_text = online_reco.finalize()
+
+    # replay the identical audio on a fresh recognizer of the same config —
+    # streaming is deterministic, so finalize must reproduce exactly
+    reco2 = po.OnlineRecognizer(online_reco.params, online_reco.cfg,
+                                online_reco.tokenizer, online_reco.ocfg)
+    for s in range(0, len(audio), 6400):
+        reco2.push_audio(audio[s:s+6400])
+    # finalize only appends: every pre-finalize embedding survives verbatim
+    for i, e in enumerate(pre_embeds):
+        np.testing.assert_allclose(reco2._embeds[i], e, rtol=1e-6, atol=1e-6)
+    assert reco2.finalize() == final_text

@@ -143,6 +143,32 @@ class StreamingFrontend:
             feats = (feats + self.cmvn[0]) * self.cmvn[1]
         return feats.astype(np.float32)
 
+    def flush(self) -> np.ndarray:
+        """Emit the trailing LFR frames that are still waiting for lookahead.
+
+        Offline `apply_lfr` produces ceil(t_fb / n) frames, clamping indices
+        to the last fbank frame; the incremental `_drain_lfr` only emits a
+        frame once its (m − left) lookahead exists, so up to ~0.3 s of tail
+        audio stays buffered. Called at finalize so streaming == offline
+        frame-for-frame (round-1 ADVICE finding)."""
+        cfg = self.cfg
+        m, n = cfg.lfr_m, cfg.lfr_n
+        left = (m - 1) // 2
+        total = fe.num_lfr_frames(len(self._fbank), n)
+        out = []
+        while self._lfr_emitted < total:
+            i = self._lfr_emitted
+            idx = [max(0, min(i * n + j - left, len(self._fbank) - 1))
+                   for j in range(m)]
+            out.append(np.concatenate([self._fbank[k] for k in idx]))
+            self._lfr_emitted += 1
+        if not out:
+            return np.zeros((0, m * cfg.n_mels), np.float32)
+        feats = np.stack(out)
+        if self.cmvn is not None:
+            feats = (feats + self.cmvn[0]) * self.cmvn[1]
+        return feats.astype(np.float32)
+
     def reset(self) -> None:
         self._audio = np.zeros(0, np.float32)
         self._fbank = []
@@ -261,10 +287,27 @@ class StreamingRecognizer:
         return self.tokenizer.ids_to_text(self._decode_current())
 
     def finalize(self) -> str:
-        """Flush: fire any pending partial token mass ≥ (1 − tail)."""
+        """Drain the frontend LFR lookahead and the partial feature queue,
+        then fire any pending partial token mass ≥ (1 − tail).
+
+        Round-1 ADVICE finding: finalize previously only fired pending CIF
+        mass, silently dropping the <chunk_frames feature remainder and the
+        frontend's buffered lookahead (~0.3–0.4 s of trailing speech)."""
+        feats = self.frontend.flush()
+        if len(feats):
+            self._feat_queue = np.concatenate([self._feat_queue, feats])
+        cf = self.scfg.chunk_frames
+        while len(self._feat_queue) > 0:
+            chunk = self._feat_queue[:cf]
+            self._feat_queue = self._feat_queue[cf:]
+            if len(chunk) < cf:  # zero-pad the last partial chunk through
+                pad = np.zeros((cf - len(chunk), self.cfg.input_dim), np.float32)
+                chunk = np.concatenate([chunk, pad])
+            self._process_chunk(chunk)
         tail = self.cfg.predictor_tail_threshold
         frac = float(self._mass) - np.floor(float(self._mass))
-        if frac + tail >= 1.0 and len(self._embeds) < self.scfg.max_tokens:
+        if frac > 0 and frac + tail >= 1.0 and \
+                len(self._embeds) < self.scfg.max_tokens:
             self._embeds.append(np.asarray(self._acc))
         text = self.partial_text()
         self.reset()

@@ -60,20 +60,33 @@ def _vad_factory():
 
 def _streaming_factory(reco):
     """Per-session streaming recognizer factory (2-pass partials), opt-in via
-    VOICE_ENABLE_PARTIALS=1 (the reference keeps mid-chunk decode off)."""
+    VOICE_ENABLE_PARTIALS=1 (the reference keeps mid-chunk decode off).
+
+    Default implementation: the FunASR-faithful chunked encoder with k/v
+    caches (models/paraformer_online.py, chunk [0,4,5] look-back 4/1 like
+    voice_interface.py:651-653); VOICE_STREAMING_IMPL=windowed selects the
+    round-1 windowed re-encode fallback."""
     if os.getenv("VOICE_ENABLE_PARTIALS", "0") not in ("1", "true"):
         return None
-    from ..models.paraformer_streaming import (StreamingConfig,
-                                               StreamingRecognizer)
 
     cmvn = None
     if reco.cmvn is not None:
         import numpy as _np
         cmvn = (_np.asarray(reco.cmvn[0]), _np.asarray(reco.cmvn[1]))
 
-    def factory():
-        return StreamingRecognizer(reco.params, reco.cfg, reco.tokenizer,
-                                   StreamingConfig(), cmvn=cmvn)
+    if os.getenv("VOICE_STREAMING_IMPL", "chunked") == "windowed":
+        from ..models.paraformer_streaming import (StreamingConfig,
+                                                   StreamingRecognizer)
+
+        def factory():
+            return StreamingRecognizer(reco.params, reco.cfg, reco.tokenizer,
+                                       StreamingConfig(), cmvn=cmvn)
+    else:
+        from ..models.paraformer_online import OnlineConfig, OnlineRecognizer
+
+        def factory():
+            return OnlineRecognizer(reco.params, reco.cfg, reco.tokenizer,
+                                    OnlineConfig(), cmvn=cmvn)
 
     return factory
 
