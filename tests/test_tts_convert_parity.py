@@ -1,0 +1,183 @@
+"""TTS checkpoint-conversion fidelity: HiFi-GAN full-generator parity vs a
+torch re-implementation (standard V1 architecture, weight-normed like real
+checkpoints), and Sambert PNCA name-map round-trips (VERDICT round-1 #3)."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+import jax.numpy as jnp  # noqa: E402
+from torch.nn.utils import weight_norm  # noqa: E402
+
+from toolbox_for_asr_and_tts_tpu.models import hifigan, sambert  # noqa: E402
+from toolbox_for_asr_and_tts_tpu.runtime import checkpoints as ckpt  # noqa: E402
+
+torch.manual_seed(0)
+
+TINY_HIFI = hifigan.HifiGanConfig(
+    n_mels=8, upsample_initial_channel=16,
+    upsample_rates=(2, 2), upsample_kernels=(4, 4),
+    resblock_kernels=(3, 5), resblock_dilations=((1, 2), (1, 2)))
+
+
+class TorchResBlock1(torch.nn.Module):
+    def __init__(self, ch, k, dilations):
+        super().__init__()
+        self.convs1 = torch.nn.ModuleList([
+            weight_norm(torch.nn.Conv1d(ch, ch, k, dilation=d,
+                                        padding=d * (k - 1) // 2))
+            for d in dilations])
+        self.convs2 = torch.nn.ModuleList([
+            weight_norm(torch.nn.Conv1d(ch, ch, k, padding=(k - 1) // 2))
+            for _ in dilations])
+
+    def forward(self, x):
+        for c1, c2 in zip(self.convs1, self.convs2):
+            xt = torch.nn.functional.leaky_relu(x, 0.1)
+            xt = c1(xt)
+            xt = torch.nn.functional.leaky_relu(xt, 0.1)
+            xt = c2(xt)
+            x = x + xt
+        return x
+
+
+class TorchHiFiGAN(torch.nn.Module):
+    """Standard HiFi-GAN V1 generator with torch-style state-dict names."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        self.conv_pre = weight_norm(torch.nn.Conv1d(
+            cfg.n_mels, cfg.upsample_initial_channel, 7, padding=3))
+        self.ups = torch.nn.ModuleList()
+        self.resblocks = torch.nn.ModuleList()
+        ch = cfg.upsample_initial_channel
+        for r, k in zip(cfg.upsample_rates, cfg.upsample_kernels):
+            self.ups.append(weight_norm(torch.nn.ConvTranspose1d(
+                ch, ch // 2, k, r, padding=(k - r) // 2)))
+            ch //= 2
+            for rk, rd in zip(cfg.resblock_kernels, cfg.resblock_dilations):
+                self.resblocks.append(TorchResBlock1(ch, rk, rd))
+        self.conv_post = weight_norm(torch.nn.Conv1d(ch, 1, 7, padding=3))
+
+    def forward(self, mel):  # mel [B, T, n_mels]
+        x = self.conv_pre(mel.transpose(1, 2))
+        nk = len(self.cfg.resblock_kernels)
+        for i, up in enumerate(self.ups):
+            x = torch.nn.functional.leaky_relu(x, 0.1)
+            x = up(x)
+            xs = None
+            for j in range(nk):
+                y = self.resblocks[i * nk + j](x)
+                xs = y if xs is None else xs + y
+            x = xs / nk
+        x = torch.nn.functional.leaky_relu(x, 0.1)
+        return torch.tanh(self.conv_post(x))[:, 0]
+
+
+def test_hifigan_full_generator_parity():
+    """Weight-normed torch V1 generator → fold → convert → JAX forward must
+    match the torch waveform sample-for-sample."""
+    tmodel = TorchHiFiGAN(TINY_HIFI).eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    # torch stores weight_norm as parametrizations or weight_g/weight_v
+    sd = {k.replace("parametrizations.weight.original0", "weight_g")
+           .replace("parametrizations.weight.original1", "weight_v"): v
+          for k, v in sd.items()}
+    sd = ckpt.fold_weight_norm(sd)
+    template = hifigan.init_params(jax.random.PRNGKey(0), TINY_HIFI)
+    rules = ckpt.hifigan_rules(len(TINY_HIFI.upsample_rates),
+                               len(TINY_HIFI.resblock_kernels),
+                               len(TINY_HIFI.resblock_dilations[0]))
+    params = ckpt.convert_state_dict(sd, rules, template, strict=True)
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((2, 12, TINY_HIFI.n_mels)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(mel)).numpy()
+    got = np.asarray(hifigan.forward(params, jnp.asarray(mel), TINY_HIFI))
+    assert got.shape == want.shape == (2, 12 * TINY_HIFI.hop_length)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fold_weight_norm_matches_torch():
+    conv = weight_norm(torch.nn.Conv1d(4, 6, 3))
+    with torch.no_grad():
+        want = conv.weight.detach().numpy()
+    sd = {k.replace("parametrizations.weight.original0", "weight_g")
+           .replace("parametrizations.weight.original1", "weight_v"): v
+          .detach().numpy() for k, v in conv.state_dict().items()}
+    folded = ckpt.fold_weight_norm(sd)
+    np.testing.assert_allclose(folded["weight"], want, rtol=1e-6, atol=1e-7)
+    assert "weight_g" not in folded and "weight_v" not in folded
+
+
+TINY_SAM = sambert.SambertConfig(
+    vocab_size=32, n_speakers=2, d_model=16, n_heads=2, ffn_dim=32,
+    encoder_layers=2, decoder_layers=2, pnca_layers=2, postnet_layers=3,
+    var_channels=16)
+
+
+def test_sambert_pnca_roundtrip():
+    """invert → torch-save-style dict → convert: every PNCA-mapped tensor
+    round-trips; the NAR fast-mode decoder keeps its template values."""
+    params = sambert.init_params(jax.random.PRNGKey(0), TINY_SAM)
+    rules = ckpt.sambert_rules(TINY_SAM.encoder_layers, TINY_SAM.pnca_layers,
+                               TINY_SAM.postnet_layers)
+    sd = ckpt.invert_to_state_dict(params, rules)
+    template = sambert.init_params(jax.random.PRNGKey(1), TINY_SAM)
+    out = ckpt.convert_state_dict(sd, rules, template, strict=True,
+                                  keep_missing=True)
+    flat_in = ckpt.flatten_params(params)
+    flat_tpl = ckpt.flatten_params(template)
+    mapped = {p for p, _ in rules}
+    for k, v in ckpt.flatten_params(out).items():
+        src = flat_in if k in mapped else flat_tpl
+        np.testing.assert_allclose(np.asarray(src[k]), v, rtol=1e-6,
+                                   err_msg=k)
+    # the framework-only NAR decoder is exactly the unmapped set
+    unmapped = {k for k in flat_tpl if k not in mapped}
+    assert all(k.startswith(("decoder.", "mel_out.")) for k in unmapped), \
+        sorted(unmapped)[:5]
+
+
+def test_sambert_ar_shapes_and_masking():
+    params = sambert.init_params(jax.random.PRNGKey(0), TINY_SAM)
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 32, (2, 6)),
+                      jnp.int32)
+    lens = jnp.asarray([6, 4], jnp.int32)
+    spk = jnp.zeros((2,), jnp.int32)
+    out = sambert.forward_ar(params, ids, lens, spk, TINY_SAM)
+    r = TINY_SAM.outputs_per_step
+    assert out["mel"].shape[1] % r == 0
+    assert bool(jnp.isfinite(out["mel"]).all())
+    ml = int(out["mel_lens"][1])
+    np.testing.assert_array_equal(np.asarray(out["mel"])[1, ml:], 0.0)
+
+
+def test_pnca_scan_causality_and_band():
+    """PNCA decoder semantics on a FIXED memory: perturbing memory at steps
+    beyond the h_band of step t must not change step t's output (X attention
+    is causal; H attention is banded around the aligned position)."""
+    cfg = sambert.SambertConfig(
+        vocab_size=32, n_speakers=2, d_model=16, n_heads=2, ffn_dim=32,
+        encoder_layers=1, decoder_layers=1, pnca_layers=2, postnet_layers=2,
+        h_band=2)
+    params = sambert.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    b, s, r, d = 1, 12, cfg.outputs_per_step, cfg.d_model
+    mem = rng.standard_normal((b, s, r, d)).astype(np.float32) * 0.3
+    mask = jnp.ones((b, s * r))
+    out_a = np.asarray(sambert._pnca_scan(params["pnca"], jnp.asarray(mem),
+                                          mask, cfg))
+    mem_b = mem.copy()
+    mem_b[:, -1] += 1.0  # perturb the LAST step's memory frames
+    out_b = np.asarray(sambert._pnca_scan(params["pnca"], jnp.asarray(mem_b),
+                                          mask, cfg))
+    # steps t with t + h_band < s-1 cannot see the perturbed step
+    safe_steps = s - 1 - cfg.h_band
+    assert safe_steps > 0
+    np.testing.assert_allclose(out_a[:, : safe_steps * r],
+                               out_b[:, : safe_steps * r], atol=1e-6)
+    # ...and at least one later step DOES change (the band is effective)
+    assert np.abs(out_a[:, safe_steps * r:] - out_b[:, safe_steps * r:]).max() > 1e-6

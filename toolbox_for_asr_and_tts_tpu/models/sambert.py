@@ -1,18 +1,27 @@
-"""Sambert-class acoustic model: phonemes → mel-spectrogram (NAR, static shapes).
+"""Sambert-class acoustic model: phonemes → mel-spectrogram.
 
 TPU-native counterpart of the acoustic half of ModelScope
 `damo/speech_sambert-hifigan_tts_zh-cn_16k` (reference tts-service/app/
-services/tts_service.py:34-38,143-177). KAN-TTS's Sambert decodes mel
-autoregressively with PNCA attention; an AR per-frame loop is hostile to the
-MXU, so this re-design keeps Sambert's FastSpeech-family skeleton —
+services/tts_service.py:34-38,143-177). Two decoders share one encoder /
+variance-adaptor / length-regulator stack:
 
-    phone embedding (+ speaker embedding) → self-attention encoder
-    → variance adaptors (duration / pitch / energy, conv-ln-relu predictors)
-    → length regulation (gather by searchsorted over duration cumsum —
-      static shapes, no data-dependent loops)
-    → self-attention decoder → linear mel projection → conv postnet residual
+- **PNCA AR decoder** (`forward_ar`, KAN-TTS Sambert's architecture): the mel
+  is decoded autoregressively in groups of `outputs_per_step` frames; each
+  step runs a prenet on the previous frame group and N PNCA layers — dual
+  attention over X (the decoder history, causal, optional band) and H (the
+  frame-aligned encoder memory, NON-causal band around the current position;
+  alignment is known from the length regulator, which is what makes the
+  "pseudo-non-causal" memory view possible). Implemented as one `lax.scan`
+  over steps with per-layer projected k/v caches — static shapes, no Python
+  loops under jit. Weight-compatible with the real zhitian_emo state dict
+  via `runtime/checkpoints.py::sambert_pnca_rules` (names follow KAN-TTS's
+  public module naming; hyperparameters are validated against the mounted
+  checkpoint's config by tools/convert_checkpoint --diff).
+- **NAR fast mode** (`forward`): FastSpeech-family parallel decoder — the
+  whole mel in one fused XLA program per shape bucket; ~an order of
+  magnitude faster on the MXU, available when parity with the reference
+  voice is not required.
 
-— which produces the whole mel in one fused XLA program per shape bucket.
 Multi-voice ("zhitian_emo" etc., tts_service.py:964) maps to the speaker
 embedding table.
 """
@@ -23,6 +32,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import nn
 
@@ -45,6 +55,13 @@ class SambertConfig:
     postnet_kernel: int = 5
     var_kernel: int = 3
     var_channels: int = 256
+    # PNCA AR decoder (KAN-TTS geometry)
+    pnca_layers: int = 6
+    outputs_per_step: int = 3       # r mel frames per AR step
+    prenet_units: int = 256
+    x_band: int = -1                # causal history band (-1 = unbounded)
+    h_band: int = 20                # non-causal memory band (steps, ± around
+                                    # the aligned position; -1 = full)
 
 
 def _var_predictor_init(key, d: int, channels: int, k: int) -> nn.Params:
@@ -65,6 +82,12 @@ def _var_predictor(p: nn.Params, x: jnp.ndarray, k: int) -> jnp.ndarray:
     h = jax.nn.relu(nn.conv1d(p["c2"], h, padding=pad))
     h = nn.layernorm(p["ln2"], h)
     return nn.linear(p["out"], h)[..., 0]
+
+
+def _dur_init(key, cfg: SambertConfig) -> nn.Params:
+    p = _var_predictor_init(key, cfg.d_model, cfg.var_channels, cfg.var_kernel)
+    p["out"]["b"] = p["out"]["b"] + float(np.log(6.0))
+    return p
 
 
 def _transformer_layer_init(key, d: int, heads: int, ffn: int) -> nn.Params:
@@ -102,8 +125,11 @@ def init_params(key, cfg: SambertConfig) -> nn.Params:
         "embed": nn.embedding_init(keys[next(ki)], cfg.vocab_size, cfg.d_model),
         "spk": nn.embedding_init(keys[next(ki)], cfg.n_speakers, cfg.d_model),
         "encoder": enc,
-        "duration": _var_predictor_init(keys[next(ki)], cfg.d_model,
-                                        cfg.var_channels, cfg.var_kernel),
+        # duration output bias at log(6) → ~5 frames/phone at init:
+        # random-weight models then produce realistic Mandarin pacing
+        # (~60 ms/phone), so RTF benchmarks measure production-length audio
+        # rather than 1-frame blips
+        "duration": _dur_init(keys[next(ki)], cfg),
         "pitch": _var_predictor_init(keys[next(ki)], cfg.d_model,
                                      cfg.var_channels, cfg.var_kernel),
         "energy": _var_predictor_init(keys[next(ki)], cfg.d_model,
@@ -113,7 +139,122 @@ def init_params(key, cfg: SambertConfig) -> nn.Params:
         "decoder": dec,
         "mel_out": nn.linear_init(keys[next(ki)], cfg.d_model, cfg.n_mels),
         "postnet": postnet,
+        "pnca": pnca_init(jax.random.fold_in(key, 77), cfg),
     }
+
+
+# ------------------------------------------------------- PNCA (AR) decoder
+def pnca_init(key, cfg: SambertConfig) -> nn.Params:
+    """KAN-TTS MelPNCADecoder parameters (prenet + N dual-attention layers)."""
+    d, r = cfg.d_model, cfg.outputs_per_step
+    n = 8 * cfg.pnca_layers + 4
+    keys = jax.random.split(key, n)
+    ki = iter(range(n))
+    layers = []
+    for _ in range(cfg.pnca_layers):
+        layers.append({
+            "q": nn.linear_init(keys[next(ki)], d, d),
+            "kx": nn.linear_init(keys[next(ki)], d, d),
+            "vx": nn.linear_init(keys[next(ki)], d, d),
+            "kh": nn.linear_init(keys[next(ki)], d, d),
+            "vh": nn.linear_init(keys[next(ki)], d, d),
+            "fc": nn.linear_init(keys[next(ki)], 2 * d, d),
+            "norm_attn": nn.layernorm_init(d),
+            "ffn": nn.ffn_init(keys[next(ki)], d, cfg.ffn_dim),
+            "norm_ffn": nn.layernorm_init(d),
+        })
+    return {
+        "layers": layers,
+        "prenet": {
+            "fc1": nn.linear_init(keys[next(ki)], cfg.n_mels * r,
+                                  cfg.prenet_units),
+            "fc2": nn.linear_init(keys[next(ki)], cfg.prenet_units,
+                                  cfg.prenet_units),
+            "proj": nn.linear_init(keys[next(ki)], cfg.prenet_units, d),
+        },
+        "mel_out": nn.linear_init(keys[next(ki)], d, cfg.n_mels * r),
+    }
+
+
+def _pnca_scan(pnca: nn.Params, memory: jnp.ndarray, mem_step_mask: jnp.ndarray,
+               cfg: SambertConfig) -> jnp.ndarray:
+    """AR decode: memory [B, S, r, D] (frame-aligned, grouped by step) →
+    mel [B, S*r, n_mels]. One lax.scan over S steps.
+
+    Memory attention keys/values are projected ONCE outside the scan (H is
+    static); the X (history) cache stores each layer's projected k/v at the
+    step it was produced, so a step costs O(S·D) attention + O(D²) matmuls.
+    """
+    b, s, r, d = memory.shape
+    h_heads = cfg.n_heads
+    mem_flat = memory.reshape(b, s * r, d)
+    layers = pnca["layers"]
+    KH = [_split(nn.linear(l["kh"], mem_flat), h_heads) for l in layers]
+    VH = [_split(nn.linear(l["vh"], mem_flat), h_heads) for l in layers]
+    pe = nn.sinusoidal_posenc(s, d)
+
+    # band masks over memory FRAMES for each step: |frame_step - t| <= h_band
+    frame_step = jnp.arange(s * r) // r                       # [S*r]
+
+    def prenet(x):
+        p = pnca["prenet"]
+        h = jax.nn.relu(nn.linear(p["fc1"], x))
+        h = jax.nn.relu(nn.linear(p["fc2"], h))
+        return nn.linear(p["proj"], h)
+
+    n_l = len(layers)
+    kx0 = jnp.zeros((n_l, b, s, d))
+    vx0 = jnp.zeros((n_l, b, s, d))
+    prev0 = jnp.zeros((b, cfg.n_mels * r))
+
+    def step(carry, t):
+        kx_c, vx_c, prev = carry
+        x = prenet(prev) + pe[t]                              # [B, D]
+        kx_new, vx_new = [], []
+        for li, layer in enumerate(layers):
+            kx_t = nn.linear(layer["kx"], x)
+            vx_t = nn.linear(layer["vx"], x)
+            kx_l = jax.lax.dynamic_update_slice(kx_c[li], kx_t[:, None],
+                                                (0, t, 0))
+            vx_l = jax.lax.dynamic_update_slice(vx_c[li], vx_t[:, None],
+                                                (0, t, 0))
+            kx_new.append(kx_l)
+            vx_new.append(vx_l)
+            q = _split(nn.linear(layer["q"], x)[:, None], h_heads)  # [B,H,1,dk]
+            # X attention: causal over steps ≤ t (optional left band)
+            steps = jnp.arange(s)
+            xmask = (steps <= t)
+            if cfg.x_band >= 0:
+                xmask &= steps > t - cfg.x_band - 1
+            xmask = jnp.broadcast_to(xmask.astype(jnp.float32), (b, s))
+            ax = nn.attend(q, _split(kx_l, h_heads), _split(vx_l, h_heads),
+                           xmask[:, None, :])
+            # H attention: non-causal band around the aligned position
+            hmask = mem_step_mask
+            if cfg.h_band >= 0:
+                hmask = hmask * (jnp.abs(frame_step - t) <= cfg.h_band
+                                 ).astype(jnp.float32)[None]
+            ah = nn.attend(q, KH[li], VH[li], hmask[:, None, :])
+            a = nn.linear(layer["fc"],
+                          jnp.concatenate([_merge1(ax), _merge1(ah)], -1))
+            x = nn.layernorm(layer["norm_attn"], x + a)
+            x = nn.layernorm(layer["norm_ffn"], x + nn.ffn(layer["ffn"], x))
+        mel_t = nn.linear(pnca["mel_out"], x)                 # [B, r*n_mels]
+        return (jnp.stack(kx_new), jnp.stack(vx_new), mel_t), mel_t
+
+    (_, _, _), mels = jax.lax.scan(step, (kx0, vx0, prev0), jnp.arange(s))
+    # mels: [S, B, r*n_mels] → [B, S*r, n_mels]
+    return mels.transpose(1, 0, 2).reshape(b, s * r, cfg.n_mels)
+
+
+def _split(x: jnp.ndarray, h: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, h, d // h).transpose(0, 2, 1, 3)
+
+
+def _merge1(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, one, dk = x.shape
+    return x.reshape(b, h * dk)
 
 
 def length_regulate(x: jnp.ndarray, durations: jnp.ndarray, t_mel: int
@@ -134,13 +275,15 @@ def length_regulate(x: jnp.ndarray, durations: jnp.ndarray, t_mel: int
     return expanded * mel_mask[..., None], mel_mask
 
 
-def forward(params: nn.Params, phone_ids: jnp.ndarray, phone_lens: jnp.ndarray,
-            speaker_ids: jnp.ndarray, cfg: SambertConfig,
-            duration_override: Optional[jnp.ndarray] = None
-            ) -> Dict[str, jnp.ndarray]:
-    """phone_ids [B, L] → mel [B, T_mel, n_mels] with T_mel = L·frames_per_phone."""
+def _encode_regulate(params: nn.Params, phone_ids: jnp.ndarray,
+                     phone_lens: jnp.ndarray, speaker_ids: jnp.ndarray,
+                     cfg: SambertConfig, t_mel: int,
+                     duration_override: Optional[jnp.ndarray]
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Shared front half: encoder → variance adaptors → length regulation.
+
+    Returns (frame-aligned memory [B, t_mel, D], mel_mask [B, t_mel], aux)."""
     b, l = phone_ids.shape
-    t_mel = l * cfg.frames_per_phone
     pmask = nn.length_mask(phone_lens, l)
     x = nn.embedding(params["embed"], phone_ids)
     x = x + nn.sinusoidal_posenc(l, cfg.d_model, dtype=x.dtype)[None]
@@ -162,11 +305,14 @@ def forward(params: nn.Params, phone_ids: jnp.ndarray, phone_lens: jnp.ndarray,
     x = x + nn.conv1d(params["energy_embed"], energy[..., None], padding=(4, 4))
 
     h, mel_mask = length_regulate(x, dur, t_mel)
-    h = h + nn.sinusoidal_posenc(t_mel, cfg.d_model, dtype=h.dtype)[None]
-    for layer in params["decoder"]:
-        h = _transformer_layer(layer, h, cfg.n_heads, mel_mask)
-    mel = nn.linear(params["mel_out"], h)
+    aux = {"durations": dur, "log_duration": log_dur, "pitch": pitch,
+           "energy": energy,
+           "mel_lens": jnp.minimum(jnp.sum(dur, axis=1), t_mel)}
+    return h, mel_mask, aux
 
+
+def _postnet(params: nn.Params, mel: jnp.ndarray, mel_mask: jnp.ndarray,
+             cfg: SambertConfig) -> jnp.ndarray:
     r = mel
     pad = ((cfg.postnet_kernel - 1) // 2, cfg.postnet_kernel // 2)
     for i, pn in enumerate(params["postnet"]):
@@ -174,8 +320,66 @@ def forward(params: nn.Params, phone_ids: jnp.ndarray, phone_lens: jnp.ndarray,
         r = nn.layernorm(pn["ln"], r)
         if i < len(params["postnet"]) - 1:
             r = jnp.tanh(r)
-    mel = (mel + r) * mel_mask[..., None]
+    return (mel + r) * mel_mask[..., None]
 
-    mel_lens = jnp.minimum(jnp.sum(dur, axis=1), t_mel)
-    return {"mel": mel, "mel_lens": mel_lens, "durations": dur,
-            "log_duration": log_dur, "pitch": pitch, "energy": energy}
+
+def predict_mel_lens(params: nn.Params, phone_ids: jnp.ndarray,
+                     phone_lens: jnp.ndarray, speaker_ids: jnp.ndarray,
+                     cfg: SambertConfig) -> jnp.ndarray:
+    """Duration probe: encoder + duration predictor only → mel frame counts.
+
+    Cheap first phase of two-phase synthesis: the caller picks a tight
+    static t_mel bucket from these lengths, so the (much larger) decoder +
+    vocoder never compute — or transfer — the ~2× padding that the
+    L·frames_per_phone worst case implies."""
+    b, l = phone_ids.shape
+    pmask = nn.length_mask(phone_lens, l)
+    x = nn.embedding(params["embed"], phone_ids)
+    x = x + nn.sinusoidal_posenc(l, cfg.d_model, dtype=x.dtype)[None]
+    x = x + nn.embedding(params["spk"], speaker_ids)[:, None, :]
+    for layer in params["encoder"]:
+        x = _transformer_layer(layer, x, cfg.n_heads, pmask)
+    x = x * pmask[..., None]
+    log_dur = _var_predictor(params["duration"], x, cfg.var_kernel)
+    dur = jnp.clip(jnp.round(jnp.exp(log_dur) - 1.0), 1, cfg.max_duration)
+    dur = (dur * pmask).astype(jnp.int32)
+    return jnp.sum(dur, axis=1)
+
+
+def forward(params: nn.Params, phone_ids: jnp.ndarray, phone_lens: jnp.ndarray,
+            speaker_ids: jnp.ndarray, cfg: SambertConfig,
+            duration_override: Optional[jnp.ndarray] = None,
+            t_mel: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+    """NAR fast mode: phone_ids [B, L] → mel [B, T_mel, n_mels],
+    T_mel = t_mel (static) or the L·frames_per_phone worst case."""
+    b, l = phone_ids.shape
+    t_mel = t_mel or l * cfg.frames_per_phone
+    h, mel_mask, aux = _encode_regulate(params, phone_ids, phone_lens,
+                                        speaker_ids, cfg, t_mel,
+                                        duration_override)
+    h = h + nn.sinusoidal_posenc(t_mel, cfg.d_model, dtype=h.dtype)[None]
+    for layer in params["decoder"]:
+        h = _transformer_layer(layer, h, cfg.n_heads, mel_mask)
+    mel = nn.linear(params["mel_out"], h)
+    mel = _postnet(params, mel, mel_mask, cfg)
+    return {"mel": mel, **aux}
+
+
+def forward_ar(params: nn.Params, phone_ids: jnp.ndarray,
+               phone_lens: jnp.ndarray, speaker_ids: jnp.ndarray,
+               cfg: SambertConfig,
+               duration_override: Optional[jnp.ndarray] = None,
+               t_mel: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+    """PNCA AR mode (KAN-TTS Sambert): same front half, autoregressive mel
+    decode in groups of `outputs_per_step` frames via lax.scan."""
+    b, l = phone_ids.shape
+    r = cfg.outputs_per_step
+    s = -(-(t_mel or l * cfg.frames_per_phone) // r)   # steps, ceil
+    t_mel = s * r
+    h, mel_mask, aux = _encode_regulate(params, phone_ids, phone_lens,
+                                        speaker_ids, cfg, t_mel,
+                                        duration_override)
+    memory = h.reshape(b, s, r, cfg.d_model)
+    mel = _pnca_scan(params["pnca"], memory, mel_mask, cfg)
+    mel = _postnet(params, mel, mel_mask, cfg)
+    return {"mel": mel, **aux}

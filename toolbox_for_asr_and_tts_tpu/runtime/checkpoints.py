@@ -20,7 +20,7 @@ from __future__ import annotations
 import logging
 import os
 import re
-from typing import Any, Callable, Dict, List, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -59,13 +59,24 @@ def flatten_params(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     return out
 
 
-def unflatten_like(template: Any, flat: Dict[str, np.ndarray], prefix: str = "") -> Any:
+def unflatten_like(template: Any, flat: Dict[str, np.ndarray], prefix: str = "",
+                   keep_missing: bool = False) -> Any:
+    """Rebuild a pytree shaped like `template` from flat {path: array}.
+
+    keep_missing=True keeps the template's own value for paths absent from
+    `flat` — used for framework-only parameters that real checkpoints don't
+    have (e.g. Sambert's NAR fast-mode decoder next to the converted PNCA
+    weights)."""
     if isinstance(template, dict):
-        return {k: unflatten_like(v, flat, f"{prefix}{k}.") for k, v in template.items()}
+        return {k: unflatten_like(v, flat, f"{prefix}{k}.", keep_missing)
+                for k, v in template.items()}
     if isinstance(template, (list, tuple)):
-        return [unflatten_like(v, flat, f"{prefix}{i}.") for i, v in enumerate(template)]
+        return [unflatten_like(v, flat, f"{prefix}{i}.", keep_missing)
+                for i, v in enumerate(template)]
     key = prefix[:-1]
     if key not in flat:
+        if keep_missing:
+            return template
         raise KeyError(f"missing parameter {key}")
     got, want = flat[key].shape, np.asarray(template).shape
     if got != want:
@@ -190,6 +201,161 @@ def fsmn_vad_rules(n_layers: int = 4) -> List[Rule]:
     return rules
 
 
+def sambert_rules(n_enc: int, n_pnca: int, n_postnet: int) -> List[Rule]:
+    """KAN-TTS Sambert state_dict ↔ models/sambert.py pytree (PNCA decoder).
+
+    PROVISIONAL: torch names follow the public KAN-TTS module layout
+    (text_encoder FFT stack, dur/pitch/energy predictors, mel_decoder PNCA
+    layers with dual X/H attention, mel postnet); exact names must be
+    reconciled against a mounted `speech_sambert-hifigan_tts_zh-cn_16k`
+    checkpoint with `tools/convert_checkpoint --family sambert --diff`,
+    which reports every unmapped tensor. Known gap: the real postnet uses
+    BatchNorm (fold to per-channel affine at conversion); ours uses
+    LayerNorm until a real state dict pins the geometry.
+
+    The NAR fast-mode decoder (`decoder`, `mel_out`) is framework-only and
+    intentionally unmapped — convert with keep_missing=True.
+    """
+    rules: List[Rule] = [
+        ("embed.table", "text_encoder.embedding.weight"),
+        ("spk.table", "spk_tokenizer.weight"),
+    ]
+    for i in range(n_enc):
+        s, d = f"text_encoder.layer_stack.{i}", f"encoder.{i}"
+        rules += [
+            (f"{d}.norm1.g", f"{s}.slf_attn.layer_norm.weight"),
+            (f"{d}.norm1.b", f"{s}.slf_attn.layer_norm.bias"),
+            (f"{d}.attn.q.w", f"{s}.slf_attn.w_qs.weight!t"),
+            (f"{d}.attn.q.b", f"{s}.slf_attn.w_qs.bias"),
+            (f"{d}.attn.k.w", f"{s}.slf_attn.w_ks.weight!t"),
+            (f"{d}.attn.k.b", f"{s}.slf_attn.w_ks.bias"),
+            (f"{d}.attn.v.w", f"{s}.slf_attn.w_vs.weight!t"),
+            (f"{d}.attn.v.b", f"{s}.slf_attn.w_vs.bias"),
+            (f"{d}.attn.out.w", f"{s}.slf_attn.fc.weight!t"),
+            (f"{d}.attn.out.b", f"{s}.slf_attn.fc.bias"),
+            (f"{d}.norm2.g", f"{s}.pos_ffn.layer_norm.weight"),
+            (f"{d}.norm2.b", f"{s}.pos_ffn.layer_norm.bias"),
+            (f"{d}.ffn.w1.w", f"{s}.pos_ffn.w_1.weight!t"),
+            (f"{d}.ffn.w1.b", f"{s}.pos_ffn.w_1.bias"),
+            (f"{d}.ffn.w2.w", f"{s}.pos_ffn.w_2.weight!t"),
+            (f"{d}.ffn.w2.b", f"{s}.pos_ffn.w_2.bias"),
+        ]
+    for name in ("duration", "pitch", "energy"):
+        s = {"duration": "dur_predictor", "pitch": "pitch_predictor",
+             "energy": "energy_predictor"}[name]
+        rules += [
+            (f"{name}.c1.w", f"{s}.conv1.weight"),
+            (f"{name}.c1.b", f"{s}.conv1.bias"),
+            (f"{name}.ln1.g", f"{s}.ln1.weight"),
+            (f"{name}.ln1.b", f"{s}.ln1.bias"),
+            (f"{name}.c2.w", f"{s}.conv2.weight"),
+            (f"{name}.c2.b", f"{s}.conv2.bias"),
+            (f"{name}.ln2.g", f"{s}.ln2.weight"),
+            (f"{name}.ln2.b", f"{s}.ln2.bias"),
+            (f"{name}.out.w", f"{s}.linear.weight!t"),
+            (f"{name}.out.b", f"{s}.linear.bias"),
+        ]
+    rules += [
+        ("pitch_embed.w", "pitch_embedding.conv.weight"),
+        ("pitch_embed.b", "pitch_embedding.conv.bias"),
+        ("energy_embed.w", "energy_embedding.conv.weight"),
+        ("energy_embed.b", "energy_embedding.conv.bias"),
+    ]
+    for i in range(n_pnca):
+        s, d = f"mel_decoder.layer_stack.{i}", f"pnca.layers.{i}"
+        rules += [
+            (f"{d}.q.w", f"{s}.pnca_attn.w_qs.weight!t"),
+            (f"{d}.q.b", f"{s}.pnca_attn.w_qs.bias"),
+            (f"{d}.kx.w", f"{s}.pnca_attn.w_ks_x.weight!t"),
+            (f"{d}.kx.b", f"{s}.pnca_attn.w_ks_x.bias"),
+            (f"{d}.vx.w", f"{s}.pnca_attn.w_vs_x.weight!t"),
+            (f"{d}.vx.b", f"{s}.pnca_attn.w_vs_x.bias"),
+            (f"{d}.kh.w", f"{s}.pnca_attn.w_ks_h.weight!t"),
+            (f"{d}.kh.b", f"{s}.pnca_attn.w_ks_h.bias"),
+            (f"{d}.vh.w", f"{s}.pnca_attn.w_vs_h.weight!t"),
+            (f"{d}.vh.b", f"{s}.pnca_attn.w_vs_h.bias"),
+            (f"{d}.fc.w", f"{s}.pnca_attn.fc.weight!t"),
+            (f"{d}.fc.b", f"{s}.pnca_attn.fc.bias"),
+            (f"{d}.norm_attn.g", f"{s}.pnca_attn.layer_norm.weight"),
+            (f"{d}.norm_attn.b", f"{s}.pnca_attn.layer_norm.bias"),
+            (f"{d}.ffn.w1.w", f"{s}.pos_ffn.w_1.weight!t"),
+            (f"{d}.ffn.w1.b", f"{s}.pos_ffn.w_1.bias"),
+            (f"{d}.ffn.w2.w", f"{s}.pos_ffn.w_2.weight!t"),
+            (f"{d}.ffn.w2.b", f"{s}.pos_ffn.w_2.bias"),
+            (f"{d}.norm_ffn.g", f"{s}.pos_ffn.layer_norm.weight"),
+            (f"{d}.norm_ffn.b", f"{s}.pos_ffn.layer_norm.bias"),
+        ]
+    rules += [
+        ("pnca.prenet.fc1.w", "mel_decoder.prenet.fc1.weight!t"),
+        ("pnca.prenet.fc1.b", "mel_decoder.prenet.fc1.bias"),
+        ("pnca.prenet.fc2.w", "mel_decoder.prenet.fc2.weight!t"),
+        ("pnca.prenet.fc2.b", "mel_decoder.prenet.fc2.bias"),
+        ("pnca.prenet.proj.w", "mel_decoder.prenet.proj.weight!t"),
+        ("pnca.prenet.proj.b", "mel_decoder.prenet.proj.bias"),
+        ("pnca.mel_out.w", "mel_decoder.mel_out.weight!t"),
+        ("pnca.mel_out.b", "mel_decoder.mel_out.bias"),
+    ]
+    for i in range(n_postnet):
+        rules += [
+            (f"postnet.{i}.conv.w", f"mel_postnet.conv_stack.{i}.conv.weight"),
+            (f"postnet.{i}.conv.b", f"mel_postnet.conv_stack.{i}.conv.bias"),
+            (f"postnet.{i}.ln.g", f"mel_postnet.conv_stack.{i}.norm.weight"),
+            (f"postnet.{i}.ln.b", f"mel_postnet.conv_stack.{i}.norm.bias"),
+        ]
+    return rules
+
+
+def hifigan_rules(n_ups: int = 4, n_res_kernels: int = 3,
+                  n_res_convs: int = 3) -> List[Rule]:
+    """Standard HiFi-GAN V1 generator state_dict ↔ models/hifigan.py pytree.
+
+    Real checkpoints store weight-normed tensors (weight_g/weight_v); run
+    `fold_weight_norm` on the state dict first. Torch resblocks are a flat
+    list indexed i*n_kernels + j; ours nest [up][kernel]."""
+    rules: List[Rule] = [
+        ("conv_pre.w", "conv_pre.weight"),
+        ("conv_pre.b", "conv_pre.bias"),
+        ("conv_post.w", "conv_post.weight"),
+        ("conv_post.b", "conv_post.bias"),
+    ]
+    for i in range(n_ups):
+        rules += [(f"ups.{i}.w", f"ups.{i}.weight"),
+                  (f"ups.{i}.b", f"ups.{i}.bias")]
+        for j in range(n_res_kernels):
+            s = f"resblocks.{i * n_res_kernels + j}"
+            d = f"resblocks.{i}.{j}"
+            for c in range(n_res_convs):
+                rules += [
+                    (f"{d}.convs1.{c}.w", f"{s}.convs1.{c}.weight"),
+                    (f"{d}.convs1.{c}.b", f"{s}.convs1.{c}.bias"),
+                    (f"{d}.convs2.{c}.w", f"{s}.convs2.{c}.weight"),
+                    (f"{d}.convs2.{c}.b", f"{s}.convs2.{c}.bias"),
+                ]
+    return rules
+
+
+def fold_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Fold torch weight_norm parametrization: weight = g · v/‖v‖ (norm over
+    all dims except 0). Leaves other tensors untouched."""
+    out: Dict[str, np.ndarray] = {}
+    done = set()
+    for name in sd:
+        if name.endswith("weight_v"):
+            base = name[: -len("weight_v")]  # keeps the trailing "." if any
+            g = np.asarray(sd[base + "weight_g"], np.float32)
+            v = np.asarray(sd[name], np.float32)
+            axes = tuple(range(1, v.ndim))
+            norm = np.sqrt((v * v).sum(axis=axes, keepdims=True))
+            out[base + "weight"] = (g * v / np.maximum(norm, 1e-12)).astype(
+                np.float32)
+            done.add(name)
+            done.add(base + "weight_g")
+    for name, arr in sd.items():
+        if name not in done:
+            out[name] = arr
+    return out
+
+
 _TRANSFORMS: Dict[str, Callable[[np.ndarray], np.ndarray]] = {
     "": lambda a: a,
     "t": lambda a: a.T,
@@ -213,8 +379,12 @@ def _parse(torch_name: str) -> Tuple[str, str]:
 
 
 def convert_state_dict(sd: Dict[str, np.ndarray], rules: List[Rule],
-                       template: Any, strict: bool = True) -> Any:
-    """Torch state_dict (as numpy) → param pytree shaped like `template`."""
+                       template: Any, strict: bool = True,
+                       keep_missing: bool = False) -> Any:
+    """Torch state_dict (as numpy) → param pytree shaped like `template`.
+
+    keep_missing: template leaves without a rule keep their (random-init)
+    value — for framework-only parameters real checkpoints don't carry."""
     flat: Dict[str, np.ndarray] = {}
     missing = []
     for jax_path, torch_spec in rules:
@@ -228,7 +398,7 @@ def convert_state_dict(sd: Dict[str, np.ndarray], rules: List[Rule],
         if strict:
             raise KeyError(msg)
         logger.warning(msg)
-    return unflatten_like(template, flat)
+    return unflatten_like(template, flat, keep_missing=keep_missing)
 
 
 def invert_to_state_dict(params: Any, rules: List[Rule]) -> Dict[str, np.ndarray]:
@@ -252,8 +422,15 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def convert_or_load_cached(model_dir: str, template: Any, rules: List[Rule],
-                           cache_name: str = "jax_params.npz") -> Any:
-    """Resolve `model_dir/model.pt` → converted pytree, with `.npz` cache."""
+                           cache_name: str = "jax_params.npz",
+                           keep_missing: bool = False,
+                           pre_transform: Optional[
+                               Callable[[Dict[str, np.ndarray]],
+                                        Dict[str, np.ndarray]]] = None) -> Any:
+    """Resolve `model_dir/model.pt` → converted pytree, with `.npz` cache.
+
+    pre_transform: state-dict preprocessing (e.g. fold_weight_norm for
+    HiFi-GAN's weight-normed generators)."""
     cache = os.path.join(model_dir, cache_name)
     if os.path.exists(cache):
         return load_converted(cache, template)
@@ -261,7 +438,10 @@ def convert_or_load_cached(model_dir: str, template: Any, rules: List[Rule],
         src = os.path.join(model_dir, fname)
         if os.path.exists(src):
             sd = load_torch_state_dict(src)
-            params = convert_state_dict(sd, rules, template)
+            if pre_transform is not None:
+                sd = pre_transform(sd)
+            params = convert_state_dict(sd, rules, template,
+                                        keep_missing=keep_missing)
             try:
                 save_converted(cache, params)
             except OSError:  # read-only model dir — conversion still works

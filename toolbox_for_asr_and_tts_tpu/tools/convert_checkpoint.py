@@ -22,10 +22,11 @@ import numpy as np
 
 logger = logging.getLogger("toolbox.convert")
 
-FAMILIES = ("paraformer", "fsmn_vad")
+FAMILIES = ("paraformer", "fsmn_vad", "sambert", "hifigan")
 
 
-def convert(family: str, model_dir: str) -> str:
+def _family_setup(family: str):
+    """(template, rules, convert kwargs) per model family."""
     import jax
     from ..runtime import checkpoints as ckpt
     if family == "paraformer":
@@ -33,14 +34,37 @@ def convert(family: str, model_dir: str) -> str:
         cfg = paraformer.ParaformerConfig()
         template = paraformer.init_params(jax.random.PRNGKey(0), cfg)
         rules = ckpt.paraformer_rules(cfg.encoder_layers, cfg.decoder_layers)
-    elif family == "fsmn_vad":
+        return template, rules, {}
+    if family == "fsmn_vad":
         from ..models import fsmn_vad
         cfg = fsmn_vad.FsmnVadConfig()
         template = fsmn_vad.init_params(jax.random.PRNGKey(0), cfg)
         rules = ckpt.fsmn_vad_rules(cfg.fsmn_layers)
-    else:
-        raise SystemExit(f"unknown family {family}; choose from {FAMILIES}")
-    params = ckpt.convert_or_load_cached(model_dir, template, rules)
+        return template, rules, {}
+    if family == "sambert":
+        from ..models import sambert
+        cfg = sambert.SambertConfig()
+        template = sambert.init_params(jax.random.PRNGKey(0), cfg)
+        rules = ckpt.sambert_rules(cfg.encoder_layers, cfg.pnca_layers,
+                                   cfg.postnet_layers)
+        # NAR fast-mode decoder is framework-only → keep random init
+        return template, rules, {"keep_missing": True}
+    if family == "hifigan":
+        from ..models import hifigan
+        from ..runtime.checkpoints import fold_weight_norm
+        cfg = hifigan.HifiGanConfig()
+        template = hifigan.init_params(jax.random.PRNGKey(0), cfg)
+        rules = ckpt.hifigan_rules(len(cfg.upsample_rates),
+                                   len(cfg.resblock_kernels),
+                                   len(cfg.resblock_dilations[0]))
+        return template, rules, {"pre_transform": fold_weight_norm}
+    raise SystemExit(f"unknown family {family}; choose from {FAMILIES}")
+
+
+def convert(family: str, model_dir: str) -> str:
+    from ..runtime import checkpoints as ckpt
+    template, rules, kwargs = _family_setup(family)
+    params = ckpt.convert_or_load_cached(model_dir, template, rules, **kwargs)
     out = os.path.join(model_dir, "jax_params.npz")
     if not os.path.exists(out):
         ckpt.save_converted(out, params)
@@ -53,18 +77,11 @@ def diff(family: str, model_dir: str) -> None:
     """Weight-level diff: every mapped tensor must round-trip exactly."""
     from ..runtime import checkpoints as ckpt
     sd = ckpt.load_torch_state_dict(_find_ckpt(model_dir))
-    import jax
-    if family == "paraformer":
-        from ..models import paraformer
-        cfg = paraformer.ParaformerConfig()
-        template = paraformer.init_params(jax.random.PRNGKey(0), cfg)
-        rules = ckpt.paraformer_rules(cfg.encoder_layers, cfg.decoder_layers)
-    else:
-        from ..models import fsmn_vad
-        cfg = fsmn_vad.FsmnVadConfig()
-        template = fsmn_vad.init_params(jax.random.PRNGKey(0), cfg)
-        rules = ckpt.fsmn_vad_rules(cfg.fsmn_layers)
-    params = ckpt.convert_state_dict(sd, rules, template, strict=False)
+    template, rules, kwargs = _family_setup(family)
+    if kwargs.get("pre_transform") is not None:
+        sd = kwargs["pre_transform"](sd)
+    params = ckpt.convert_state_dict(sd, rules, template, strict=False,
+                                     keep_missing=True)
     back = ckpt.invert_to_state_dict(params, rules)
     worst = 0.0
     for name, arr in back.items():
