@@ -120,3 +120,56 @@ def test_asr_wake_module_api():
     # ungated call recognizes
     out = asr_wake(wav, use_wake=False, use_llm=False, engines=engines)
     assert isinstance(out, str)
+
+
+# Golden table derived from thuduj12/fst_itn_zh behavior (VERDICT item #6):
+# dates, ordinals, fractions, currency, phone numbers, negatives, ranges.
+ITN_GOLDEN = [
+    # cardinals & units (round-1 coverage)
+    ("血压一百二十毫米汞柱", "血压120毫米汞柱"),
+    ("体温三十八点五度", "体温38.5度"),
+    ("血氧百分之九十八", "血氧98%"),
+    ("一千零二十四", "1024"),
+    ("三万五千六百", "35600"),
+    ("两亿三千万", "230000000"),
+    # permille / fractions
+    ("千分之三", "3‰"),
+    ("三分之一的患者", "1/3的患者"),
+    ("四分之三剂量", "3/4剂量"),
+    # ordinals
+    ("第三十五次复查", "第35次复查"),
+    ("第三名", "第3名"),
+    # dates
+    ("二零二四年一月五号", "2024年1月5号"),
+    ("一九九八年十二月三十一日", "1998年12月31日"),
+    # negatives
+    ("负三点五度", "-3.5度"),
+    ("负十八", "-18"),
+    # ranges
+    ("服用三到五天", "服用3到5天"),
+    ("每次一至两片", "每次1至2片"),
+    # currency
+    ("挂号费五十块钱", "挂号费50块钱"),
+    ("三百元", "300元"),
+    # phone numbers (幺 = 1)
+    ("电话幺三八零零幺三八零零零", "电话13800138000"),
+    ("拨打幺二零", "拨打120"),     # 幺 marks a digit readout even when short
+    # lexical 一 must survive
+    ("我们一起去", "我们一起去"),
+    ("一些建议", "一些建议"),
+    ("万一有问题", "万一有问题"),
+    ("想到五月再说", "想到5月再说"),
+    # times
+    ("下午三点二十", "下午3点20"),
+    ("三点半", "3点半"),
+]
+
+
+@pytest.mark.parametrize("src,want", ITN_GOLDEN,
+                         ids=[s for s, _ in ITN_GOLDEN])
+def test_itn_golden_table(src, want):
+    assert apply_itn(src) == want
+
+
+def test_itn_decimal_with_measure_unit():
+    assert apply_itn("体重三点二千克") == "体重3.2千克"

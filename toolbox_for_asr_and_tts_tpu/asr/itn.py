@@ -1,11 +1,14 @@
 """Inverse text normalization (ITN): spoken Chinese numbers → digits.
 
 Equivalent of the `thuduj12/fst_itn_zh` FST the reference's C++ FunASR
-runtime applies to offline results (voice-service/start.py:82-95). Covers
-the patterns medical dialogue actually produces: cardinal numbers
+runtime applies to offline results (voice-service/start.py:82-95). Round-2
+coverage (VERDICT item #6) matches the FST's categories: cardinals
 (一百二十三 → 123), decimals (三点五 → 3.5), percentages (百分之八十 → 80%),
-and common unit contexts (一百二十毫米汞柱, 三十八度五). Pure host-side
-string processing.
+permille (千分之三 → 3‰), fractions (三分之一 → 1/3), ordinals (第三十五 →
+第35), dates (二零二四年一月五号 → 2024年1月5号), negative numbers
+(负三点五 → -3.5), ranges (三到五天 → 3到5天), currency (五十块钱 → 50块钱),
+phone/ID digit strings with 幺 (幺三八… → 138…), and measure-word contexts.
+Pure host-side string processing; golden table in tests/test_itn_demo_cli.py.
 """
 from __future__ import annotations
 
@@ -51,6 +54,10 @@ def parse_cn_number(s: str) -> Optional[int]:
     for ch, mult in (("亿", _BIG_UNITS["亿"]), ("万", _BIG_UNITS["万"])):
         if ch in rest:
             left, rest = rest.split(ch, 1)
+            # a bare 万/亿 with no leading section is lexical (万一, 亿万),
+            # never a spoken number — numbers always carry the multiplier
+            if not left:
+                return None
             sec = _parse_section(left)
             if sec is None:
                 return None
@@ -63,9 +70,26 @@ def parse_cn_number(s: str) -> Optional[int]:
     return total
 
 
-_PERCENT_RE = re.compile(f"百分之([{_NUM_CHARS}]+(?:点[{_NUM_CHARS}]+)?)")
-_DECIMAL_RE = re.compile(f"([{_NUM_CHARS}]+)点([零一二两三四五六七八九]+)")
+_PERCENT_RE = re.compile(f"(百|千)分之([{_NUM_CHARS}]+(?:点[{_NUM_CHARS}]+)?)")
+_FRACTION_RE = re.compile(f"([{_NUM_CHARS}]+)分之([{_NUM_CHARS}]+)")
+_DECIMAL_RE = re.compile(
+    # block when the "fraction" is really a following number unit (三点二十
+    # is a TIME, 3点20) — unless that unit starts a measure word (三点二千克
+    # IS the decimal 3.2 kg)
+    f"([{_NUM_CHARS}]+)点([零一二两三四五六七八九]+)"
+    "(?!(?:十|[百千万亿](?![克米帕瓦升])))")
 _NUMBER_RE = re.compile(f"[{_NUM_CHARS}]{{2,}}|[一二两三四五六七八九]")
+# digit-string readouts: ≥5 plain digits, or ≥3 containing 幺 (幺 only ever
+# appears in phone/code readouts — 幺二零 → 120); enforced in the callback
+_PHONE_RE = re.compile("[零一二三四五六七八九幺]{3,}")
+_PHONE_DIGITS = {**{c: str(d) for c, d in _DIGITS.items()}, "零": "0",
+                 "幺": "1"}
+# measure/unit words that license converting a single spoken digit
+_UNIT_CONTEXT = re.compile(
+    r"^(毫米|毫克|千克|公斤|厘米|毫升|小时|分钟|岁|次|天|周|月|年|度|号|日|点|倍|"
+    r"粒|片|克|秒|升|条|支|针|盒|瓶|袋|mg|ml|kg|cm|mm)")
+# characters that license a single digit by ADJACENCY (ranges, ordinals)
+_RANGE_NEXT = ("到", "至", "或")
 
 
 def _fmt_decimal(int_part: str, frac_part: str) -> Optional[str]:
@@ -76,37 +100,76 @@ def _fmt_decimal(int_part: str, frac_part: str) -> Optional[str]:
     return f"{n}.{frac}"
 
 
+def _num_or_decimal(s: str) -> Optional[str]:
+    if "点" in s:
+        ip, fp = s.split("点", 1)
+        return _fmt_decimal(ip, fp)
+    n = parse_cn_number(s)
+    return None if n is None else str(n)
+
+
 def apply_itn(text: str) -> str:
-    """Convert spoken-form numbers in text to digit form."""
+    """Convert spoken-form numbers in text to digit form (fst_itn_zh scope)."""
+    # 1) phone/ID digit strings (幺 = 1) — before cardinals so 幺三八... wins
+    def phone(m):
+        s = m.group(0)
+        if "幺" not in s and len(s) < 5:
+            return s  # short plain strings stay for the cardinal pass (年份…)
+        return "".join(_PHONE_DIGITS[c] for c in s)
+
+    text = _PHONE_RE.sub(phone, text)
+
+    # 2) percent / permille
     def pct(m):
-        inner = m.group(1)
-        if "点" in inner:
-            ip, fp = inner.split("点", 1)
-            d = _fmt_decimal(ip, fp)
-            return f"{d}%" if d else m.group(0)
-        n = parse_cn_number(inner)
-        return f"{n}%" if n is not None else m.group(0)
+        d = _num_or_decimal(m.group(2))
+        if d is None:
+            return m.group(0)
+        return f"{d}{'%' if m.group(1) == '百' else '‰'}"
 
     text = _PERCENT_RE.sub(pct, text)
 
+    # 3) general fractions: 三分之一 → 1/3 (denominator first in Chinese)
+    def frac(m):
+        den = parse_cn_number(m.group(1))
+        num_ = parse_cn_number(m.group(2))
+        if den is None or num_ is None:
+            return m.group(0)
+        return f"{num_}/{den}"
+
+    text = _FRACTION_RE.sub(frac, text)
+
+    # 4) decimals
     def dec(m):
         d = _fmt_decimal(m.group(1), m.group(2))
         return d if d else m.group(0)
 
     text = _DECIMAL_RE.sub(dec, text)
 
+    # 5) cardinals (with single-digit gating by context)
     def num(m):
         s = m.group(0)
         # single 一/二/两 etc. are usually lexical (一起, 一些) — require a
-        # numeric context: digit-like neighbors or measure/unit words
+        # numeric context: measure/unit words, 第-ordinal, range links
         n = parse_cn_number(s)
         if n is None:
             return s
-        end = m.end()
-        nxt = text[end:end + 2] if end < len(text) else ""
-        if len(s) == 1 and not re.match(
-                r"^(毫米|毫克|千克|公斤|厘米|岁|次|天|周|月|年|度|号|点|倍|粒|片|mg|ml)", nxt):
-            return s
+        if len(s) == 1:
+            start, end = m.start(), m.end()
+            prev = text[start - 1] if start else ""
+            licensed = (prev == "第"                      # ordinal 第三 → 第3
+                        or prev in _RANGE_NEXT            # 三到五: the 五 side
+                        or bool(_UNIT_CONTEXT.match(text[end:end + 2])))
+            if not licensed and text[end:end + 1] in _RANGE_NEXT:
+                # 三到五天: the 三 side — license only when the other side
+                # looks numeric (想到五月 must not turn 想到 into a range)
+                after = text[end + 1: end + 2]
+                licensed = after in _NUM_CHARS or after.isdigit()
+            if not licensed:
+                return s
         return str(n)
 
-    return _NUMBER_RE.sub(num, text)
+    text = _NUMBER_RE.sub(num, text)
+
+    # 6) negatives: 负 directly before a converted number → minus sign
+    text = re.sub(r"负(?=\d)", "-", text)
+    return text
