@@ -31,10 +31,10 @@ def all_symbols():
     seen = set()
     for f in FINALS:
         for tone in range(1, 6):
-            s = f"{f}{tone}"
-            if s not in seen:
-                seen.add(s)
-                syms.append(s)
+            for s in (f"{f}{tone}", f"{f}r{tone}"):  # plain + erhua rhotic
+                if s not in seen:
+                    seen.add(s)
+                    syms.append(s)
     syms += [chr(c) for c in range(ord("a"), ord("z") + 1)]
     syms += [str(d) for d in range(10)]
     syms += [f"char_{i}" for i in range(4096)]
@@ -52,6 +52,7 @@ PINYIN_TABLE = {
     "就": "jiu4", "要": "yao4", "会": "hui4", "能": "neng2", "可": "ke3",
     "以": "yi3", "这": "zhe4", "那": "na4", "什": "shen2", "么": "me5",
     "吗": "ma5", "呢": "ne5", "吧": "ba5", "啊": "a5", "哦": "o5",
+    "哪": "na3", "儿": "er2", "谁": "shei2", "自": "zi4", "己": "ji3",
     "嗯": "en1", "请": "qing3", "到": "dao4", "去": "qu4", "来": "lai2",
     "上": "shang4", "下": "xia4", "前": "qian2", "后": "hou4",
     "左": "zuo3", "右": "you4", "里": "li3", "外": "wai4", "中": "zhong1",

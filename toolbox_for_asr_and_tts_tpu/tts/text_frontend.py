@@ -156,16 +156,34 @@ def split_pinyin(syllable: str) -> Tuple[str, str, int]:
 
 
 class G2P:
-    """Character → phoneme sequence using the pinyin lexicon.
+    """Text → pinyin syllables → phoneme sequence (ttsfrd-parity rules).
+
+    Pipeline (replacing the reference's native ttsfrd frontend,
+    tts-service/Dockerfile:61-64):
+      1. greedy longest-match segmentation against the polyphone word
+         lexicon (tts/polyphones.py) — 银行→hang2, 重要→zhong4 etc. — with
+         per-character fallback readings;
+      2. erhua: a trailing 儿 of a lexicalized 儿化 word rhotacizes the
+         previous final (一点儿 → dianr3) instead of being a syllable;
+      3. tone sandhi: 一 (yi2 before tone 4, yi4 before 1/2/3, yi1 in
+         ordinals/numbers), 不 (bu2 before tone 4), and third-tone chains
+         (all but the last of a 3-tone run become tone 2).
 
     Out-of-lexicon CJK characters map to a per-char token (`char_<cp>`), so
     synthesis still works end-to-end; latin letters/digits map to themselves.
     """
 
-    def __init__(self, lexicon: Optional[Dict[str, str]] = None):
+    def __init__(self, lexicon: Optional[Dict[str, str]] = None,
+                 words: Optional[Dict[str, str]] = None):
+        from .polyphones import ERHUA_WORDS, WORD_PINYIN
         self.lexicon = dict(PINYIN_TABLE)
         if lexicon:
             self.lexicon.update(lexicon)
+        self.words = dict(WORD_PINYIN)
+        if words:
+            self.words.update(words)
+        self.erhua = set(ERHUA_WORDS)
+        self._max_word = max(len(w) for w in self.words)
 
     @classmethod
     def with_lexicon_file(cls, path: str) -> "G2P":
@@ -178,17 +196,102 @@ class G2P:
                     lex[parts[0]] = parts[1]
         return cls(lex)
 
+    # ------------------------------------------------------------ stages
+    def _segment(self, text: str) -> List[Tuple[str, Optional[str]]]:
+        """[(char, syllable-or-None)] with polyphone words resolved."""
+        items: List[Tuple[str, Optional[str]]] = []
+        i = 0
+        n = len(text)
+        while i < n:
+            matched = False
+            for ln in range(min(self._max_word, n - i), 1, -1):
+                w = text[i:i + ln]
+                if w in self.words:
+                    for ch, sy in zip(w, self.words[w].split()):
+                        items.append((ch, sy))
+                    i += ln
+                    matched = True
+                    break
+            if not matched:
+                ch = text[i]
+                items.append((ch, self.lexicon.get(ch)))
+                i += 1
+        return items
+
+    def _apply_erhua(self, items: List[Tuple[str, Optional[str]]]
+                     ) -> List[Tuple[str, Optional[str]]]:
+        out: List[Tuple[str, Optional[str]]] = []
+        for ch, sy in items:
+            if (ch == "儿" and out and out[-1][1]
+                    and any("".join(c for c, _ in out[-(k - 1):]) + "儿"
+                            in self.erhua for k in (2, 3))):
+                pch, psy = out[-1]
+                tone = psy[-1] if psy[-1].isdigit() else ""
+                base = psy[:-1] if tone else psy
+                out[-1] = (pch + "儿", f"{base}r{tone}")
+                continue
+            out.append((ch, sy))
+        return out
+
+    def _apply_sandhi(self, items: List[Tuple[str, Optional[str]]]
+                      ) -> List[Tuple[str, Optional[str]]]:
+        def tone_of(sy: Optional[str]) -> int:
+            return int(sy[-1]) if sy and sy[-1].isdigit() else 0
+
+        def retone(sy: str, t: int) -> str:
+            return (sy[:-1] if sy[-1].isdigit() else sy) + str(t)
+
+        out = list(items)
+        n = len(out)
+        # 一 / 不
+        for i, (ch, sy) in enumerate(out):
+            if sy is None:
+                continue
+            nxt = out[i + 1][1] if i + 1 < n else None
+            t_next = tone_of(nxt)
+            if ch == "一":
+                prev_ch = out[i - 1][0] if i else ""
+                next_ch = out[i + 1][0] if i + 1 < n else ""
+                in_number = (prev_ch == "第" or prev_ch in _NUM_NEIGHBORS
+                             or next_ch in _NUM_NEIGHBORS)
+                if not in_number and t_next:
+                    if t_next == 4:
+                        out[i] = (ch, retone(sy, 2))      # 一个 → yi2
+                    elif t_next in (1, 2, 3):
+                        out[i] = (ch, retone(sy, 4))      # 一天 → yi4
+            elif ch == "不" and t_next == 4:
+                out[i] = (ch, retone(sy, 2))              # 不是 → bu2
+        # third-tone chains: in a run of consecutive tone-3 syllables, all
+        # but the last become tone 2 (很好 → hen2 hao3)
+        run: List[int] = []
+        for i in range(n + 1):
+            t = tone_of(out[i][1]) if i < n else 0
+            if t == 3:
+                run.append(i)
+            else:
+                for j in run[:-1]:
+                    out[j] = (out[j][0], retone(out[j][1], 2))
+                run = []
+        return out
+
+    def pinyin(self, text: str) -> List[str]:
+        """Tone-numbered syllables after polyphone/erhua/sandhi — the golden
+        test surface (non-CJK and punctuation are skipped)."""
+        items = self._apply_sandhi(self._apply_erhua(self._segment(text)))
+        return [sy for _, sy in items if sy]
+
     def __call__(self, text: str) -> List[Phone]:
+        items = self._apply_sandhi(self._apply_erhua(self._segment(text)))
         phones: List[Phone] = []
-        for ch in text:
-            if ch in ALL_PUNCT or ch in "！？":
-                phones.append(Phone("#sil" if ch in STRONG_PUNCT else "#br",
-                                    is_punct=True))
-            elif ch in self.lexicon:
-                ini, fin, tone = split_pinyin(self.lexicon[ch])
+        for ch, sy in items:
+            if sy is not None:
+                ini, fin, tone = split_pinyin(sy)
                 if ini:
                     phones.append(Phone(ini, 0))  # initials carry no tone
                 phones.append(Phone(fin, tone))
+            elif ch in ALL_PUNCT or ch in "！？":
+                phones.append(Phone("#sil" if ch in STRONG_PUNCT else "#br",
+                                    is_punct=True))
             elif ch.isascii() and ch.isalnum():
                 phones.append(Phone(ch.lower()))
             elif ch.isspace():
@@ -196,6 +299,9 @@ class G2P:
             else:
                 phones.append(Phone(f"char_{ord(ch) % 4096}"))
         return phones
+
+
+_NUM_NEIGHBORS = set("零一二两三四五六七八九十百千万亿0123456789")
 
 
 class PhoneVocab:
