@@ -6,8 +6,12 @@ returns `sentence_info`: per-sentence text, timestamps and speaker labels —
 the structure `finalize()` groups by speaker (voice_interface.py:2108-2170).
 
 TPU/host split (survey §7 hard parts): sentence embeddings run batched on
-the TPU (models/campplus.py); agglomerative clustering over the handful of
-sentence embeddings is sequential and runs on host numpy.
+the TPU (models/campplus.py); clustering over the handful of sentence
+embeddings is sequential and runs on host numpy. Default clusterer (round 2)
+is spectral clustering with eigengap speaker-count estimation — the same
+algorithm family FunASR's CAM++ diarization backend uses — with the round-1
+average-linkage agglomerative clusterer as a fallback; both are validated
+against synthetic-speaker ground truth in tests/test_diarization_cluster.py.
 """
 from __future__ import annotations
 
@@ -26,6 +30,84 @@ class Sentence:
     start_ms: int
     end_ms: int
     spk: int = 0
+
+
+def _renumber(labels: np.ndarray) -> np.ndarray:
+    """Renumber labels by first appearance (stable ids like the reference)."""
+    order: Dict[int, int] = {}
+    out = np.zeros(len(labels), np.int32)
+    for i, l in enumerate(labels):
+        if int(l) not in order:
+            order[int(l)] = len(order)
+        out[i] = order[int(l)]
+    return out
+
+
+def _kmeans(x: np.ndarray, k: int, seed: int = 0, iters: int = 50
+            ) -> np.ndarray:
+    """Deterministic Lloyd k-means with farthest-point init."""
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    centers = [x[int(rng.integers(n))]]
+    for _ in range(1, k):
+        d = np.min([((x - c) ** 2).sum(-1) for c in centers], axis=0)
+        centers.append(x[int(np.argmax(d))])
+    c = np.stack(centers)
+    labels = np.zeros(n, np.int64)
+    for _ in range(iters):
+        d = ((x[:, None] - c[None]) ** 2).sum(-1)
+        new = d.argmin(1)
+        if (new == labels).all():
+            break
+        labels = new
+        for j in range(k):
+            if (labels == j).any():
+                c[j] = x[labels == j].mean(0)
+    return labels
+
+
+def spectral_cluster(embeddings: np.ndarray, max_speakers: int = 8,
+                     p_keep: float = 0.4, min_gap: float = 1e-3
+                     ) -> np.ndarray:
+    """Spectral clustering with eigengap speaker-count estimation — the
+    algorithm family behind FunASR's CAM++ diarization backend
+    (voice_interface.py:832-841 pipeline).
+
+    cosine affinity → per-row top-p pruning → symmetric normalized
+    Laplacian → number of speakers = largest eigengap among the smallest
+    eigenvalues (capped) → k-means on the spectral embedding.
+    """
+    n = len(embeddings)
+    if n == 0:
+        return np.zeros((0,), np.int32)
+    if n == 1:
+        return np.zeros((1,), np.int32)
+    x = np.asarray(embeddings, np.float64)
+    x = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-9)
+    if n == 2:  # eigengap needs ≥3 points; fall back to a cosine decision
+        same = float(x[0] @ x[1]) >= 0.60
+        return np.array([0, 0] if same else [0, 1], np.int32)
+    sim = np.clip((x @ x.T + 1.0) / 2.0, 0.0, 1.0)       # [0, 1] affinity
+    # per-row pruning: keep the top ceil(p*n) affinities (incl. self)
+    keep = max(2, int(np.ceil(p_keep * n)))
+    pruned = np.zeros_like(sim)
+    for i in range(n):
+        idx = np.argsort(sim[i])[-keep:]
+        pruned[i, idx] = sim[i, idx]
+    aff = (pruned + pruned.T) / 2.0
+    d = aff.sum(1)
+    d_isqrt = 1.0 / np.sqrt(np.maximum(d, 1e-12))
+    lap = np.eye(n) - d_isqrt[:, None] * aff * d_isqrt[None, :]
+    vals, vecs = np.linalg.eigh(lap)
+    k_max = min(max_speakers, n)
+    gaps = np.diff(vals[:k_max + 1])
+    # eigengap: ignore near-zero gaps (all-one-speaker case)
+    k = int(np.argmax(gaps)) + 1 if gaps.max() > min_gap else 1
+    if k == 1:
+        return np.zeros(n, np.int32)
+    emb = vecs[:, :k]
+    emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
+    return _renumber(_kmeans(emb, k))
 
 
 def cluster_embeddings(embeddings: np.ndarray, threshold: float = 0.60,
@@ -77,14 +159,16 @@ class Diarizer:
 
     def __init__(self, recognizer, verifier, punctuator=None,
                  cluster_threshold: float = 0.60,
-                 gap_split_ms: int = 800):
+                 gap_split_ms: int = 800, method: str = "spectral"):
         """gap_split_ms mirrors the reference's >800 ms-gap heuristic speaker
-        split (voice_interface.py:2108-2170)."""
+        split (voice_interface.py:2108-2170). method: "spectral" (FunASR's
+        algorithm family, default) or "agglomerative"."""
         self.recognizer = recognizer
         self.verifier = verifier
         self.punctuator = punctuator
         self.cluster_threshold = cluster_threshold
         self.gap_split_ms = gap_split_ms
+        self.method = method
 
     def _sentences_from_tokens(self, result) -> List[Sentence]:
         """Split a TranscribeResult into sentences at predicted sentence-final
@@ -127,7 +211,10 @@ class Diarizer:
             b = max(b, a + sample_rate // 10)  # ≥100 ms for an embedding
             segs.append(np.asarray(wav[a:b], np.float32))
         emb = self.verifier.embed(segs)
-        labels = cluster_embeddings(emb, self.cluster_threshold)
+        if self.method == "spectral":
+            labels = spectral_cluster(emb)
+        else:
+            labels = cluster_embeddings(emb, self.cluster_threshold)
         for s, l in zip(sents, labels):
             s.spk = int(l)
         if self.punctuator is not None:

@@ -13,10 +13,12 @@ Structure (CAM++ paper / speakerlab `CAMPPlus`):
     context-aware masking, dilations 1/2/2) with transit layers halving
     channels → stats pooling (mean ‖ std) → linear → 192-d embedding.
 
-The CAM gate here uses global+local pooled context (sigmoid gating), a
-simplification of the paper's multi-granularity pooling that preserves the
-structure/shapes for checkpoint mapping; refine during weight-conversion
-parity work.
+The CAM gate follows the paper/speakerlab `CAMLayer` exactly (round 2,
+VERDICT item #8): the dilated local conv's output is gated by
+sigmoid(W2·relu(W1·context)) where context = global masked mean + segment
+average pooling (seg_len=100 frames, broadcast back) over the post-bottleneck
+activations — the multi-granularity context the round-1 simplification
+lacked.
 
 Scoring is cosine similarity between length-normalized embeddings, exactly
 as the reference's SV pipeline consumes it.
@@ -45,6 +47,8 @@ class CampPlusConfig:
     block_dilations: Tuple[int, ...] = (1, 2, 2)
     kernel_size: int = 3
     embedding_size: int = 192
+    cam_seg_len: int = 100         # CAM segment-pooling window (frames)
+    cam_reduction: int = 2         # bottleneck reduction in the gate MLP
 
     @property
     def frontend(self) -> FrontendConfig:
@@ -113,13 +117,16 @@ def init_params(key, cfg: CampPlusConfig) -> nn.Params:
         layers = []
         for _ in range(n_layers):
             inner = cfg.bn_size * cfg.growth_rate
+            red = inner // cfg.cam_reduction
             layers.append({
                 "bn1": _bn_init(channels),
                 "lin": nn.linear_init(keys[next(ki)], channels, inner, bias=False),
                 "bn2": _bn_init(inner),
                 "conv": nn.conv1d_init(keys[next(ki)], inner, cfg.growth_rate,
                                        cfg.kernel_size, bias=False),
-                "cam_g": nn.linear_init(keys[next(ki)], channels, inner),
+                # CAM gate MLP (speakerlab CAMLayer.linear1/linear2)
+                "cam1": nn.linear_init(keys[next(ki)], inner, red),
+                "cam2": nn.linear_init(keys[next(ki)], red, cfg.growth_rate),
             })
             channels += cfg.growth_rate
         transit = None
@@ -159,20 +166,46 @@ def _fcm(p: nn.Params, feats: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, t, f * c)
 
 
-def _cam_dense_layer(p: nn.Params, x: jnp.ndarray, dilation: int,
-                     kernel: int, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """One CAM-DenseTDNN layer: bottleneck linear → CAM gate → dilated conv."""
-    h = nn.linear(p["lin"], jax.nn.relu(_bn(p["bn1"], x)))
-    # context-aware mask: global mean context → sigmoid gate on bottleneck
+def _seg_pool(h: jnp.ndarray, mask: Optional[jnp.ndarray],
+              seg_len: int) -> jnp.ndarray:
+    """Segment average pooling broadcast back to frames (CAMLayer
+    seg_pooling): [B, T, C] → per-seg_len-window means repeated over T."""
+    b, t, c = h.shape
+    n_seg = -(-t // seg_len)
+    pad = n_seg * seg_len - t
+    hp = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
     if mask is not None:
-        denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)[..., None]
-        ctx = (x * mask[..., None]).sum(axis=1, keepdims=True) / denom
+        mp = jnp.pad(mask, ((0, 0), (0, pad)))[..., None]
+        hp = hp * mp
+        cnt = jnp.maximum(mp.reshape(b, n_seg, seg_len, 1).sum(axis=2), 1.0)
     else:
-        ctx = x.mean(axis=1, keepdims=True)
-    h = h * jax.nn.sigmoid(nn.linear(p["cam_g"], ctx))
+        cnt = jnp.full((b, n_seg, 1), float(seg_len))
+        cnt = cnt.at[:, -1].set(float(seg_len - pad))
+    seg = hp.reshape(b, n_seg, seg_len, c).sum(axis=2) / cnt
+    return jnp.repeat(seg, seg_len, axis=1)[:, :t]
+
+
+def _cam_dense_layer(p: nn.Params, x: jnp.ndarray, dilation: int,
+                     kernel: int, mask: Optional[jnp.ndarray],
+                     seg_len: int = 100) -> jnp.ndarray:
+    """One CAM-DenseTDNN layer (speakerlab CAMDenseTDNNLayer + CAMLayer):
+    bn-relu → 1×1 bottleneck → bn-relu → dilated local conv, gated by
+    sigmoid(W2 relu(W1 (global mean + segment-pooled context)))."""
+    h = nn.linear(p["lin"], jax.nn.relu(_bn(p["bn1"], x)))
     h = jax.nn.relu(_bn(p["bn2"], h))
     pad = dilation * (kernel - 1) // 2
-    return nn.conv1d(p["conv"], h, padding=(pad, pad), dilation=dilation)
+    y = nn.conv1d(p["conv"], h, padding=(pad, pad), dilation=dilation)
+    # context-aware mask: global mean + multi-granularity segment pooling
+    if mask is not None:
+        m = mask[..., None]
+        gmean = (h * m).sum(axis=1, keepdims=True) / \
+            jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
+    else:
+        gmean = h.mean(axis=1, keepdims=True)
+    ctx = gmean + _seg_pool(h, mask, seg_len)
+    gate = jax.nn.sigmoid(nn.linear(p["cam2"],
+                                    jax.nn.relu(nn.linear(p["cam1"], ctx))))
+    return y * gate
 
 
 def forward(params: nn.Params, feats: jnp.ndarray,
@@ -188,7 +221,7 @@ def forward(params: nn.Params, feats: jnp.ndarray,
     for blk, dil, k in zip(params["blocks"], cfg.block_dilations,
                            [cfg.kernel_size] * len(params["blocks"])):
         for layer in blk["layers"]:
-            new = _cam_dense_layer(layer, x, dil, k, mask)
+            new = _cam_dense_layer(layer, x, dil, k, mask, cfg.cam_seg_len)
             x = jnp.concatenate([x, new], axis=-1)   # dense connectivity
         if blk["transit"] is not None:
             x = nn.linear(blk["transit"]["lin"],
