@@ -44,6 +44,19 @@ class SpeakerVerifier:
         params = campplus.init_params(jax.random.PRNGKey(seed), cfg)
         return cls(params, cfg, **kw)
 
+    @classmethod
+    def from_model_dir(cls, model_dir: str,
+                       cfg: Optional[campplus.CampPlusConfig] = None,
+                       **kw) -> "SpeakerVerifier":
+        """Converted `speech_campplus_sv_zh-cn_16k-common` checkpoint dir."""
+        import jax as _jax
+        from ..runtime import checkpoints as ckpt
+        cfg = cfg or campplus.CampPlusConfig()
+        template = campplus.init_params(_jax.random.PRNGKey(0), cfg)
+        params = ckpt.convert_or_load_cached(
+            model_dir, template, ckpt.campplus_rules(cfg.block_layers))
+        return cls(params, cfg, **kw)
+
     def _fn(self, b: int, n_samples: int):
         key = (b, n_samples)
         if key not in self._fns:

@@ -73,8 +73,7 @@ def _bn(p: nn.Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 def _conv2d_init(key, c_in, c_out, k, stride):
     scale = 1.0 / np.sqrt(c_in * k * k)
     return {"w": jax.random.uniform(key, (c_out, c_in, k, k), jnp.float32,
-                                    -scale, scale),
-            "stride": None}  # stride kept static at call site
+                                    -scale, scale)}
 
 
 def _conv2d(p, x, stride: Tuple[int, int], padding: int = 1):
@@ -89,26 +88,39 @@ def _conv2d(p, x, stride: Tuple[int, int], padding: int = 1):
 def init_params(key, cfg: CampPlusConfig) -> nn.Params:
     n_blocks = len(cfg.block_layers)
     total_layers = sum(cfg.block_layers)
-    keys = jax.random.split(key, 16 + 4 * total_layers + 2 * n_blocks)
+    keys = jax.random.split(key, 24 + 4 * total_layers + 2 * n_blocks)
     ki = iter(range(len(keys)))
 
+    def resblock(stride: int):
+        blk = {
+            "c1": _conv2d_init(keys[next(ki)], cfg.fcm_channels,
+                               cfg.fcm_channels, 3, (stride, 1)),
+            "b1": _bn_init(cfg.fcm_channels),
+            "c2": _conv2d_init(keys[next(ki)], cfg.fcm_channels,
+                               cfg.fcm_channels, 3, (1, 1)),
+            "b2": _bn_init(cfg.fcm_channels),
+            "sc": None, "sbn": None,
+        }
+        if stride != 1:  # speakerlab BasicResBlock: 1×1 conv + BN shortcut
+            blk["sc"] = _conv2d_init(keys[next(ki)], cfg.fcm_channels,
+                                     cfg.fcm_channels, 1, (stride, 1))
+            blk["sbn"] = _bn_init(cfg.fcm_channels)
+        return blk
+
+    # speakerlab FCM: conv1(s1) → layer1[s2, s1] → layer2[s2, s1] → conv2
+    # (s(2,1)) — freq 80 → 10, out 32×10 = 320 per frame
     fcm = {
-        "conv1": _conv2d_init(keys[next(ki)], 1, cfg.fcm_channels, 3, (2, 1)),
+        "conv1": _conv2d_init(keys[next(ki)], 1, cfg.fcm_channels, 3, (1, 1)),
         "bn1": _bn_init(cfg.fcm_channels),
-        "res": [],
-        "conv2": _conv2d_init(keys[next(ki)], cfg.fcm_channels, cfg.fcm_channels, 3, (2, 1)),
+        "layer1": [resblock(2), resblock(1)],
+        "layer2": [resblock(2), resblock(1)],
+        "conv2": _conv2d_init(keys[next(ki)], cfg.fcm_channels,
+                              cfg.fcm_channels, 3, (2, 1)),
         "bn2": _bn_init(cfg.fcm_channels),
     }
-    for _ in range(2):  # two residual blocks, second downsamples freq
-        fcm["res"].append({
-            "c1": _conv2d_init(keys[next(ki)], cfg.fcm_channels, cfg.fcm_channels, 3, (1, 1)),
-            "b1": _bn_init(cfg.fcm_channels),
-            "c2": _conv2d_init(keys[next(ki)], cfg.fcm_channels, cfg.fcm_channels, 3, (1, 1)),
-            "b2": _bn_init(cfg.fcm_channels),
-        })
 
     channels = cfg.init_channels
-    tdnn = {
+    tdnn = {  # speakerlab TDNNLayer: Conv1d k=5 STRIDE 2, then bn-relu
         "w": nn.conv1d_init(keys[next(ki)], cfg.fcm_out_dim, channels, 5),
         "bn": _bn_init(channels),
     }
@@ -139,7 +151,7 @@ def init_params(key, cfg: CampPlusConfig) -> nn.Params:
             out_ch = channels // 2
         else:
             out_ch = channels
-        blocks.append({"layers": layers, "transit": transit, "dilation": None})
+        blocks.append({"layers": layers, "transit": transit})
         channels = out_ch
 
     return {
@@ -147,23 +159,34 @@ def init_params(key, cfg: CampPlusConfig) -> nn.Params:
         "tdnn": tdnn,
         "blocks": blocks,
         "out_bn": _bn_init(channels),
-        "embed": nn.linear_init(keys[next(ki)], 2 * channels, cfg.embedding_size),
+        # speakerlab DenseLayer: 1×1 conv (bias=False) + non-affine BatchNorm
+        "embed": nn.linear_init(keys[next(ki)], 2 * channels,
+                                cfg.embedding_size, bias=False),
+        "embed_bn": {"mean": jnp.zeros((cfg.embedding_size,)),
+                     "var": jnp.ones((cfg.embedding_size,))},
     }
 
 
 def _fcm(p: nn.Params, feats: jnp.ndarray) -> jnp.ndarray:
-    """feats [B, T, 80] → [B, T, 320] via 2-D conv front-end (freq ↓8)."""
+    """feats [B, T, 80] → [B, T, 320] via 2-D conv front-end (freq ↓8),
+    speakerlab FCM structure (conv1 s1, two 2-block res layers s2/s1 with
+    conv shortcuts, conv2 s(2,1))."""
     x = jnp.transpose(feats, (0, 2, 1))[..., None]       # [B, F, T, 1]
-    x = jax.nn.relu(_bn(p["bn1"], _conv2d(p["conv1"], x, (2, 1))))
-    for i, r in enumerate(p["res"]):
-        stride = (2, 1) if i == 1 else (1, 1)
-        h = jax.nn.relu(_bn(r["b1"], _conv2d(r["c1"], x, stride)))
-        h = _bn(r["b2"], _conv2d(r["c2"], h, (1, 1)))
-        sc = x if stride == (1, 1) else x[:, ::2]
-        x = jax.nn.relu(h + sc)
-    x = jax.nn.relu(_bn(p["bn2"], _conv2d(p["conv2"], x, (2, 1))))  # freq ↓8 total
+    x = jax.nn.relu(_bn(p["bn1"], _conv2d(p["conv1"], x, (1, 1))))
+    for layer in ("layer1", "layer2"):
+        for i, r in enumerate(p[layer]):
+            stride = (2, 1) if i == 0 else (1, 1)
+            h = jax.nn.relu(_bn(r["b1"], _conv2d(r["c1"], x, stride)))
+            h = _bn(r["b2"], _conv2d(r["c2"], h, (1, 1)))
+            if r["sc"] is not None:
+                sc = _bn(r["sbn"], _conv2d(r["sc"], x, stride, padding=0))
+            else:
+                sc = x
+            x = jax.nn.relu(h + sc)
+    x = jax.nn.relu(_bn(p["bn2"], _conv2d(p["conv2"], x, (2, 1))))  # ↓8 total
     b, f, t, c = x.shape
-    return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, t, f * c)
+    # channel-major flatten like torch's [B, C, F, T] → [B, C*F, T]
+    return jnp.transpose(x, (0, 2, 3, 1)).reshape(b, t, c * f)
 
 
 def _seg_pool(h: jnp.ndarray, mask: Optional[jnp.ndarray],
@@ -212,12 +235,17 @@ def forward(params: nn.Params, feats: jnp.ndarray,
             lengths: Optional[jnp.ndarray] = None,
             cfg: CampPlusConfig = CampPlusConfig()) -> jnp.ndarray:
     """fbank feats [B, T, 80] (mean-normalized) → embeddings [B, 192]."""
+    t_in = feats.shape[1]
+    x = _fcm(params["fcm"], feats)
+    # TDNN: k=5 stride=2 pad=2 (speakerlab) — halves the frame rate
+    x = jax.nn.relu(_bn(params["tdnn"]["bn"],
+                        nn.conv1d(params["tdnn"]["w"], x, stride=2,
+                                  padding=(2, 2))))
     mask = None
     if lengths is not None:
-        mask = nn.length_mask(lengths, feats.shape[1])
-    x = _fcm(params["fcm"], feats)
-    x = jax.nn.relu(_bn(params["tdnn"]["bn"],
-                        nn.conv1d(params["tdnn"]["w"], x, padding=(2, 2))))
+        # valid frames after the stride-2 conv: (L + 2·2 − 5)//2 + 1
+        out_lens = jnp.maximum((lengths - 1) // 2 + 1, 1)
+        mask = nn.length_mask(out_lens, x.shape[1])
     for blk, dil, k in zip(params["blocks"], cfg.block_dilations,
                            [cfg.kernel_size] * len(params["blocks"])):
         for layer in blk["layers"]:
@@ -229,14 +257,17 @@ def forward(params: nn.Params, feats: jnp.ndarray,
     x = jax.nn.relu(_bn(params["out_bn"], x))
     if mask is not None:
         m = mask[..., None]
-        denom = jnp.maximum(m.sum(axis=1), 1.0)
+        denom = jnp.maximum(m.sum(axis=1), 2.0)
         mean = (x * m).sum(axis=1) / denom
-        var = ((x - mean[:, None]) ** 2 * m).sum(axis=1) / denom
+        var = ((x - mean[:, None]) ** 2 * m).sum(axis=1) / (denom - 1.0)
     else:
+        n = x.shape[1]
         mean = x.mean(axis=1)
-        var = x.var(axis=1)
+        var = x.var(axis=1) * (n / max(n - 1, 1))    # unbiased, torch .std()
     stats = jnp.concatenate([mean, jnp.sqrt(var + 1e-7)], axis=-1)
-    return nn.linear(params["embed"], stats)
+    emb = nn.linear(params["embed"], stats)
+    bn = params["embed_bn"]  # non-affine BN (speakerlab DenseLayer tail)
+    return (emb - bn["mean"]) * jax.lax.rsqrt(bn["var"] + 1e-5)
 
 
 def cosine_score(a: np.ndarray, b: np.ndarray) -> float:

@@ -173,6 +173,26 @@ class Punctuator:
         params = init_params(jax.random.PRNGKey(seed), cfg)
         return cls(params, cfg, vocab or PuncVocab.dummy(cfg.vocab_size))
 
+    @classmethod
+    def from_model_dir(cls, model_dir: str,
+                       cfg: Optional[CTTransformerConfig] = None
+                       ) -> "Punctuator":
+        """Converted `punc_ct-transformer_...-large` checkpoint dir."""
+        import os
+        import jax as _jax
+        from ..runtime import checkpoints as ckpt
+        cfg = cfg or CTTransformerConfig()
+        template = init_params(_jax.random.PRNGKey(0), cfg)
+        params = ckpt.convert_or_load_cached(
+            model_dir, template, ckpt.ct_transformer_rules(cfg.num_layers))
+        vocab = None
+        for cand in ("tokens.json", "tokens.txt"):
+            p = os.path.join(model_dir, cand)
+            if os.path.exists(p):
+                vocab = PuncVocab.load(p)
+                break
+        return cls(params, cfg, vocab or PuncVocab.dummy(cfg.vocab_size))
+
     def _fn(self, t: int):
         if t not in self._fns:
             self._fns[t] = jax.jit(

@@ -143,6 +143,30 @@ class KeywordSpotter:
         self._fns: Dict[int, object] = {}
 
     @classmethod
+    def from_model_dir(cls, model_dir: str, cfg: Optional[KwsConfig] = None,
+                       keyword: str = "小护", **kw) -> "KeywordSpotter":
+        """Converted `speech_charctc_kws_phone-xiaohu` checkpoint dir."""
+        import os
+        import jax as _jax
+        from ..runtime import checkpoints as ckpt
+        cfg = cfg or KwsConfig()
+        template = init_params(_jax.random.PRNGKey(0), cfg)
+        params = ckpt.convert_or_load_cached(
+            model_dir, template, ckpt.kws_rules(cfg.num_layers))
+        chars: Dict[str, int] = {}
+        for cand in ("tokens.json", "tokens.txt", "keywords.txt"):
+            p = os.path.join(model_dir, cand)
+            if os.path.exists(p):
+                with open(p, encoding="utf-8") as f:
+                    toks = [ln.rstrip("\n").split()[0] for ln in f
+                            if ln.strip()]
+                chars = {t: i for i, t in enumerate(toks)}
+                break
+        if not chars:
+            chars = {chr(0x4E00 + i): i + 1 for i in range(cfg.vocab_size - 1)}
+        return cls(params, cfg, chars, keyword=keyword, **kw)
+
+    @classmethod
     def random(cls, cfg: Optional[KwsConfig] = None, seed: int = 0,
                keyword: str = "小护", **kw) -> "KeywordSpotter":
         cfg = cfg or KwsConfig(vocab_size=64, hidden_dim=32, proj_dim=16,

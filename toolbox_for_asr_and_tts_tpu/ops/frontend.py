@@ -27,6 +27,19 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+# Pallas fused frame/window stage for fbank on TPU (ops/pallas/frame_window):
+# compiled-on-chip since round 2; flip off to fall back to the XLA gather
+USE_PALLAS_FRAMING = False  # measured slower than XLA's fused gather — see
+                            # benchmarks/RESULTS.md microbenchmarks
+
+
+def _on_tpu() -> bool:
+    import jax as _jax
+    try:
+        return _jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
 EPSILON = 1.1920928955078125e-07  # torch.finfo(float32).eps — kaldi energy floor
 
 
@@ -141,20 +154,28 @@ def fbank(x: jnp.ndarray, cfg: FrontendConfig = FrontendConfig(),
         x = x * 32768.0
     t_max = num_fbank_frames(x.shape[1], cfg)
     t = t_frames if t_frames is not None else t_max
-    idx = _frame_indices(t, cfg)
-    # strided gather: (B, T, L)
-    frames = x[:, idx]
-    if cfg.remove_dc_offset:
-        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
-    if cfg.preemphasis != 0.0:
-        # kaldi: offset frame where first sample is duplicated
-        prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
-        frames = frames - cfg.preemphasis * prev
-    win = jnp.asarray(_window_coeffs(cfg))
-    frames = frames * win
-    # zero-pad to n_fft and real FFT
-    pad = cfg.n_fft - cfg.frame_length
-    frames = jnp.pad(frames, ((0, 0), (0, 0), (0, pad)))
+    if USE_PALLAS_FRAMING and _on_tpu():
+        from .pallas.frame_window import frame_window
+        frames = frame_window(x, jnp.asarray(_window_coeffs(cfg), jnp.float32),
+                              t, cfg.frame_length, cfg.frame_shift, cfg.n_fft,
+                              preemphasis=cfg.preemphasis,
+                              remove_dc=cfg.remove_dc_offset)
+    else:
+        idx = _frame_indices(t, cfg)
+        # strided gather: (B, T, L)
+        frames = x[:, idx]
+        if cfg.remove_dc_offset:
+            frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+        if cfg.preemphasis != 0.0:
+            # kaldi: offset frame where first sample is duplicated
+            prev = jnp.concatenate([frames[..., :1], frames[..., :-1]],
+                                   axis=-1)
+            frames = frames - cfg.preemphasis * prev
+        win = jnp.asarray(_window_coeffs(cfg))
+        frames = frames * win
+        # zero-pad to n_fft and real FFT
+        pad = cfg.n_fft - cfg.frame_length
+        frames = jnp.pad(frames, ((0, 0), (0, 0), (0, pad)))
     spec = jnp.fft.rfft(frames, axis=-1)[..., : cfg.n_fft // 2]
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     if not cfg.use_power:

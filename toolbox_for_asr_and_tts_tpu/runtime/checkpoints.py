@@ -54,6 +54,8 @@ def flatten_params(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
             out.update(flatten_params(v, f"{prefix}{i}."))
+    elif tree is None:
+        pass  # structural None (e.g. identity shortcut / absent transit)
     else:
         out[prefix[:-1]] = np.asarray(tree)
     return out
@@ -73,6 +75,8 @@ def unflatten_like(template: Any, flat: Dict[str, np.ndarray], prefix: str = "",
     if isinstance(template, (list, tuple)):
         return [unflatten_like(v, flat, f"{prefix}{i}.", keep_missing)
                 for i, v in enumerate(template)]
+    if template is None:
+        return None  # structural None stays None
     key = prefix[:-1]
     if key not in flat:
         if keep_missing:
@@ -305,6 +309,110 @@ def sambert_rules(n_enc: int, n_pnca: int, n_postnet: int) -> List[Rule]:
     return rules
 
 
+def _bn_rules(dst: str, src: str) -> List[Rule]:
+    return [(f"{dst}.g", f"{src}.weight"), (f"{dst}.b", f"{src}.bias"),
+            (f"{dst}.mean", f"{src}.running_mean"),
+            (f"{dst}.var", f"{src}.running_var")]
+
+
+def campplus_rules(block_layers=(12, 24, 16)) -> List[Rule]:
+    """speakerlab/3D-Speaker `CAMPPlus` state_dict ↔ models/campplus.py.
+
+    Matches the module tree of the `iic/speech_campplus_sv_zh-cn_16k-common`
+    checkpoint: head (FCM with conv shortcuts), xvector.tdnn,
+    xvector.block{b}.tdnnd{i} (nonlinear1/linear1/nonlinear2/cam_layer),
+    xvector.transit{b}, out_nonlinear, dense. 1×1 Conv1d weights map onto
+    our linears via the `c1x1` transform."""
+    rules: List[Rule] = [
+        ("fcm.conv1.w", "head.conv1.weight"),
+        *_bn_rules("fcm.bn1", "head.bn1"),
+        ("fcm.conv2.w", "head.conv2.weight"),
+        *_bn_rules("fcm.bn2", "head.bn2"),
+    ]
+    for li, layer in enumerate(("layer1", "layer2"), start=1):
+        for i in range(2):
+            s = f"head.layer{li}.{i}"
+            d = f"fcm.{layer}.{i}"
+            rules += [(f"{d}.c1.w", f"{s}.conv1.weight"),
+                      *_bn_rules(f"{d}.b1", f"{s}.bn1"),
+                      (f"{d}.c2.w", f"{s}.conv2.weight"),
+                      *_bn_rules(f"{d}.b2", f"{s}.bn2")]
+            if i == 0:  # stride-2 block has the conv shortcut
+                rules += [(f"{d}.sc.w", f"{s}.shortcut.0.weight"),
+                          *_bn_rules(f"{d}.sbn", f"{s}.shortcut.1")]
+    rules += [
+        ("tdnn.w.w", "xvector.tdnn.linear.weight"),
+        ("tdnn.w.b", "xvector.tdnn.linear.bias"),
+        *_bn_rules("tdnn.bn", "xvector.tdnn.nonlinear.batchnorm"),
+    ]
+    for b, n_layers in enumerate(block_layers, start=1):
+        for i in range(n_layers):
+            s = f"xvector.block{b}.tdnnd{i + 1}"
+            d = f"blocks.{b - 1}.layers.{i}"
+            rules += [
+                *_bn_rules(f"{d}.bn1", f"{s}.nonlinear1.batchnorm"),
+                (f"{d}.lin.w", f"{s}.linear1.weight!c1x1"),
+                *_bn_rules(f"{d}.bn2", f"{s}.nonlinear2.batchnorm"),
+                (f"{d}.conv.w", f"{s}.cam_layer.linear_local.weight"),
+                (f"{d}.cam1.w", f"{s}.cam_layer.linear1.weight!c1x1"),
+                (f"{d}.cam1.b", f"{s}.cam_layer.linear1.bias"),
+                (f"{d}.cam2.w", f"{s}.cam_layer.linear2.weight!c1x1"),
+                (f"{d}.cam2.b", f"{s}.cam_layer.linear2.bias"),
+            ]
+        if b < len(block_layers):
+            rules += [
+                *_bn_rules(f"blocks.{b - 1}.transit.bn",
+                           f"xvector.transit{b}.nonlinear.batchnorm"),
+                (f"blocks.{b - 1}.transit.lin.w",
+                 f"xvector.transit{b}.linear.weight!c1x1"),
+            ]
+    rules += [
+        *_bn_rules("out_bn", "xvector.out_nonlinear.batchnorm"),
+        ("embed.w", "xvector.dense.linear.weight!c1x1"),
+        ("embed_bn.mean", "xvector.dense.nonlinear.batchnorm.running_mean"),
+        ("embed_bn.var", "xvector.dense.nonlinear.batchnorm.running_var"),
+    ]
+    return rules
+
+
+def ct_transformer_rules(n_layers: int) -> List[Rule]:
+    """FunASR CT-Transformer punc ↔ models/ct_transformer.py: an embedding,
+    a SANM encoder (same layer naming as Paraformer's), and a linear
+    classifier (`decoder`)."""
+    rules: List[Rule] = [("embed.table", "embed.weight")]
+    rules += _enc_layer("encoder.encoders0.0", "encoder.layers.0")
+    for i in range(1, n_layers):
+        rules += _enc_layer(f"encoder.encoders.{i - 1}", f"encoder.layers.{i}")
+    rules += [
+        ("encoder.after_norm.g", "encoder.after_norm.weight"),
+        ("encoder.after_norm.b", "encoder.after_norm.bias"),
+        ("out.w", "decoder.weight!t"),
+        ("out.b", "decoder.bias"),
+    ]
+    return rules
+
+
+def kws_rules(n_layers: int = 4) -> List[Rule]:
+    """charctc KWS (DFSMN-CTC) ↔ models/kws_ctc.py. PROVISIONAL names in the
+    FunASR FSMN family layout (as fsmn_vad_rules); reconcile against the
+    real `speech_charctc_kws_phone-xiaohu` state dict with --diff."""
+    rules: List[Rule] = [
+        ("in.w", "encoder.in_linear1.linear.weight!t"),
+        ("in.b", "encoder.in_linear1.linear.bias"),
+        ("out.w", "encoder.out_linear1.linear.weight!t"),
+        ("out.b", "encoder.out_linear1.linear.bias"),
+    ]
+    for i in range(n_layers):
+        rules += [
+            (f"blocks.{i}.proj.w", f"encoder.fsmn.{i}.0.linear.weight!t"),
+            (f"blocks.{i}.fsmn.w",
+             f"encoder.fsmn.{i}.1.conv_left.weight!squeeze_flip"),
+            (f"blocks.{i}.affine.w", f"encoder.fsmn.{i}.2.linear.weight!t"),
+            (f"blocks.{i}.affine.b", f"encoder.fsmn.{i}.2.linear.bias"),
+        ]
+    return rules
+
+
 def hifigan_rules(n_ups: int = 4, n_res_kernels: int = 3,
                   n_res_convs: int = 3) -> List[Rule]:
     """Standard HiFi-GAN V1 generator state_dict ↔ models/hifigan.py pytree.
@@ -363,11 +471,14 @@ _TRANSFORMS: Dict[str, Callable[[np.ndarray], np.ndarray]] = {
     # to a time-REVERSED unfold (kaldi-style memory over past frames) — squeeze
     # the trailing dim and flip time to get our causal depthwise conv1d taps.
     "squeeze_flip": lambda a: a[..., 0][:, :, ::-1].copy(),
+    # torch 1×1 Conv1d [out, in, 1] → our linear [in, out]
+    "c1x1": lambda a: a[..., 0].T,
 }
 _INVERSE: Dict[str, Callable[[np.ndarray], np.ndarray]] = {
     "": lambda a: a,
     "t": lambda a: a.T,
     "squeeze_flip": lambda a: a[:, :, ::-1][..., None].copy(),
+    "c1x1": lambda a: a.T[..., None].copy(),
 }
 
 

@@ -102,19 +102,40 @@ def build_engines(model_dir: Optional[str] = None, use_mesh: bool = True):
     from ..models.ct_transformer import Punctuator
 
     from ..runtime.registry import resolve
-    asr_dir = resolve("paraformer_offline", model_dir)
-    if asr_dir is not None:
-        reco = Recognizer.from_model_dir(asr_dir, use_mesh=use_mesh)
-    else:
-        logger.warning("no ASR checkpoint dir; using randomly initialized "
-                       "Paraformer-large (structure-complete, untrained)")
-        reco = Recognizer.random(use_mesh=use_mesh)
-    sv = SpeakerVerifier.random()
-    punc = Punctuator.random()
+
+    def load(key: str, loader, fallback, what: str):
+        """Resolve + convert a family; LOUD warning on random fallback
+        (round-1 ADVICE: SV/punc/KWS silently served random weights)."""
+        d = resolve(key, model_dir)
+        if d is not None:
+            try:
+                eng = loader(d)
+                logger.info("%s loaded from %s", what, d)
+                return eng
+            except Exception:
+                logger.exception("FAILED converting %s checkpoint at %s — "
+                                 "FALLING BACK TO RANDOM WEIGHTS", what, d)
+        else:
+            logger.warning(
+                "NO %s checkpoint dir (registry key %r) — serving RANDOMLY "
+                "INITIALIZED weights: outputs are arbitrary until a real "
+                "model is mounted", what, key)
+        return fallback()
+
+    reco = load("paraformer_offline",
+                lambda d: Recognizer.from_model_dir(d, use_mesh=use_mesh),
+                lambda: Recognizer.random(use_mesh=use_mesh),
+                "ASR (Paraformer-large)")
+    sv = load("sv", SpeakerVerifier.from_model_dir, SpeakerVerifier.random,
+              "speaker verification (CAM++)")
+    punc = load("punc", Punctuator.from_model_dir, Punctuator.random,
+                "punctuation (CT-Transformer)")
+    kws_kw = dict(keyword=os.getenv("VOICE_KWS_KEYWORD", "小护"),
+                  threshold=float(os.getenv("VOICE_KWS_THRESHOLD", "1e9")))
+    kws = load("kws", lambda d: KeywordSpotter.from_model_dir(d, **kws_kw),
+               lambda: KeywordSpotter.random(**kws_kw),
+               "keyword spotting (charctc)")
     diar = Diarizer(reco, sv, punctuator=punc)
-    kws = KeywordSpotter.random(
-        keyword=os.getenv("VOICE_KWS_KEYWORD", "小护"),
-        threshold=float(os.getenv("VOICE_KWS_THRESHOLD", "1e9")))
     return VoiceEngines(diarizer=diar, kws=kws, verifier=sv,
                         vad_factory=_vad_factory(),
                         streaming_factory=_streaming_factory(reco))

@@ -22,7 +22,8 @@ import numpy as np
 
 logger = logging.getLogger("toolbox.convert")
 
-FAMILIES = ("paraformer", "fsmn_vad", "sambert", "hifigan")
+FAMILIES = ("paraformer", "fsmn_vad", "sambert", "hifigan", "campplus",
+            "punc", "kws")
 
 
 def _family_setup(family: str):
@@ -58,6 +59,21 @@ def _family_setup(family: str):
                                    len(cfg.resblock_kernels),
                                    len(cfg.resblock_dilations[0]))
         return template, rules, {"pre_transform": fold_weight_norm}
+    if family == "campplus":
+        from ..models import campplus
+        cfg = campplus.CampPlusConfig()
+        template = campplus.init_params(jax.random.PRNGKey(0), cfg)
+        return template, ckpt.campplus_rules(cfg.block_layers), {}
+    if family == "punc":
+        from ..models import ct_transformer
+        cfg = ct_transformer.CTTransformerConfig()
+        template = ct_transformer.init_params(jax.random.PRNGKey(0), cfg)
+        return template, ckpt.ct_transformer_rules(cfg.num_layers), {}
+    if family == "kws":
+        from ..models import kws_ctc
+        cfg = kws_ctc.KwsConfig()
+        template = kws_ctc.init_params(jax.random.PRNGKey(0), cfg)
+        return template, ckpt.kws_rules(cfg.num_layers), {}
     raise SystemExit(f"unknown family {family}; choose from {FAMILIES}")
 
 
