@@ -138,9 +138,45 @@ def bench_voiceloop() -> None:
                       "vs_baseline": round(streams / (1.0 / 0.05), 3)}))
 
 
+def bench_chunked_streams() -> None:
+    """Round 2: concurrent CHUNKED-encoder streaming sessions — S full-size
+    online Paraformer sessions (k/v caches, FunASR chunk geometry) advanced
+    by one 240 ms step in ONE jitted device call."""
+    import jax
+    import jax.numpy as jnp
+    from toolbox_for_asr_and_tts_tpu.models import paraformer
+    from toolbox_for_asr_and_tts_tpu.models import paraformer_online as po
+    from toolbox_for_asr_and_tts_tpu.parallel.stream_batcher import (
+        BatchedChunkedASR)
+
+    cfg = paraformer.ParaformerConfig()
+    params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
+    capacity = 64
+    ticker = BatchedChunkedASR(params, cfg,
+                               po.OnlineConfig(tokens_per_chunk=4),
+                               capacity=capacity)
+    slots = [ticker.join() for _ in range(capacity)]
+    rng = np.random.default_rng(0)
+    chunk_s = 0.24  # c1=4 LFR frames
+    chunk = {s: (rng.standard_normal(int(16000 * chunk_s)) * 0.1
+                 ).astype(np.float32) for s in slots}
+    ticker.tick(chunk)  # compile + upload
+    ticker.tick(chunk)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ticker.tick(chunk)
+    dt = (time.perf_counter() - t0) / iters
+    streams = capacity * chunk_s / dt
+    print(json.dumps({"metric": "chunked_streams_per_chip",
+                      "value": round(streams, 1), "unit": "streams",
+                      "vs_baseline": round(streams / 20.0, 3)}))
+
+
 ALL = {"offline": bench_offline, "batch": bench_batch,
        "streaming": bench_streaming, "tts": bench_tts,
-       "voiceloop": bench_voiceloop}
+       "voiceloop": bench_voiceloop, "chunked": bench_chunked_streams}
 
 
 def main() -> None:

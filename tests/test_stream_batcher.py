@@ -75,3 +75,61 @@ def test_uneven_lengths_keep_caches_exact(params):
         got = ticker.tick({a: ca, b: cb})
         assert got[a] == ia(ca), f"a diverged at step {step}"
         assert got[b] == ib(cb), f"b diverged at step {step}"
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("fused", [False, True], ids=["batched", "fused"])
+def test_batched_chunked_asr_matches_single_sessions(fused):
+    """S sessions through one BatchedChunkedASR tick == S independent
+    OnlineRecognizers, fired-embedding-for-fired-embedding — including a
+    session joining late and one leaving mid-stream. fused mode runs the
+    whole tick (audio→fbank→LFR→encoder→CIF) as ONE device program and
+    returns bf16 embeddings (looser tolerance)."""
+    import jax
+    import numpy as np
+    from toolbox_for_asr_and_tts_tpu.models import paraformer
+    from toolbox_for_asr_and_tts_tpu.models import paraformer_online as po
+    from toolbox_for_asr_and_tts_tpu.asr.tokenizer import CharTokenizer
+    from toolbox_for_asr_and_tts_tpu.parallel.stream_batcher import (
+        BatchedChunkedASR)
+
+    cfg = paraformer.ParaformerConfig(
+        input_dim=560, d_model=32, n_heads=2, ffn_dim=64,
+        encoder_layers=2, decoder_layers=2, vocab_size=64)
+    ocfg = po.OnlineConfig(c1=4, c2=5, encoder_look_back=2)
+    params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    audios = [(rng.standard_normal(16000) * 0.1).astype(np.float32)
+              for _ in range(3)]
+
+    ticker = BatchedChunkedASR(params, cfg, ocfg, capacity=4, fused=fused)
+    slots = [ticker.join(), ticker.join()]
+    got = {0: [], 1: [], 2: []}
+    step = 3200
+    for i in range(0, 16000, step):
+        if i == step * 2:           # third session joins late
+            slots.append(ticker.join())
+        if i == step * 3 and slots[1] is not None:
+            ticker.leave(slots[1])  # second session leaves mid-stream
+            slots[1] = None
+        chunks = {slots[j]: audios[j][i:i + step]
+                  for j in range(len(slots)) if slots[j] is not None}
+        fired = ticker.tick(chunks)
+        for j, s in enumerate(slots):
+            if s is not None and s in fired:
+                got[j].extend(fired[s])
+
+    # independent single-session references
+    tok = CharTokenizer.dummy(cfg.vocab_size)
+    for j, start in ((0, 0), (2, step * 2)):
+        reco = po.OnlineRecognizer(params, cfg, tok, ocfg)
+        for i in range(start, 16000, step):
+            reco.push_audio(audios[j][i:i + step])
+        want = reco._embeds
+        assert len(got[j]) == len(want), (j, len(got[j]), len(want))
+        rtol, atol = (3e-2, 5e-3) if fused else (1e-5, 1e-6)
+        for a, b in zip(got[j], want):
+            np.testing.assert_allclose(a, b, rtol=rtol, atol=atol,
+                                       err_msg=f"session {j}")

@@ -195,6 +195,97 @@ def predictor_chunk(params: nn.Params, enc_win: jnp.ndarray,
     return new_state, embeds, n_fired
 
 
+# ------------------------------------------------- fused device frontend
+def fused_buf_len(cfg: paraformer.ParaformerConfig, ocfg: OnlineConfig) -> int:
+    """Device audio ring size for `fused_step`: one step consumes A =
+    c1·lfr_n·shift samples and the LFR left context reaches left·shift
+    samples before the step's first frame."""
+    fcfg = cfg.frontend
+    left = (fcfg.lfr_m - 1) // 2
+    return ocfg.c1 * fcfg.lfr_n * fcfg.frame_shift + left * fcfg.frame_shift
+
+
+def init_fused_state(cfg: paraformer.ParaformerConfig, ocfg: OnlineConfig,
+                     b: int = 1) -> Dict:
+    state = init_state(cfg, ocfg, b)
+    state["abuf"] = jnp.zeros((b, fused_buf_len(cfg, ocfg)))
+    state["step_idx"] = jnp.zeros((b,), jnp.int32)
+    return state
+
+
+def fused_step(params: nn.Params, state: Dict, new_audio: jnp.ndarray,
+               cfg: paraformer.ParaformerConfig, ocfg: OnlineConfig,
+               cmvn: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+               k_cap: int = 8) -> Tuple[Dict, jnp.ndarray, jnp.ndarray]:
+    """ONE device program per streaming tick: audio → fbank → LFR → CMVN →
+    chunked encoder → CIF, with the audio tail resident on device.
+
+    new_audio: [B, A] raw samples (A = c1·lfr_n·shift — exactly one encoder
+    chunk's worth; the host buffers remainders). Returns (state', fired
+    embeds [B, k_cap, d] (bf16), n_fired [B]).
+
+    Numerically identical to StreamingFrontend+encode_chunk: LFR's
+    replicate-first-frame left context is reproduced by clamping global
+    fbank indices at 0 (only step 0 clamps, and frame 0 is still in the
+    ring then). The win is round trips: the per-session frontend cost S
+    device calls per tick, the batched frontend 2 — this is 1.
+    """
+    from ..ops import frontend as fe
+    fcfg = cfg.frontend
+    b, a = new_audio.shape
+    m, n_lfr = fcfg.lfr_m, fcfg.lfr_n
+    left = (m - 1) // 2
+    shift, flen = fcfg.frame_shift, fcfg.frame_length
+    assert a == ocfg.c1 * n_lfr * shift, "feed exactly one chunk of samples"
+    buf = jnp.concatenate([state["abuf"], new_audio], axis=1)[:, -(a + left * shift):]
+    # fbank frames this step: global k ∈ [F·s − left, F·s + F + m − 1 − left)
+    # where F = c1·n_lfr; local frame k_l starts at sample 160·k_l in `buf`
+    n_fb = (ocfg.c1 - 1) * n_lfr + m   # frames needed for c1 LFR outputs
+    # frame the ring: [B, n_fb, flen] via static strided gather
+    idx = (jnp.arange(n_fb)[:, None] * shift + jnp.arange(flen)[None, :])
+    frames = buf[:, idx]
+    if fcfg.int16_scale:
+        frames = frames * 32768.0
+    if fcfg.remove_dc_offset:
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    if fcfg.preemphasis:
+        prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+        frames = frames - fcfg.preemphasis * prev
+    frames = frames * jnp.asarray(fe._window_coeffs(fcfg))
+    pad = fcfg.n_fft - flen
+    frames = jnp.pad(frames, ((0, 0), (0, 0), (0, pad)))
+    spec = jnp.fft.rfft(frames, axis=-1)[..., : fcfg.n_fft // 2]
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    if not fcfg.use_power:
+        power = jnp.sqrt(power)
+    mel = jnp.einsum("btf,fm->btm", power,
+                     jnp.asarray(fe._mel_banks_np(fcfg)),
+                     preferred_element_type=jnp.float32)
+    fb = jnp.log(jnp.maximum(mel, fe.EPSILON))           # [B, n_fb, n_mels]
+    # LFR with replicate-first clamping (step 0 only): local fbank index of
+    # LFR (j, d) = max(F·s + j·n + d − left, 0) − (F·s − left)
+    f_per_step = ocfg.c1 * n_lfr
+    base = state["step_idx"][:, None, None] * f_per_step   # [B,1,1]
+    j = jnp.arange(ocfg.c1)[None, :, None]
+    d = jnp.arange(m)[None, None, :]
+    local = jnp.maximum(base + j * n_lfr + d - left, 0) - (base - left)
+    local = jnp.clip(local, 0, n_fb - 1)                   # [B, c1, m]
+    feats = jnp.take_along_axis(fb, local.reshape(b, -1)[..., None],
+                                axis=1).reshape(b, ocfg.c1, m * fcfg.n_mels)
+    if cmvn is not None:
+        feats = fe.apply_cmvn(feats, cmvn[0], cmvn[1])
+    new_state = dict(state)
+    new_state["abuf"] = buf                    # buf is already the last BUF
+    new_state["step_idx"] = state["step_idx"] + 1
+    new_state, enc = encode_chunk(params, new_state, feats, cfg, ocfg)
+    active = jnp.zeros((1, ocfg.window))
+    active = active.at[:, ocfg.c0: ocfg.c0 + ocfg.c1].set(1.0)
+    active = jnp.broadcast_to(active, (b, ocfg.window))
+    new_state, embeds, n = predictor_chunk(params, enc, active, new_state,
+                                           cfg, k_cap)
+    return new_state, embeds.astype(jnp.bfloat16), n
+
+
 def flush_tail(state: Dict, tail_threshold: float
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Final tail fire (FunASR forward_chunk is_final): a virtual frame with

@@ -122,6 +122,14 @@ class StreamingFrontend:
             self._audio = self._audio[consumed:]
         return self._drain_lfr()
 
+    def push_fbank(self, frames: np.ndarray) -> np.ndarray:
+        """Append precomputed fbank frames and drain LFR — the batched-
+        frontend path (parallel/stream_batcher.py computes ONE fbank call
+        for all sessions instead of one device dispatch per session)."""
+        if len(frames):
+            self._fbank.extend(np.asarray(frames, np.float32))
+        return self._drain_lfr()
+
     def _drain_lfr(self) -> np.ndarray:
         cfg = self.cfg
         m, n = cfg.lfr_m, cfg.lfr_n

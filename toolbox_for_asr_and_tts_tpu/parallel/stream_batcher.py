@@ -24,6 +24,195 @@ logger = logging.getLogger("toolbox.stream_batcher")
 CAPACITY_BUCKETS = (8, 16, 32, 64, 128)
 
 
+class BatchedChunkedASR:
+    """Fixed-capacity batched chunked-Paraformer encoder over live sessions.
+
+    The online state pytree (models/paraformer_online.py) is [S, …]-batched
+    by construction, so S sessions' 240 ms chunks run as ONE jitted
+    encode+CIF step per tick. Rows without a full c1-frame chunk this tick
+    are masked: they compute (on zero feats) but a masked merge reverts
+    every state leaf, so joining/leaving/starved sessions never pollute
+    their caches. Per-session NAR re-decode of fired embeddings stays
+    host-driven (it is per-utterance and rare next to the 2.5 Hz tick).
+    """
+
+    def __init__(self, params, cfg=None, ocfg=None, capacity: int = 16,
+                 cmvn: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                 fused: bool = True):
+        """fused=True (default): ONE device program per tick — the audio
+        ring lives on device and fbank/LFR/CMVN fuse with the encoder+CIF
+        (models/paraformer_online.fused_step). fused=False keeps the
+        host-frontend path (one batched fbank call + one encoder call)."""
+        import jax
+        from ..models import paraformer as pf
+        from ..models import paraformer_online as po
+        self._po = po
+        self.cfg = cfg or pf.ParaformerConfig()
+        self.ocfg = ocfg or po.OnlineConfig()
+        self.params = params
+        self.capacity = capacity
+        self.cmvn = cmvn
+        self.fused = fused
+        if fused:
+            fcfg = self.cfg.frontend
+            self.chunk_samples = self.ocfg.c1 * fcfg.lfr_n * fcfg.frame_shift
+            self.state = po.init_fused_state(self.cfg, self.ocfg, b=capacity)
+            c, o = self.cfg, self.ocfg
+            cm = None
+            if cmvn is not None:
+                import jax.numpy as jnp
+                cm = (jnp.asarray(cmvn[0]), jnp.asarray(cmvn[1]))
+
+            def fstep(p, state, audio, row_active):
+                new_state, embeds, n = po.fused_step(
+                    p, state, audio, c, o, cmvn=cm,
+                    k_cap=o.tokens_per_chunk)
+
+                def merge(new, old):
+                    m = row_active.reshape((-1,) + (1,) * (new.ndim - 1))
+                    return jax.numpy.where(m.astype(bool), new, old)
+                merged = jax.tree.map(merge, new_state, state)
+                return merged, embeds, n * row_active.astype(n.dtype)
+
+            self._fused_step = jax.jit(fstep)
+        else:
+            self.state = po.init_state(self.cfg, self.ocfg, b=capacity)
+        self._frontends: Dict[int, object] = {}
+        self._queues: Dict[int, np.ndarray] = {}
+        self._free = list(range(capacity))
+        self._lock = threading.Lock()
+        c, o, k_cap = self.cfg, self.ocfg, self.ocfg.tokens_per_chunk
+
+        def step(p, state, feats, row_active, active_win):
+            new_state, enc = po.encode_chunk(p, state, feats, c, o)
+            active = active_win[None, :] * row_active[:, None]
+            new_state, embeds, n = po.predictor_chunk(p, enc, active,
+                                                      new_state, c, k_cap)
+            # revert every state leaf for inactive rows
+            def merge(new, old):
+                m = row_active.reshape((-1,) + (1,) * (new.ndim - 1))
+                return jax.numpy.where(m.astype(bool), new, old)
+            merged = jax.tree.map(merge, new_state, state)
+            return merged, embeds, n
+
+        self._step = jax.jit(step)
+        w = self.ocfg.window
+        self._active_win = np.zeros((w,), np.float32)
+        self._active_win[self.ocfg.c0: self.ocfg.c0 + self.ocfg.c1] = 1.0
+        self._audio: Dict[int, np.ndarray] = {}
+        self._fbank_fns: Dict[Tuple[int, int], object] = {}
+
+    def _batched_fbank(self, rows: List[int]) -> None:
+        """ONE device fbank call for all rows with equal buffered audio;
+        per-session frontends only do the (host numpy) LFR drain."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops import frontend as fe
+        fcfg = self.cfg.frontend
+        by_len: Dict[int, List[int]] = {}
+        for s in rows:
+            by_len.setdefault(len(self._audio[s]), []).append(s)
+        for length, group in by_len.items():
+            n_frames = fe.num_fbank_frames(length, fcfg)
+            if n_frames <= 0:
+                continue
+            key = (len(group), length)
+            if key not in self._fbank_fns:
+                self._fbank_fns[key] = jax.jit(
+                    lambda a, n=n_frames: fe.fbank(a, fcfg, t_frames=n))
+            batch = np.stack([self._audio[s] for s in group])
+            fb = np.asarray(self._fbank_fns[key](jnp.asarray(batch)))
+            consumed = n_frames * fcfg.frame_shift
+            for i, s in enumerate(group):
+                self._audio[s] = self._audio[s][consumed:]
+                feats = self._frontends[s].push_fbank(fb[i])
+                if len(feats):
+                    self._queues[s] = np.concatenate(
+                        [self._queues[s], feats])
+
+    # ------------------------------------------------------------ rows
+    def join(self) -> int:
+        from ..models.paraformer_streaming import StreamingFrontend
+        with self._lock:
+            if not self._free:
+                raise RuntimeError("chunked-ASR ticker at capacity")
+            slot = self._free.pop()
+        if not self.fused:
+            self._frontends[slot] = StreamingFrontend(self.cfg.frontend,
+                                                      self.cmvn)
+            self._queues[slot] = np.zeros((0, self.cfg.input_dim), np.float32)
+        self._audio[slot] = np.zeros(0, np.float32)
+        self._reset_slot(slot)
+        return slot
+
+    def leave(self, slot: int) -> None:
+        with self._lock:
+            self._frontends.pop(slot, None)
+            self._queues.pop(slot, None)
+            self._audio.pop(slot, None)
+            self._reset_slot(slot)
+            self._free.append(slot)
+
+    def _reset_slot(self, slot: int) -> None:
+        import jax
+        self.state = jax.tree.map(lambda a: a.at[slot].set(0), self.state)
+
+    # ------------------------------------------------------------ tick
+    def tick(self, chunks: Dict[int, np.ndarray]
+             ) -> Dict[int, List[np.ndarray]]:
+        """chunks: slot → new audio. Returns slot → list of CIF-fired token
+        embeddings produced this tick (possibly several steps per tick)."""
+        import jax.numpy as jnp
+        c1 = self.ocfg.c1
+        for slot, audio in chunks.items():
+            self._audio[slot] = np.concatenate(
+                [self._audio.get(slot, np.zeros(0, np.float32)),
+                 np.asarray(audio, np.float32)])
+        fired: Dict[int, List[np.ndarray]] = {s: [] for s in chunks}
+        if self.fused:
+            a_len = self.chunk_samples
+            while True:
+                rows = [s for s, a in self._audio.items() if len(a) >= a_len]
+                if not rows:
+                    return fired
+                batch = np.zeros((self.capacity, a_len), np.float32)
+                row_active = np.zeros((self.capacity,), np.float32)
+                for s in rows:
+                    batch[s] = self._audio[s][:a_len]
+                    self._audio[s] = self._audio[s][a_len:]
+                    row_active[s] = 1.0
+                self.state, embeds, n = self._fused_step(
+                    self.params, self.state, jnp.asarray(batch),
+                    jnp.asarray(row_active))
+                n = np.asarray(n)
+                embeds = np.asarray(embeds).astype(np.float32)
+                for s in rows:
+                    if int(n[s]) > 0:
+                        fired.setdefault(s, []).extend(embeds[s, : int(n[s])])
+            return fired
+        self._batched_fbank(list(chunks))
+        while True:
+            rows = [s for s, q in self._queues.items() if len(q) >= c1]
+            if not rows:
+                break
+            batch = np.zeros((self.capacity, c1, self.cfg.input_dim),
+                             np.float32)
+            row_active = np.zeros((self.capacity,), np.float32)
+            for s in rows:
+                batch[s] = self._queues[s][:c1]
+                self._queues[s] = self._queues[s][c1:]
+                row_active[s] = 1.0
+            self.state, embeds, n = self._step(
+                self.params, self.state, jnp.asarray(batch),
+                jnp.asarray(row_active), jnp.asarray(self._active_win))
+            n = np.asarray(n)
+            embeds = np.asarray(embeds)
+            for s in rows:
+                if int(n[s]) > 0:
+                    fired.setdefault(s, []).extend(embeds[s, : int(n[s])])
+        return fired
+
+
 class BatchedVadTicker:
     """Fixed-capacity batched FSMN-VAD stepper over live sessions.
 
