@@ -436,3 +436,64 @@ def test_decoder_layer_isolated_parity(setup):
     got = np.asarray(xj)
     valid = tok_mask[..., None]
     np.testing.assert_allclose(got * valid, want * valid, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------- CT-Transformer (punc)
+def test_ct_transformer_full_model_parity():
+    """Full CT-Transformer (embed → SANM encoder → classifier) vs the torch
+    reference modules, weights through ct_transformer_rules (round 2)."""
+    from toolbox_for_asr_and_tts_tpu.models import ct_transformer as ctm
+
+    pcfg = ctm.CTTransformerConfig(
+        vocab_size=50, embed_dim=24, d_model=16, n_heads=2, ffn_dim=32,
+        num_layers=3, punc_size=6, right_context=-1)
+
+    class TorchCT(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embed = torch.nn.Embedding(pcfg.vocab_size, pcfg.embed_dim)
+            enc = torch.nn.Module()
+            enc.encoders0 = torch.nn.ModuleList([
+                EncoderLayerSANM(pcfg.embed_dim, pcfg.d_model, pcfg.n_heads,
+                                 pcfg.ffn_dim, pcfg.kernel_size)])
+            enc.encoders = torch.nn.ModuleList([
+                EncoderLayerSANM(pcfg.d_model, pcfg.d_model, pcfg.n_heads,
+                                 pcfg.ffn_dim, pcfg.kernel_size)
+                for _ in range(pcfg.num_layers - 1)])
+            enc.after_norm = LayerNorm(pcfg.d_model)
+            self.encoder = enc
+            self.decoder = torch.nn.Linear(pcfg.d_model, pcfg.punc_size)
+
+        def forward(self, ids, mask):
+            x = self.embed(ids) * pcfg.d_model ** 0.5
+            t, d = x.shape[1], x.shape[2]
+            pos = torch.arange(1, t + 1, dtype=torch.float32)[:, None]
+            half = d // 2
+            inv = torch.exp(torch.arange(half, dtype=torch.float32)
+                            * -(np.log(10000.0) / (half - 1)))
+            ang = pos * inv[None]
+            x = x + torch.cat([torch.sin(ang), torch.cos(ang)], -1)[None]
+            for layer in self.encoder.encoders0:
+                x = layer(x, mask)
+            for layer in self.encoder.encoders:
+                x = layer(x, mask)
+            return self.decoder(self.encoder.after_norm(x))
+
+    tmodel = TorchCT().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    template = ctm.init_params(jax.random.PRNGKey(0), pcfg)
+    rules = ckpt.ct_transformer_rules(pcfg.num_layers)
+    params = ckpt.convert_state_dict(sd, rules, template, strict=True)
+
+    rng = np.random.default_rng(4)
+    ids = rng.integers(1, pcfg.vocab_size, (2, 12)).astype(np.int32)
+    lens = np.array([12, 9], np.int32)
+    mask_t = torch.from_numpy(
+        (np.arange(12)[None] < lens[:, None]).astype(np.float32))
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(ids.astype(np.int64)), mask_t).numpy()
+    got = np.asarray(ctm.forward(params, jnp.asarray(ids), jnp.asarray(lens),
+                                 pcfg))
+    valid = np.asarray(nn.length_mask(jnp.asarray(lens), 12))[..., None]
+    np.testing.assert_allclose(got * valid, want * valid,
+                               rtol=2e-4, atol=2e-4)

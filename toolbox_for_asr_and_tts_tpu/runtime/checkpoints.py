@@ -198,7 +198,7 @@ def fsmn_vad_rules(n_layers: int = 4) -> List[Rule]:
     for i in range(n_layers):
         rules += [
             (f"blocks.{i}.proj.w", f"encoder.fsmn.{i}.0.linear.weight!t"),
-            (f"blocks.{i}.fsmn.w", f"encoder.fsmn.{i}.1.conv_left.weight!squeeze_flip"),
+            (f"blocks.{i}.fsmn.w", f"encoder.fsmn.{i}.1.conv_left.weight!squeeze"),
             (f"blocks.{i}.affine.w", f"encoder.fsmn.{i}.2.linear.weight!t"),
             (f"blocks.{i}.affine.b", f"encoder.fsmn.{i}.2.linear.bias"),
         ]
@@ -406,7 +406,7 @@ def kws_rules(n_layers: int = 4) -> List[Rule]:
         rules += [
             (f"blocks.{i}.proj.w", f"encoder.fsmn.{i}.0.linear.weight!t"),
             (f"blocks.{i}.fsmn.w",
-             f"encoder.fsmn.{i}.1.conv_left.weight!squeeze_flip"),
+             f"encoder.fsmn.{i}.1.conv_left.weight!squeeze"),
             (f"blocks.{i}.affine.w", f"encoder.fsmn.{i}.2.linear.weight!t"),
             (f"blocks.{i}.affine.b", f"encoder.fsmn.{i}.2.linear.bias"),
         ]
@@ -467,17 +467,20 @@ def fold_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 _TRANSFORMS: Dict[str, Callable[[np.ndarray], np.ndarray]] = {
     "": lambda a: a,
     "t": lambda a: a.T,
-    # FunASR VAD FSMNBlock conv_left is a Conv2d weight [d,1,lorder,1] applied
-    # to a time-REVERSED unfold (kaldi-style memory over past frames) — squeeze
-    # the trailing dim and flip time to get our causal depthwise conv1d taps.
-    "squeeze_flip": lambda a: a[..., 0][:, :, ::-1].copy(),
+    # FunASR VAD FSMNBlock conv_left is a depthwise Conv2d weight
+    # [d, 1, lorder, 1] applied to LEFT-padded frames — torch conv2d and our
+    # causal conv1d are both cross-correlations with kernel index 0 on the
+    # OLDEST frame, so the mapping is a plain trailing-dim squeeze. (Round 1
+    # shipped a time-flip here; the torch reference model in
+    # tests/test_fsmn_vad_torch_parity.py proved it reversed the memory.)
+    "squeeze": lambda a: a[..., 0],
     # torch 1×1 Conv1d [out, in, 1] → our linear [in, out]
     "c1x1": lambda a: a[..., 0].T,
 }
 _INVERSE: Dict[str, Callable[[np.ndarray], np.ndarray]] = {
     "": lambda a: a,
     "t": lambda a: a.T,
-    "squeeze_flip": lambda a: a[:, :, ::-1][..., None].copy(),
+    "squeeze": lambda a: a[..., None],
     "c1x1": lambda a: a.T[..., None].copy(),
 }
 
