@@ -24,6 +24,7 @@ import numpy as np
 
 from ..models import paraformer
 from ..ops import frontend as fe
+from ..ops import nn
 from ..runtime.bucketing import Bucketer
 from ..runtime.mesh import serving_mesh, batch_sharding, replicated_sharding
 from ..runtime.metrics import RTFMeter, timing_log
@@ -119,6 +120,8 @@ class Recognizer:
         return cls(params, cfg, tokenizer, cmvn=cmvn, **kw)
 
     # ----------------------------------------------------------- compiled
+    K_BUCKET = 16  # static token-count granularity for the rescoring pass
+
     def _fn_for(self, batch: int, n_samples: int, want_logits: bool):
         key = (batch, n_samples, want_logits)
         if key in self._compiled:
@@ -135,17 +138,38 @@ class Recognizer:
                 feats = fe.apply_cmvn(feats, cmvn[0], cmvn[1])
             feat_lens = fe.frontend_valid_frames(wav_lens, fcfg)
             out = paraformer.forward(params, feats, feat_lens, k_max, cfg)
-            if not want_logits:
-                # the [B, K, vocab] logits are ~MBs per batch; only fetch
-                # them when hotword/LM rescoring needs the distribution
-                out = {k: v for k, v in out.items() if k != "logits"}
-            return out
+            # never transfer the [B, K_max, vocab] logits; when rescoring
+            # needs the distribution, a second pass re-decodes at a TIGHT
+            # static K bucket (two-phase, like tts/synthesizer.py) using the
+            # encoder memory / CIF embeds kept ON DEVICE here
+            small = {k: v for k, v in out.items()
+                     if k not in ("logits", "enc", "embeds")}
+            device_side = {"enc": out["enc"], "embeds": out["embeds"],
+                           "feat_lens": feat_lens}
+            return small, device_side
 
         if self.mesh is not None:
             sh = batch_sharding(self.mesh)
             fn = jax.jit(run, in_shardings=(replicated_sharding(self.mesh), sh, sh))
         else:
             fn = jax.jit(run)
+        self._compiled[key] = fn
+        return fn
+
+    def _logits_fn(self, batch: int, t_lfr: int, k_b: int):
+        key = ("logits", batch, t_lfr, k_b)
+        if key in self._compiled:
+            return self._compiled[key]
+        cfg = self.cfg
+
+        def run(params, embeds, token_count, enc, feat_lens):
+            token_mask = nn.length_mask(jnp.minimum(token_count, k_b), k_b)
+            mem_mask = nn.length_mask(feat_lens, t_lfr)
+            logits = paraformer.decode(params, embeds[:, :k_b], token_mask,
+                                       enc, mem_mask, cfg)
+            return logits.astype(jnp.bfloat16)
+
+        fn = jax.jit(run)
         self._compiled[key] = fn
         return fn
 
@@ -165,8 +189,22 @@ class Recognizer:
         want_logits = bool(hotwords) or self.lm is not None
         t0 = time.perf_counter()
         fn = self._fn_for(batch.shape[0], batch.shape[1], want_logits)
-        out = fn(self.params, jnp.asarray(batch), jnp.asarray(lens))
+        out, device_side = fn(self.params, jnp.asarray(batch),
+                              jnp.asarray(lens))
         out = jax.tree.map(np.asarray, jax.block_until_ready(out))
+        logits_np = None
+        if want_logits and int(out["token_count"].max()) > 0:
+            # phase 2: re-decode at a tight K bucket so the fetched logits
+            # are ~K_true/K_max of the naive transfer, in bf16
+            kb = self.K_BUCKET
+            k_b = int(-(-int(out["token_count"].max()) // kb) * kb)
+            k_b = min(k_b, device_side["embeds"].shape[1])
+            lf = self._logits_fn(batch.shape[0],
+                                 device_side["enc"].shape[1], k_b)
+            logits_np = np.asarray(lf(
+                self.params, device_side["embeds"],
+                jnp.asarray(out["token_count"]), device_side["enc"],
+                device_side["feat_lens"])).astype(np.float32)
         proc_s = time.perf_counter() - t0
         timing_log("offline_asr_batch", proc_s * 1000)
         sr = self.fe_cfg.sample_rate
@@ -176,10 +214,10 @@ class Recognizer:
         for i in range(len(wavs)):
             n = int(out["token_count"][i])
             ids = out["tokens"][i, :n].tolist()
-            if n and (hotwords or self.lm is not None):
+            if n and logits_np is not None:
                 from scipy.special import log_softmax
                 logp = log_softmax(
-                    out["logits"][i, :n].astype(np.float64), axis=-1)
+                    logits_np[i, :n].astype(np.float64), axis=-1)
                 if self.lm is not None:
                     from .ngram_lm import lm_rescore
                     ids = lm_rescore(ids, logp, self.lm,

@@ -254,4 +254,8 @@ def forward(params: nn.Params, feats: jnp.ndarray, feat_lengths: jnp.ndarray,
         "token_count": token_count,
         "fire_frame": fire_frame,
         "alphas": alphas,
+        # device-side intermediates for two-phase rescoring (asr/recognizer):
+        # callers that fetch the dict should drop these first
+        "enc": enc,
+        "embeds": embeds,
     }
