@@ -56,7 +56,7 @@ def test_cif_matches_naive_loop():
     h = rng.standard_normal((T, D)).astype(np.float32)
     alphas = rng.uniform(0.05, 0.6, T).astype(np.float32)
     k_max = 32
-    embeds, count, fire = cif(jnp.asarray(h[None]), jnp.asarray(alphas[None]),
+    embeds, count, fire, _ = cif(jnp.asarray(h[None]), jnp.asarray(alphas[None]),
                               k_max, tail_threshold=0.0)
     want = naive_cif(h, alphas)
     n = int(count[0])
@@ -70,7 +70,7 @@ def test_cif_matches_naive_loop():
 def test_cif_tail_fires_partial_token():
     h = jnp.ones((1, 10, 4))
     alphas = jnp.full((1, 10), 0.17)  # total 1.7 → tail 0.45 pushes to 2.15
-    _, count, _ = cif(h, alphas, 8, tail_threshold=0.45)
+    _, count, _, _ = cif(h, alphas, 8, tail_threshold=0.45)
     assert int(count[0]) == 2
 
 
@@ -126,3 +126,26 @@ def test_batch_sharding_runs(params):
     sharded = jax.jit(lambda f, l: forward(params, f, l, k_max, TINY))(fs, ls)
     np.testing.assert_allclose(np.asarray(sharded["logits"]),
                                np.asarray(local["logits"]), rtol=1e-3, atol=1e-3)
+
+
+def test_cif_token_center_timestamps():
+    """Token centers are the α-weighted mean frame of each integration
+    window: monotonic, inside the window, strictly before the fire frame
+    for multi-frame tokens."""
+    import jax.numpy as jnp
+    from toolbox_for_asr_and_tts_tpu.models.paraformer import cif
+    rng = np.random.default_rng(0)
+    t, d = 20, 4
+    h = rng.standard_normal((1, t, d)).astype(np.float32)
+    alphas = np.full((1, t), 0.25, np.float32)   # token every 4 frames
+    emb, count, fire, center = cif(jnp.asarray(h), jnp.asarray(alphas), 8,
+                                   tail_threshold=0.0)
+    n = int(count[0])
+    assert n == 5
+    c = np.asarray(center[0, :n])
+    f = np.asarray(fire[0, :n])
+    assert np.all(np.diff(c) > 0), c        # monotonic
+    assert np.all(c <= f + 1e-6), (c, f)    # center ≤ fire frame
+    # token k spans frames [4k, 4k+4) → center ≈ middle of the window
+    want = np.array([4 * k + 1.5 for k in range(n)])
+    np.testing.assert_allclose(c, want, atol=0.6)

@@ -227,7 +227,10 @@ class Recognizer:
                     ids = apply_hotword_bias(ids, logp, hotwords,
                                              self.tokenizer.token_to_id)
             toks = self.tokenizer.ids_to_tokens(ids)
-            ts = (out["fire_frame"][i, :n].astype(np.float64)
+            # refined timestamps: CIF center of mass (α-weighted mean frame
+            # of the token's integration window) instead of the fire frame,
+            # which lands at the window's END (ROADMAP round-2 item)
+            ts = (out["token_center"][i, :n].astype(np.float64)
                   * self.frame_ms).astype(int).tolist()
             results.append(TranscribeResult(
                 text=self.tokenizer.ids_to_text(ids),

@@ -158,7 +158,8 @@ def predictor_alphas(params: nn.Params, enc: jnp.ndarray, mask: jnp.ndarray,
 
 
 def cif(enc: jnp.ndarray, alphas: jnp.ndarray, k_max: int,
-        tail_threshold: float = 0.45) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        tail_threshold: float = 0.45
+        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Continuous integrate-and-fire as a static-shape overlap matmul.
 
     Args:
@@ -168,8 +169,9 @@ def cif(enc: jnp.ndarray, alphas: jnp.ndarray, k_max: int,
 
     Returns:
         (embeds [B, K, D], token_count [B] int32, fire_frame [B, K] int32 —
-        the frame at which each token's integration crossed its boundary,
-        used for timestamps).
+        the frame at which each token's integration crossed its boundary —
+        and token_center [B, K] float32, the α-weighted mean frame of each
+        token's integration window: the refined timestamp).
 
     Tail handling (FunASR CifPredictorV2.tail_process_fn): a virtual tail
     frame with α = tail_threshold and zero hidden is appended, so a trailing
@@ -194,7 +196,14 @@ def cif(enc: jnp.ndarray, alphas: jnp.ndarray, k_max: int,
     # fire frame of token k = first frame where csum ≥ k+1
     fired = (csum[:, None, :] >= (k[None, :, None] + 1.0)).astype(jnp.int32)
     fire_frame = jnp.argmax(fired, axis=2).astype(jnp.int32)  # [B, K]
-    return embeds, token_count, fire_frame
+    # refined token time: CIF center of mass — the α-weighted mean frame of
+    # token k's integration window (the quantity FunASR's timestamp
+    # prediction derives from the same alphas; far tighter than the fire
+    # frame, which lands at the END of the window)
+    t_idx = jnp.arange(w.shape[-1], dtype=jnp.float32)
+    mass = jnp.maximum(w.sum(axis=2), 1e-6)                   # [B, K]
+    center = jnp.einsum("bkt,t->bk", w, t_idx) / mass         # [B, K]
+    return embeds, token_count, fire_frame, center
 
 
 # ----------------------------------------------------------------- decoder
@@ -243,8 +252,8 @@ def forward(params: nn.Params, feats: jnp.ndarray, feat_lengths: jnp.ndarray,
     mask = nn.length_mask(feat_lengths, t)
     enc = encode(params, feats, mask, cfg)
     alphas = predictor_alphas(params, enc, mask, cfg)
-    embeds, token_count, fire_frame = cif(enc, alphas, k_max,
-                                          cfg.predictor_tail_threshold)
+    embeds, token_count, fire_frame, center = cif(
+        enc, alphas, k_max, cfg.predictor_tail_threshold)
     token_mask = nn.length_mask(token_count, k_max)
     logits = decode(params, embeds, token_mask, enc, mask, cfg)
     tokens = jnp.argmax(logits, axis=-1) * token_mask.astype(jnp.int32)
@@ -253,6 +262,7 @@ def forward(params: nn.Params, feats: jnp.ndarray, feat_lengths: jnp.ndarray,
         "tokens": tokens,
         "token_count": token_count,
         "fire_frame": fire_frame,
+        "token_center": center,
         "alphas": alphas,
         # device-side intermediates for two-phase rescoring (asr/recognizer):
         # callers that fetch the dict should drop these first
