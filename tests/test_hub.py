@@ -1,0 +1,94 @@
+"""Shared batched-serving hub: N concurrent sessions, one device tick
+(service/hub.py) — equivalence with per-session steppers and real batching."""
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from toolbox_for_asr_and_tts_tpu.asr.vad import StreamingVadStepper
+from toolbox_for_asr_and_tts_tpu.models import fsmn_vad
+from toolbox_for_asr_and_tts_tpu.service.hub import HubVadStepper, VadHub
+
+CFG = fsmn_vad.FsmnVadConfig(input_dim=20, input_affine_dim=12, linear_dim=16,
+                             proj_dim=8, fsmn_layers=2, lorder=5,
+                             output_affine_dim=12, output_dim=6)
+# tiny frontend: FsmnVadConfig.frontend is lfr 5/1 over 80 mel — too big for
+# the tiny dims, so use the full-size config for the e2e test instead
+FULL = fsmn_vad.FsmnVadConfig()
+
+
+@pytest.fixture(scope="module")
+def hub():
+    params = fsmn_vad.init_params(jax.random.PRNGKey(7), FULL)
+    h = VadHub(params, FULL, capacity=8, tick_ms=5.0)
+    yield h
+    h.close()
+
+
+def test_hub_matches_per_session_steppers(hub):
+    """4 sessions submitting concurrently through the hub produce exactly
+    the per-session StreamingVadStepper decisions, and the hub actually
+    batches (fewer ticks than submissions)."""
+    rng = np.random.default_rng(0)
+    n_sessions, n_chunks = 4, 6
+    audio = [[(rng.standard_normal(6400) * (0.2 if (i + j) % 2 else 0.005))
+              .astype(np.float32) for j in range(n_chunks)]
+             for i in range(n_sessions)]
+
+    # reference: independent per-session steppers (same weights)
+    want = []
+    for i in range(n_sessions):
+        st = StreamingVadStepper(hub.ticker.params, FULL)
+        want.append([st(c) for c in audio[i]])
+
+    steppers = [HubVadStepper(hub) for _ in range(n_sessions)]
+    got = [[None] * n_chunks for _ in range(n_sessions)]
+    barrier = threading.Barrier(n_sessions)
+
+    def run(i):
+        for j in range(n_chunks):
+            barrier.wait()          # submit in lockstep so ticks batch
+            got[i][j] = steppers[i](audio[i][j])
+
+    threads = [threading.Thread(target=run, args=(i,))
+               for i in range(n_sessions)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert got == want, (got, want)
+    assert hub.ticks < hub.submissions, (hub.ticks, hub.submissions)
+    for st in steppers:
+        st.close()
+
+
+def test_hub_reset_and_leave(hub):
+    st = HubVadStepper(hub)
+    rng = np.random.default_rng(1)
+    chunk = (rng.standard_normal(6400) * 0.2).astype(np.float32)
+    a = st(chunk)
+    st.reset()
+    b = st(chunk)   # after reset, identical input → identical decision
+    assert a == b
+    st.close()
+    assert st.slot is None
+
+
+def test_service_batch_serving_env(monkeypatch):
+    """VOICE_BATCH_SERVING=1 wires HubVadStepper into the engines'
+    vad_factory."""
+    monkeypatch.setenv("VOICE_BATCH_SERVING", "1")
+    monkeypatch.setenv("VOICE_BATCH_CAPACITY", "4")
+    from toolbox_for_asr_and_tts_tpu.service.engines import _vad_factory
+    factory = _vad_factory()
+    try:
+        st = factory()
+        assert isinstance(st, HubVadStepper)
+        rng = np.random.default_rng(2)
+        out = st((rng.standard_normal(6400) * 0.1).astype(np.float32))
+        assert isinstance(out, bool)
+        st.close()
+    finally:
+        factory.hub.close()

@@ -261,6 +261,14 @@ class BatchedVadTicker:
         import jax.numpy as jnp
         self.cache = [c.at[slot].set(0.0) for c in self.cache]
 
+    def reset_slot(self, slot: int) -> None:
+        """Session reset (reference clears vad_cache, voice_interface.py:
+        1257-1275): conv caches AND the incremental frontend."""
+        self._reset_slot(slot)
+        fe = self._frontends.get(slot)
+        if fe is not None:
+            fe.reset()
+
     # ------------------------------------------------------------ tick
     def tick(self, chunks: Dict[int, np.ndarray]) -> Dict[int, bool]:
         """chunks: slot → audio chunk. One batched device step per distinct

@@ -45,12 +45,28 @@ def build_test_engines():
 
 def _vad_factory():
     """Per-session FSMN-VAD stepper factory (per-connection cache, like the
-    reference's `session.vad_cache`). Shares one weight pytree."""
+    reference's `session.vad_cache`). Shares one weight pytree.
+
+    VOICE_BATCH_SERVING=1 serves all sessions' chunks through ONE batched
+    device tick instead (service/hub.py) — same stepper interface, same
+    per-session cache semantics, one kernel per tick for S sessions."""
     import jax
-    from ..asr.vad import StreamingVadStepper
     from ..models import fsmn_vad
     cfg = fsmn_vad.FsmnVadConfig()
     params = fsmn_vad.init_params(jax.random.PRNGKey(7), cfg)
+
+    if os.getenv("VOICE_BATCH_SERVING", "0") in ("1", "true"):
+        from .hub import HubVadStepper, VadHub
+        hub = VadHub(params, cfg,
+                     capacity=int(os.getenv("VOICE_BATCH_CAPACITY", "16")))
+
+        def factory():
+            return HubVadStepper(hub)
+
+        factory.hub = hub
+        return factory
+
+    from ..asr.vad import StreamingVadStepper
 
     def factory():
         return StreamingVadStepper(params, cfg)

@@ -1,0 +1,115 @@
+"""Shared batched serving hub: many WS sessions, one device tick.
+
+The reference runs one FunASR VAD call per connection per chunk
+(voice.py:449-484). The TPU serving model batches instead: every live
+session's chunk joins ONE `BatchedVadTicker` step per serving tick
+(parallel/stream_batcher.py). This module is the service-side glue:
+
+- `VadHub` owns the ticker and a ticker THREAD; sessions submit chunks and
+  block (off the event loop — see voice_app's asyncio.to_thread gate) until
+  the tick that includes them resolves.
+- `HubVadStepper` is a drop-in for `asr/vad.py::StreamingVadStepper`
+  (callable(chunk) → bool + reset()), so `StreamingASRSession` is unchanged.
+
+Enabled with VOICE_BATCH_SERVING=1 (service/engines.py); default stays
+per-session steppers, matching the reference's isolation semantics.
+"""
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger("toolbox.hub")
+
+
+class VadHub:
+    def __init__(self, params, cfg=None, capacity: int = 16,
+                 threshold: float = 0.5, tick_ms: float = 10.0):
+        from ..parallel.stream_batcher import BatchedVadTicker
+        self.ticker = BatchedVadTicker(params, cfg, capacity, threshold)
+        self.tick_ms = tick_ms
+        self._pending: Dict[int, Tuple[np.ndarray, threading.Event, list]] = {}
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="vad-hub")
+        self._thread.start()
+        self.ticks = 0            # telemetry: device steps taken
+        self.submissions = 0      # telemetry: chunks served
+
+    # ------------------------------------------------------------- rows
+    def join(self) -> int:
+        return self.ticker.join()
+
+    def leave(self, slot: int) -> None:
+        with self._lock:
+            self._pending.pop(slot, None)
+        self.ticker.leave(slot)
+
+    def reset(self, slot: int) -> None:
+        self.ticker.reset_slot(slot)
+
+    # ------------------------------------------------------------ submit
+    def submit(self, slot: int, chunk: np.ndarray,
+               timeout: float = 10.0) -> bool:
+        ev = threading.Event()
+        holder: list = []
+        with self._lock:
+            self._pending[slot] = (np.asarray(chunk, np.float32), ev, holder)
+        if not ev.wait(timeout):
+            raise TimeoutError("VAD hub tick timed out")
+        return bool(holder[0])
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            time.sleep(self.tick_ms / 1000.0)
+            with self._lock:
+                batch = self._pending
+                self._pending = {}
+            if not batch:
+                continue
+            try:
+                results = self.ticker.tick(
+                    {s: c for s, (c, _, _) in batch.items()})
+            except Exception:
+                logger.exception("VAD hub tick failed")
+                results = {s: False for s in batch}
+            self.ticks += 1
+            self.submissions += len(batch)
+            for s, (_, ev, holder) in batch.items():
+                holder.append(results.get(s, False))
+                ev.set()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+
+
+class HubVadStepper:
+    """Drop-in per-session facade over the shared hub (same interface as
+    StreamingVadStepper: `stepper(chunk) -> bool`, `reset()`)."""
+
+    def __init__(self, hub: VadHub):
+        self.hub = hub
+        self.slot: Optional[int] = hub.join()
+
+    def __call__(self, chunk: np.ndarray) -> bool:
+        return self.hub.submit(self.slot, chunk)
+
+    def reset(self) -> None:
+        self.hub.reset(self.slot)
+
+    def close(self) -> None:
+        if self.slot is not None:
+            self.hub.leave(self.slot)
+            self.slot = None
+
+    def __del__(self):  # sessions are per-connection; free the row
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -224,14 +224,26 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
                                     "message": f"处理音频失败: {e}",
                                     "code": "PROCESSING_ERROR"})
 
+    # VOICE_BATCH_SERVING=1: session work runs off the event loop so N
+    # concurrent connections' chunks can meet inside the shared VAD hub's
+    # batched device tick (service/hub.py); default keeps the reference's
+    # in-loop sequential handling
+    batch_serving = os.getenv("VOICE_BATCH_SERVING", "0") in ("1", "true")
+
+    async def _call(fn, *a):
+        if batch_serving:
+            import asyncio
+            return await asyncio.to_thread(fn, *a)
+        return fn(*a)
+
     async def _process_audio(ws: WebSocket, sess, audio_np, use_llm) -> None:
         if sess.mode == S.WAITING_FOR_WAKEUP:
-            if sess.process_wakeup_chunk(audio_np):
+            if await _call(sess.process_wakeup_chunk, audio_np):
                 await ws.send_json({"type": "wakeup",
                                     "status": "activated",
                                     "message": "系统已唤醒，等待声纹录制"})
         elif sess.mode == S.WAITING_FOR_ENROLLMENT:
-            r = sess.process_enrollment_chunk(audio_np)
+            r = await _call(sess.process_enrollment_chunk, audio_np)
             if r["completed"]:
                 await ws.send_json({
                     "type": "enrollment_completed",
@@ -240,7 +252,7 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
         elif sess.mode == S.WAITING_FOR_ENROLLMENT_CONFIRM:
             pass  # waiting for start_asr control message
         elif sess.mode == S.ASR_ACTIVE:
-            r = sess.process_chunk(audio_np)
+            r = await _call(sess.process_chunk, audio_np)
             if r["intermediate_text"]:
                 # 2-pass partials (opt-in; same shape as the message the
                 # reference left commented out, voice.py:618-625)
@@ -252,7 +264,7 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
             await ws.send_json({"type": "processing",
                                 "status": "finalizing",
                                 "message": "正在处理音频..."})
-            final_text = sess.finalize()
+            final_text = await _call(sess.finalize)
             if final_text in (S.SV_VERIFICATION_FAILED, S.ASR_RESULT_EMPTY):
                 await ws.send_json({"type": "result", "status": "completed",
                                     "text": "", "success": False,
