@@ -251,3 +251,120 @@ def test_partials_converge_to_final(online_reco):
     for i, e in enumerate(pre_embeds):
         np.testing.assert_allclose(reco2._embeds[i], e, rtol=1e-6, atol=1e-6)
     assert reco2.finalize() == final_text
+
+
+def test_incremental_decoder_single_chunk_equals_offline():
+    """decode_chunk with all tokens in one chunk and an empty cache ==
+    offline paraformer.decode exactly (zero cache ≡ the offline fsmn's zero
+    left pad; same memory, same masks)."""
+    cfg = _tiny_cfg()
+    ocfg = po.OnlineConfig(c1=4, c2=2, decoder_look_back=2)
+    params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(10)
+    k, t = 6, 16
+    embeds = jnp.asarray(rng.standard_normal((1, k, cfg.d_model)), jnp.float32)
+    mem = jnp.asarray(rng.standard_normal((1, t, cfg.d_model)), jnp.float32) * 0.5
+
+    dstate = po.init_decoder_state(cfg, ocfg, b=1)
+    # grow the ring to hold the full memory for this test
+    dstate["mem"] = jnp.zeros((1, t, cfg.d_model))
+    dstate = po.decoder_push_memory(dstate, mem, jnp.asarray([t]))
+    dstate, ids = po.decode_chunk(params, dstate, embeds, jnp.asarray([k]),
+                                  cfg)
+
+    logits = paraformer.decode(params, embeds, jnp.ones((1, k)), mem,
+                               jnp.ones((1, t)), cfg)
+    want = np.asarray(jnp.argmax(logits, axis=-1))
+    np.testing.assert_array_equal(np.asarray(ids)[0, :k], want[0, :k])
+
+
+def test_incremental_decoder_matches_list_replay():
+    """Chunked incremental decode == an unbounded-list replay of the same
+    semantics (fsmn left taps over cached chunk-time hiddens, right taps
+    zero beyond the chunk) — validates the static-shape cache shifting and
+    masking against plain python bookkeeping."""
+    cfg = _tiny_cfg()
+    ocfg = po.OnlineConfig(c1=4, c2=2, decoder_look_back=2)
+    params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(11)
+    t = 16
+    mem = jnp.asarray(rng.standard_normal((1, t, cfg.d_model)),
+                      jnp.float32) * 0.5
+    all_embeds = rng.standard_normal((1, 7, cfg.d_model)).astype(np.float32)
+    chunk_sizes = [2, 3, 1, 1]
+    k_cap = 4
+    kc = cfg.kernel_size - 1
+    left = (cfg.kernel_size - 1) // 2
+
+    dstate = po.init_decoder_state(cfg, ocfg, b=1)
+    dstate["mem"] = jnp.zeros((1, t, cfg.d_model))
+    dstate = po.decoder_push_memory(dstate, mem, jnp.asarray([t]))
+    got_ids = []
+    pos = 0
+    for cs in chunk_sizes:
+        buf = np.zeros((1, k_cap, cfg.d_model), np.float32)
+        buf[0, :cs] = all_embeds[0, pos:pos + cs]
+        dstate, ids = po.decode_chunk(params, dstate, jnp.asarray(buf),
+                                      jnp.asarray([cs]), cfg)
+        got_ids.extend(np.asarray(ids)[0, :cs].tolist())
+        pos += cs
+
+    # ---- replay with per-layer python lists of chunk-time hiddens
+    hist = [[] for _ in params["decoder"]["layers"]]
+    want_ids = []
+    mem_mask = jnp.ones((1, t))
+    pos = 0
+    for cs in chunk_sizes:
+        x = jnp.asarray(all_embeds[:, pos:pos + cs])
+        for li, layer in enumerate(params["decoder"]["layers"]):
+            residual = x
+            h = nn.layernorm(layer["norm1"], x)
+            h = nn.dec_ffn(layer["ffn"], h)
+            h = nn.layernorm(layer["norm2"], h)
+            ctx = hist[li][-kc:]
+            n_ctx = len(ctx)
+            seq = jnp.concatenate(
+                [jnp.zeros((1, kc - n_ctx, cfg.d_model))] +
+                ([jnp.concatenate(ctx, axis=1)] if ctx else []) + [h], axis=1)
+            conv = nn.conv1d({"w": layer["fsmn"]["w"]}, seq,
+                             padding=(0, cfg.kernel_size - 1 - left),
+                             groups=cfg.d_model)
+            fs = conv[:, kc - left: kc - left + cs] + h
+            x = residual + fs
+            residual = x
+            h2 = nn.layernorm(layer["norm3"], x)
+            x = residual + nn.cross_attention(layer["src_attn"], h2, mem,
+                                              cfg.n_heads, mem_mask)
+            hist[li].append(h)
+        fin = params["decoder"]["final"]
+        x = nn.dec_ffn(fin["ffn"], nn.layernorm(fin["norm1"], x))
+        x = nn.layernorm(params["decoder"]["after_norm"], x)
+        logits = nn.linear(params["decoder"]["out"], x)
+        want_ids.extend(np.asarray(jnp.argmax(logits, -1))[0].tolist())
+        pos += cs
+    assert got_ids == want_ids, (got_ids, want_ids)
+
+
+def test_incremental_partial_mode_end_to_end():
+    """OnlineRecognizer(partial_mode="incremental") produces token ids once
+    per fired token (O(K) decode) and survives finalize/reset."""
+    cfg = paraformer.ParaformerConfig(
+        input_dim=560, d_model=32, n_heads=2, ffn_dim=64,
+        encoder_layers=2, decoder_layers=2, vocab_size=64)
+    params = paraformer.init_params(jax.random.PRNGKey(5), cfg)
+    tok = CharTokenizer.dummy(cfg.vocab_size)
+    reco = po.OnlineRecognizer(params, cfg, tok,
+                               po.OnlineConfig(c1=4, c2=5),
+                               partial_mode="incremental")
+    rng = np.random.default_rng(12)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    lens = []
+    for s in range(0, len(audio), 3200):
+        reco.push_audio(audio[s:s+3200])
+        lens.append(len(reco._inc_ids))
+    assert lens == sorted(lens)
+    n_tokens = len(reco._embeds)
+    assert len(reco._inc_ids) == n_tokens  # one decode per fired token
+    final = reco.finalize()
+    assert isinstance(final, str)
+    assert reco._inc_ids == [] and reco._embeds == []

@@ -286,6 +286,99 @@ def fused_step(params: nn.Params, state: Dict, new_audio: jnp.ndarray,
     return new_state, embeds.astype(jnp.bfloat16), n
 
 
+# ------------------------------------------------- incremental NAR decoder
+def init_decoder_state(cfg: paraformer.ParaformerConfig, ocfg: OnlineConfig,
+                       b: int = 1) -> Dict:
+    """FunASR-style streaming decoder caches: per-layer FSMN token history
+    (the last kernel−1 post-norm2 hiddens) + a bounded encoder-memory ring
+    of the last decoder_look_back·c1 + window settled frames."""
+    kc = cfg.kernel_size - 1
+    mem = ocfg.decoder_look_back * ocfg.c1 + ocfg.window
+    return {
+        "fsmn": [jnp.zeros((b, kc, cfg.d_model))
+                 for _ in range(cfg.decoder_layers)],
+        "hist_len": jnp.zeros((b,), jnp.int32),      # tokens decoded so far
+        "mem": jnp.zeros((b, mem, cfg.d_model)),
+        "mem_len": jnp.zeros((b,), jnp.int32),
+    }
+
+
+def decoder_push_memory(dstate: Dict, enc_frames: jnp.ndarray,
+                        n_valid: jnp.ndarray) -> Dict:
+    """Append settled encoder frames to the bounded cross-attention ring.
+
+    enc_frames: [B, F, D] (F static, e.g. the chunk's active region);
+    n_valid: [B] valid rows of enc_frames this step (usually F)."""
+    b, f, d = enc_frames.shape
+    m = dstate["mem"].shape[1]
+    mem = jnp.concatenate([dstate["mem"], enc_frames], axis=1)[:, -m:]
+    out = dict(dstate)
+    out["mem"] = mem
+    out["mem_len"] = jnp.minimum(dstate["mem_len"] + n_valid, m)
+    return out
+
+
+def decode_chunk(params: nn.Params, dstate: Dict, new_embeds: jnp.ndarray,
+                 n_new: jnp.ndarray, cfg: paraformer.ParaformerConfig
+                 ) -> Tuple[Dict, jnp.ndarray]:
+    """Incrementally decode newly fired CIF tokens (FunASR's streaming
+    decoder shape: per-layer FSMN caches + bounded cross-attention).
+
+    new_embeds: [B, K, D] (K static cap); n_new: [B] fired this chunk.
+    Returns (dstate', token ids [B, K]). The FSMN's future taps see zeros
+    (future tokens unknown) — identical to FunASR's online decode, and the
+    reason streaming partials can differ from the offline NAR decode.
+    """
+    b, k, d = new_embeds.shape
+    kc = cfg.kernel_size - 1
+    left = (cfg.kernel_size - 1) // 2 + cfg.sanm_shift
+    new_mask = nn.length_mask(n_new, k)
+    x = new_embeds * new_mask[..., None]
+    mem_mask = nn.length_mask(dstate["mem_len"], dstate["mem"].shape[1])
+    new_fsmn = []
+    for li, layer in enumerate(params["decoder"]["layers"]):
+        residual = x
+        h = nn.layernorm(layer["norm1"], x)
+        h = nn.dec_ffn(layer["ffn"], h)
+        h = nn.layernorm(layer["norm2"], h) * new_mask[..., None]
+        # FSMN over [cache ‖ new tokens]: left taps see real history, right
+        # taps see zeros beyond the fired tokens
+        seq = jnp.concatenate([dstate["fsmn"][li], h], axis=1)  # [B, kc+K, D]
+        # valid-history mask for the cache region (right-aligned)
+        cpos = jnp.arange(kc)[None, :]
+        cmask = (cpos >= kc - jnp.minimum(dstate["hist_len"], kc)[:, None])
+        seq_mask = jnp.concatenate([cmask.astype(jnp.float32), new_mask], 1)
+        seq = seq * seq_mask[..., None]
+        # conv over [cache ‖ new] with only right zero-pad; new token i's
+        # window [kc+i−left, kc+i−left+k−1] lands at output index kc+i−left
+        conv = nn.conv1d({"w": layer["fsmn"]["w"]}, seq,
+                         padding=(0, cfg.kernel_size - 1 - left), groups=d)
+        conv = conv[:, kc - left: kc - left + k]
+        fs = (conv + h) * new_mask[..., None]
+        x = residual + fs
+        residual = x
+        h2 = nn.layernorm(layer["norm3"], x)
+        x = residual + nn.cross_attention(layer["src_attn"], h2,
+                                          dstate["mem"], cfg.n_heads,
+                                          mem_mask)
+        # cache update: last kc hiddens among [cache ‖ new valid tokens] —
+        # shift by n_new (static-shape roll via gather)
+        idx = (jnp.arange(kc)[None, :] + n_new[:, None])  # [B, kc]
+        gathered = jnp.take_along_axis(
+            jnp.concatenate([dstate["fsmn"][li], h], axis=1),
+            jnp.minimum(idx, kc + k - 1)[..., None], axis=1)
+        new_fsmn.append(gathered)
+    fin = params["decoder"]["final"]
+    x = nn.dec_ffn(fin["ffn"], nn.layernorm(fin["norm1"], x))
+    x = nn.layernorm(params["decoder"]["after_norm"], x)
+    logits = nn.linear(params["decoder"]["out"], x)
+    ids = jnp.argmax(logits, axis=-1) * new_mask.astype(jnp.int32)
+    out = dict(dstate)
+    out["fsmn"] = new_fsmn
+    out["hist_len"] = dstate["hist_len"] + n_new
+    return out, ids
+
+
 def flush_tail(state: Dict, tail_threshold: float
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Final tail fire (FunASR forward_chunk is_final): a virtual frame with
@@ -305,14 +398,22 @@ class OnlineRecognizer:
 
     def __init__(self, params, cfg: paraformer.ParaformerConfig, tokenizer,
                  ocfg: OnlineConfig = OnlineConfig(),
-                 cmvn: Optional[Tuple[np.ndarray, np.ndarray]] = None):
+                 cmvn: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                 partial_mode: str = "redecode"):
+        """partial_mode: "redecode" (default — NAR re-decode of all fired
+        tokens over the bounded memory, O(K²)/utterance, converges) or
+        "incremental" (FunASR-style fsmn-cached decode_chunk — O(K), each
+        token decoded once with its chunk-time context)."""
         self.params = params
         self.cfg = cfg
         self.ocfg = ocfg
         self.tokenizer = tokenizer
+        self.partial_mode = partial_mode
         self.frontend = StreamingFrontend(cfg.frontend, cmvn)
         self._feat_queue = np.zeros((0, cfg.input_dim), np.float32)
         self._state = init_state(cfg, ocfg, b=1)
+        self._dstate = init_decoder_state(cfg, ocfg, b=1)
+        self._inc_ids: List[int] = []
         self._embeds: List[np.ndarray] = []
         self._memory = np.zeros((0, cfg.d_model), np.float32)
         self._fns: Dict[str, object] = {}
@@ -381,8 +482,8 @@ class OnlineRecognizer:
         if n > 0:
             self._embeds.extend(np.asarray(embeds[0, :n]))
             self._embeds = self._embeds[: self.ocfg.max_tokens]
-        # settled frames for the NAR re-decode memory: this window's active
-        # region (each frame enters exactly once)
+        # settled frames for the decoder memory: this window's active region
+        # (each frame enters exactly once)
         enc_np = np.asarray(enc[0])
         if final:
             settled = enc_np[self.ocfg.c0: self.ocfg.c0 + self.ocfg.c2 + n_valid]
@@ -390,6 +491,25 @@ class OnlineRecognizer:
             settled = enc_np[self.ocfg.c0: self.ocfg.c0 + self.ocfg.c1]
         self._memory = np.concatenate(
             [self._memory, settled])[-self.ocfg.max_memory_frames:]
+        if self.partial_mode == "incremental":
+            self._dstate = decoder_push_memory(
+                self._dstate, jnp.asarray(settled[None]),
+                jnp.asarray([len(settled)], jnp.int32))
+            if n > 0:
+                self._decode_incremental(embeds, n)
+
+    def _decode_incremental(self, embeds, n: int) -> None:
+        self._dstate, ids = self._inc_fn()(
+            self.params, self._dstate, embeds,
+            jnp.asarray([n], jnp.int32))
+        self._inc_ids.extend(np.asarray(ids)[0, :n].tolist())
+
+    def _inc_fn(self):
+        if "inc" not in self._fns:
+            cfg = self.cfg
+            self._fns["inc"] = jax.jit(
+                lambda p, d, e, m: decode_chunk(p, d, e, m, cfg))
+        return self._fns["inc"]
 
     def _decode_current(self) -> List[int]:
         if not self._embeds:
@@ -407,6 +527,8 @@ class OnlineRecognizer:
         return np.asarray(ids)[: len(self._embeds)].tolist()
 
     def partial_text(self) -> str:
+        if self.partial_mode == "incremental":
+            return self.tokenizer.ids_to_text(self._inc_ids)
         return self.tokenizer.ids_to_text(self._decode_current())
 
     def finalize(self) -> str:
@@ -428,6 +550,11 @@ class OnlineRecognizer:
         acc, fired = flush_tail(self._state, self.cfg.predictor_tail_threshold)
         if bool(fired[0]) and len(self._embeds) < self.ocfg.max_tokens:
             self._embeds.append(np.asarray(acc[0]))
+            if self.partial_mode == "incremental":
+                buf = np.zeros((1, self.ocfg.tokens_per_chunk,
+                                self.cfg.d_model), np.float32)
+                buf[0, 0] = np.asarray(acc[0])
+                self._decode_incremental(jnp.asarray(buf), 1)
         text = self.partial_text()
         self.reset()
         return text
@@ -436,5 +563,7 @@ class OnlineRecognizer:
         self.frontend.reset()
         self._feat_queue = np.zeros((0, self.cfg.input_dim), np.float32)
         self._state = init_state(self.cfg, self.ocfg, b=1)
+        self._dstate = init_decoder_state(self.cfg, self.ocfg, b=1)
+        self._inc_ids = []
         self._embeds = []
         self._memory = np.zeros((0, self.cfg.d_model), np.float32)
