@@ -363,7 +363,7 @@ def test_cif_matmul_matches_sequential_loop(setup):
     enc = paraformer.encode(params, jnp.asarray(feats), mask, cfg)
     alphas = paraformer.predictor_alphas(params, enc, mask, cfg)
     k_max = paraformer.max_tokens_for(20)
-    embeds, counts, _, _ = paraformer.cif(enc, alphas, k_max,
+    embeds, counts, _, _, _ = paraformer.cif(enc, alphas, k_max,
                                        cfg.predictor_tail_threshold)
     with torch.no_grad():
         want, want_num, _ = tmodel.predictor(

@@ -56,7 +56,7 @@ def test_cif_matches_naive_loop():
     h = rng.standard_normal((T, D)).astype(np.float32)
     alphas = rng.uniform(0.05, 0.6, T).astype(np.float32)
     k_max = 32
-    embeds, count, fire, _ = cif(jnp.asarray(h[None]), jnp.asarray(alphas[None]),
+    embeds, count, fire, _, _ = cif(jnp.asarray(h[None]), jnp.asarray(alphas[None]),
                               k_max, tail_threshold=0.0)
     want = naive_cif(h, alphas)
     n = int(count[0])
@@ -70,7 +70,7 @@ def test_cif_matches_naive_loop():
 def test_cif_tail_fires_partial_token():
     h = jnp.ones((1, 10, 4))
     alphas = jnp.full((1, 10), 0.17)  # total 1.7 → tail 0.45 pushes to 2.15
-    _, count, _, _ = cif(h, alphas, 8, tail_threshold=0.45)
+    _, count, _, _, _ = cif(h, alphas, 8, tail_threshold=0.45)
     assert int(count[0]) == 2
 
 
@@ -138,7 +138,7 @@ def test_cif_token_center_timestamps():
     t, d = 20, 4
     h = rng.standard_normal((1, t, d)).astype(np.float32)
     alphas = np.full((1, t), 0.25, np.float32)   # token every 4 frames
-    emb, count, fire, center = cif(jnp.asarray(h), jnp.asarray(alphas), 8,
+    emb, count, fire, center, start = cif(jnp.asarray(h), jnp.asarray(alphas), 8,
                                    tail_threshold=0.0)
     n = int(count[0])
     assert n == 5

@@ -44,7 +44,7 @@ def test_degenerate_single_chunk_equals_offline():
                                                 cfg, k_cap=16)
     alphas_off = paraformer.predictor_alphas(params, enc_off, mask, cfg)
     k_max = paraformer.max_tokens_for(t)
-    emb_off, count_off, _, _ = paraformer.cif(enc_off, alphas_off, k_max,
+    emb_off, count_off, _, _, _ = paraformer.cif(enc_off, alphas_off, k_max,
                                            cfg.predictor_tail_threshold)
     # offline cif includes the tail fire; replicate via flush_tail
     acc, fired = po.flush_tail(state, cfg.predictor_tail_threshold)
@@ -131,7 +131,7 @@ def test_cif_chunk_carry_matches_one_shot():
     enc = rng.standard_normal((1, t, d)).astype(np.float32)
     alphas = rng.uniform(0.1, 0.6, (1, t)).astype(np.float32)
     k_max = paraformer.max_tokens_for(t)
-    emb_full, count_full, _, _ = paraformer.cif(jnp.asarray(enc),
+    emb_full, count_full, _, _, _ = paraformer.cif(jnp.asarray(enc),
                                              jnp.asarray(alphas), k_max, 0.45)
     from toolbox_for_asr_and_tts_tpu.models.paraformer_streaming import cif_step
     mass = jnp.zeros(())

@@ -143,3 +143,19 @@ def test_recognizer_on_mesh():
     local = Recognizer.random(TINY, use_mesh=False)
     res_local = local.transcribe([_wav(1.0)])
     assert res[0].token_ids == res_local[0].token_ids  # same weights/seed
+
+
+def test_timestamp_spans_are_sane(reco):
+    """FunASR-style [start_ms, end_ms] spans: non-negative, start < end,
+    non-overlapping and ordered."""
+    rng = np.random.default_rng(3)
+    wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    r = reco.transcribe([wav])[0]
+    if not r.timestamp:
+        return
+    prev_end = -1
+    for (s, e), c in zip(r.timestamp, r.timestamps_ms):
+        assert 0 <= s < e, (s, e)
+        assert s <= c <= e, (s, c, e)       # center inside its span
+        assert s >= prev_end - 60, (s, prev_end)  # ≤1-frame overlap
+        prev_end = e

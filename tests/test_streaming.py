@@ -25,7 +25,7 @@ def test_cif_step_matches_offline():
     T, D = 48, 8
     enc = rng.standard_normal((T, D)).astype(np.float32)
     alphas = rng.uniform(0.05, 0.5, T).astype(np.float32)
-    off_emb, off_count, _, _ = paraformer.cif(
+    off_emb, off_count, _, _, _ = paraformer.cif(
         jnp.asarray(enc[None]), jnp.asarray(alphas[None]), 32, tail_threshold=0.0)
     n_off = int(off_count[0])
 

@@ -187,14 +187,21 @@ class Diarizer:
                         final_after.add(i)
             except Exception:
                 logger.exception("punctuation classify failed; gaps only")
+        # FunASR-style [start, end] spans when available (round 2) give
+        # sentence boundaries at integration-window edges instead of token
+        # centers — tighter SV segment extraction
+        spans = getattr(result, "timestamp", None)
         sents: List[Sentence] = []
         start = 0
         for i in range(1, len(toks) + 1):
             gap = (ts[i] - ts[i - 1]) if i < len(toks) else self.gap_split_ms + 1
             if gap > self.gap_split_ms or (i - 1) in final_after:
                 text = "".join(toks[start:i])
-                sents.append(Sentence(text=text, start_ms=ts[start],
-                                      end_ms=ts[i - 1] + 60))
+                if spans:
+                    s_ms, e_ms = spans[start][0], spans[i - 1][1]
+                else:
+                    s_ms, e_ms = ts[start], ts[i - 1] + 60
+                sents.append(Sentence(text=text, start_ms=s_ms, end_ms=e_ms))
                 start = i
         return sents
 

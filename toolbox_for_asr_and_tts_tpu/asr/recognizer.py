@@ -38,8 +38,10 @@ class TranscribeResult:
     text: str
     tokens: List[str]
     token_ids: List[int]
-    timestamps_ms: List[int]          # per-token CIF fire time
-    audio_s: float
+    timestamps_ms: List[int]          # per-token refined instant (CIF center)
+    timestamp: Optional[List[Tuple[int, int]]] = None  # FunASR-style
+                                      # [start_ms, end_ms] spans per token
+    audio_s: float = 0.0
     rtf: Optional[float] = None
 
 
@@ -148,6 +150,8 @@ class Recognizer:
                 out["token_count"][:, None].astype(jnp.float32),
                 out["tokens"].astype(jnp.float32),
                 out["token_center"],
+                out["token_start"].astype(jnp.float32),
+                out["fire_frame"].astype(jnp.float32),
             ], axis=1)
             device_side = {"enc": out["enc"], "embeds": out["embeds"],
                            "feat_lens": feat_lens}
@@ -202,6 +206,8 @@ class Recognizer:
             "token_count": packed[:, 0].astype(np.int32),
             "tokens": packed[:, 1: 1 + k_max].astype(np.int32),
             "token_center": packed[:, 1 + k_max: 1 + 2 * k_max],
+            "token_start": packed[:, 1 + 2 * k_max: 1 + 3 * k_max],
+            "fire_frame": packed[:, 1 + 3 * k_max: 1 + 4 * k_max],
         }
         logits_np = None
         if want_logits and int(out["token_count"].max()) > 0:
@@ -243,11 +249,18 @@ class Recognizer:
             # which lands at the window's END (ROADMAP round-2 item)
             ts = (out["token_center"][i, :n].astype(np.float64)
                   * self.frame_ms).astype(int).tolist()
+            # FunASR-style [start_ms, end_ms] intervals per token
+            spans = list(zip(
+                (out["token_start"][i, :n] * self.frame_ms).astype(int)
+                .tolist(),
+                ((out["fire_frame"][i, :n] + 1) * self.frame_ms).astype(int)
+                .tolist()))
             results.append(TranscribeResult(
                 text=self.tokenizer.ids_to_text(ids),
                 tokens=toks,
                 token_ids=ids,
                 timestamps_ms=ts,
+                timestamp=spans,
                 audio_s=float(lens[i]) / sr,
                 rtf=rtf,
             ))

@@ -193,9 +193,12 @@ def cif(enc: jnp.ndarray, alphas: jnp.ndarray, k_max: int,
                         preferred_element_type=jnp.float32)
     token_count = jnp.floor(csum[:, -1]).astype(jnp.int32)
     token_count = jnp.minimum(token_count, k_max)
-    # fire frame of token k = first frame where csum ≥ k+1
+    # fire frame of token k = first frame where csum ≥ k+1 (its END);
+    # start frame = first frame contributing mass to it (csum > k)
     fired = (csum[:, None, :] >= (k[None, :, None] + 1.0)).astype(jnp.int32)
     fire_frame = jnp.argmax(fired, axis=2).astype(jnp.int32)  # [B, K]
+    started = (csum[:, None, :] > k[None, :, None]).astype(jnp.int32)
+    start_frame = jnp.argmax(started, axis=2).astype(jnp.int32)  # [B, K]
     # refined token time: CIF center of mass — the α-weighted mean frame of
     # token k's integration window (the quantity FunASR's timestamp
     # prediction derives from the same alphas; far tighter than the fire
@@ -203,7 +206,7 @@ def cif(enc: jnp.ndarray, alphas: jnp.ndarray, k_max: int,
     t_idx = jnp.arange(w.shape[-1], dtype=jnp.float32)
     mass = jnp.maximum(w.sum(axis=2), 1e-6)                   # [B, K]
     center = jnp.einsum("bkt,t->bk", w, t_idx) / mass         # [B, K]
-    return embeds, token_count, fire_frame, center
+    return embeds, token_count, fire_frame, center, start_frame
 
 
 # ----------------------------------------------------------------- decoder
@@ -252,7 +255,7 @@ def forward(params: nn.Params, feats: jnp.ndarray, feat_lengths: jnp.ndarray,
     mask = nn.length_mask(feat_lengths, t)
     enc = encode(params, feats, mask, cfg)
     alphas = predictor_alphas(params, enc, mask, cfg)
-    embeds, token_count, fire_frame, center = cif(
+    embeds, token_count, fire_frame, center, start_frame = cif(
         enc, alphas, k_max, cfg.predictor_tail_threshold)
     token_mask = nn.length_mask(token_count, k_max)
     logits = decode(params, embeds, token_mask, enc, mask, cfg)
@@ -263,6 +266,7 @@ def forward(params: nn.Params, feats: jnp.ndarray, feat_lengths: jnp.ndarray,
         "token_count": token_count,
         "fire_frame": fire_frame,
         "token_center": center,
+        "token_start": start_frame,
         "alphas": alphas,
         # device-side intermediates for two-phase rescoring (asr/recognizer):
         # callers that fetch the dict should drop these first

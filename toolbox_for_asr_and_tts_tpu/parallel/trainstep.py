@@ -35,7 +35,7 @@ def paraformer_loss(params, feats, feat_lens, targets, target_lens,
     # teacher-forced CIF: scale α so Σα == target length (FunASR training path)
     total = jnp.sum(alphas, axis=1, keepdims=True)
     alphas_scaled = alphas * (target_lens[:, None] / jnp.maximum(total, 1e-6))
-    embeds, _, _, _ = paraformer.cif(enc, alphas_scaled, k_max, tail_threshold=0.0)
+    embeds, _, _, _, _ = paraformer.cif(enc, alphas_scaled, k_max, tail_threshold=0.0)
     tok_mask = nn.length_mask(target_lens, k_max)
     logits = paraformer.decode(params, embeds, tok_mask, enc, mask, cfg)
     logp = jax.nn.log_softmax(logits, axis=-1)
