@@ -152,10 +152,13 @@ def bench_chunked_streams() -> None:
     cfg = paraformer.ParaformerConfig()
     params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
+    import os
     capacity = 64
     ticker = BatchedChunkedASR(params, cfg,
                                po.OnlineConfig(tokens_per_chunk=4),
-                               capacity=capacity)
+                               capacity=capacity,
+                               partials=os.getenv("CHUNKED_PARTIALS", "0")
+                               in ("1", "true"))
     slots = [ticker.join() for _ in range(capacity)]
     rng = np.random.default_rng(0)
     chunk_s = 0.24  # c1=4 LFR frames

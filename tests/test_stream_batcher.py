@@ -133,3 +133,37 @@ def test_batched_chunked_asr_matches_single_sessions(fused):
         for a, b in zip(got[j], want):
             np.testing.assert_allclose(a, b, rtol=rtol, atol=atol,
                                        err_msg=f"session {j}")
+
+
+def test_fused_partials_match_incremental_recognizer():
+    """partials=True: token ids decoded INSIDE the fused tick == an
+    OnlineRecognizer in incremental partial mode on the same audio."""
+    import jax
+    import numpy as np
+    from toolbox_for_asr_and_tts_tpu.models import paraformer
+    from toolbox_for_asr_and_tts_tpu.models import paraformer_online as po
+    from toolbox_for_asr_and_tts_tpu.asr.tokenizer import CharTokenizer
+    from toolbox_for_asr_and_tts_tpu.parallel.stream_batcher import (
+        BatchedChunkedASR)
+
+    cfg = paraformer.ParaformerConfig(
+        input_dim=560, d_model=32, n_heads=2, ffn_dim=64,
+        encoder_layers=2, decoder_layers=2, vocab_size=64)
+    ocfg = po.OnlineConfig(c1=4, c2=5, encoder_look_back=2)
+    params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(20)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+
+    ticker = BatchedChunkedASR(params, cfg, ocfg, capacity=2, partials=True)
+    slot = ticker.join()
+    got = []
+    for s in range(0, 16000, 3200):
+        fired = ticker.tick({slot: audio[s:s+3200]})
+        got.extend(fired.get(slot, []))
+
+    reco = po.OnlineRecognizer(params, cfg, CharTokenizer.dummy(64), ocfg,
+                               partial_mode="incremental")
+    for s in range(0, 16000, 3200):
+        reco.push_audio(audio[s:s+3200])
+    assert got == reco._inc_ids, (got, reco._inc_ids)
+    assert len(got) > 0

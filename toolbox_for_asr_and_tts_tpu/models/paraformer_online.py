@@ -206,17 +206,19 @@ def fused_buf_len(cfg: paraformer.ParaformerConfig, ocfg: OnlineConfig) -> int:
 
 
 def init_fused_state(cfg: paraformer.ParaformerConfig, ocfg: OnlineConfig,
-                     b: int = 1) -> Dict:
+                     b: int = 1, decode_partials: bool = False) -> Dict:
     state = init_state(cfg, ocfg, b)
     state["abuf"] = jnp.zeros((b, fused_buf_len(cfg, ocfg)))
     state["step_idx"] = jnp.zeros((b,), jnp.int32)
+    if decode_partials:
+        state.update(init_decoder_state(cfg, ocfg, b))
     return state
 
 
 def fused_step(params: nn.Params, state: Dict, new_audio: jnp.ndarray,
                cfg: paraformer.ParaformerConfig, ocfg: OnlineConfig,
                cmvn: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-               k_cap: int = 8) -> Tuple[Dict, jnp.ndarray, jnp.ndarray]:
+               k_cap: int = 8, decode_partials: bool = False):
     """ONE device program per streaming tick: audio → fbank → LFR → CMVN →
     chunked encoder → CIF, with the audio tail resident on device.
 
@@ -283,7 +285,18 @@ def fused_step(params: nn.Params, state: Dict, new_audio: jnp.ndarray,
     active = jnp.broadcast_to(active, (b, ocfg.window))
     new_state, embeds, n = predictor_chunk(params, enc, active, new_state,
                                            cfg, k_cap)
-    return new_state, embeds.astype(jnp.bfloat16), n
+    if not decode_partials:
+        return new_state, embeds.astype(jnp.bfloat16), n
+    # one-program partials: push this tick's settled frames into the decoder
+    # memory ring and incrementally decode the fired tokens (state must come
+    # from init_fused_state(..., decode_partials=True))
+    dstate = {k: new_state[k] for k in ("fsmn", "hist_len", "mem", "mem_len")}
+    settled = enc[:, ocfg.c0: ocfg.c0 + ocfg.c1]
+    dstate = decoder_push_memory(dstate, settled,
+                                 jnp.full((b,), ocfg.c1, jnp.int32))
+    dstate, ids = decode_chunk(params, dstate, embeds, n, cfg)
+    new_state.update(dstate)
+    return new_state, embeds.astype(jnp.bfloat16), n, ids
 
 
 # ------------------------------------------------- incremental NAR decoder

@@ -38,11 +38,14 @@ class BatchedChunkedASR:
 
     def __init__(self, params, cfg=None, ocfg=None, capacity: int = 16,
                  cmvn: Optional[Tuple[np.ndarray, np.ndarray]] = None,
-                 fused: bool = True):
+                 fused: bool = True, partials: bool = False):
         """fused=True (default): ONE device program per tick — the audio
         ring lives on device and fbank/LFR/CMVN fuse with the encoder+CIF
         (models/paraformer_online.fused_step). fused=False keeps the
-        host-frontend path (one batched fbank call + one encoder call)."""
+        host-frontend path (one batched fbank call + one encoder call).
+        partials=True (fused only) also decodes fired tokens INSIDE the same
+        program (fsmn-cached incremental decoder); tick() then returns
+        per-slot token-id lists instead of embeddings."""
         import jax
         from ..models import paraformer as pf
         from ..models import paraformer_online as po
@@ -53,26 +56,33 @@ class BatchedChunkedASR:
         self.capacity = capacity
         self.cmvn = cmvn
         self.fused = fused
+        self.partials = partials and fused
         if fused:
             fcfg = self.cfg.frontend
             self.chunk_samples = self.ocfg.c1 * fcfg.lfr_n * fcfg.frame_shift
-            self.state = po.init_fused_state(self.cfg, self.ocfg, b=capacity)
+            self.state = po.init_fused_state(self.cfg, self.ocfg, b=capacity,
+                                             decode_partials=self.partials)
             c, o = self.cfg, self.ocfg
+            dp = self.partials
             cm = None
             if cmvn is not None:
                 import jax.numpy as jnp
                 cm = (jnp.asarray(cmvn[0]), jnp.asarray(cmvn[1]))
 
             def fstep(p, state, audio, row_active):
-                new_state, embeds, n = po.fused_step(
-                    p, state, audio, c, o, cmvn=cm,
-                    k_cap=o.tokens_per_chunk)
+                res = po.fused_step(p, state, audio, c, o, cmvn=cm,
+                                    k_cap=o.tokens_per_chunk,
+                                    decode_partials=dp)
+                new_state, embeds, n = res[0], res[1], res[2]
 
                 def merge(new, old):
                     m = row_active.reshape((-1,) + (1,) * (new.ndim - 1))
                     return jax.numpy.where(m.astype(bool), new, old)
                 merged = jax.tree.map(merge, new_state, state)
-                return merged, embeds, n * row_active.astype(n.dtype)
+                n = n * row_active.astype(n.dtype)
+                if dp:
+                    return merged, embeds, n, res[3]
+                return merged, embeds, n
 
             self._fused_step = jax.jit(fstep)
         else:
@@ -181,14 +191,23 @@ class BatchedChunkedASR:
                     batch[s] = self._audio[s][:a_len]
                     self._audio[s] = self._audio[s][a_len:]
                     row_active[s] = 1.0
-                self.state, embeds, n = self._fused_step(
-                    self.params, self.state, jnp.asarray(batch),
-                    jnp.asarray(row_active))
+                res = self._fused_step(self.params, self.state,
+                                       jnp.asarray(batch),
+                                       jnp.asarray(row_active))
+                self.state, embeds, n = res[0], res[1], res[2]
                 n = np.asarray(n)
-                embeds = np.asarray(embeds).astype(np.float32)
-                for s in rows:
-                    if int(n[s]) > 0:
-                        fired.setdefault(s, []).extend(embeds[s, : int(n[s])])
+                if self.partials:
+                    ids = np.asarray(res[3])
+                    for s in rows:
+                        if int(n[s]) > 0:
+                            fired.setdefault(s, []).extend(
+                                ids[s, : int(n[s])].tolist())
+                else:
+                    embeds = np.asarray(embeds).astype(np.float32)
+                    for s in rows:
+                        if int(n[s]) > 0:
+                            fired.setdefault(s, []).extend(
+                                embeds[s, : int(n[s])])
             return fired
         self._batched_fbank(list(chunks))
         while True:
