@@ -368,3 +368,37 @@ def test_incremental_partial_mode_end_to_end():
     final = reco.finalize()
     assert isinstance(final, str)
     assert reco._inc_ids == [] and reco._embeds == []
+
+
+def test_incremental_decoder_partial_ring_attends_to_memory():
+    """Regression (round-2 self-review): with the ring only partially
+    filled, the decoder must attend to the real (right-aligned) frames —
+    a left-aligned mask made it attend only to zero rows."""
+    cfg = _tiny_cfg()
+    ocfg = po.OnlineConfig(c1=4, c2=5, decoder_look_back=1)
+    params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(13)
+    embeds = jnp.asarray(rng.standard_normal((1, 4, cfg.d_model)), jnp.float32)
+    frames = jnp.asarray(rng.standard_normal((1, 4, cfg.d_model)),
+                         jnp.float32) * 0.5
+
+    # ring larger than the pushed frames
+    d1 = po.init_decoder_state(cfg, ocfg, b=1)
+    assert d1["mem"].shape[1] > 4
+    d1 = po.decoder_push_memory(d1, frames, jnp.asarray([4]))
+    _, ids_mem = po.decode_chunk(params, d1, embeds, jnp.asarray([4]), cfg)
+
+    # same decode with NO memory pushed (all-masked): must differ — if they
+    # match, the memory was invisible
+    d0 = po.init_decoder_state(cfg, ocfg, b=1)
+    _, ids_none = po.decode_chunk(params, d0, embeds, jnp.asarray([4]), cfg)
+
+    # and a ring of EXACTLY the pushed size gives the same answer as the
+    # partially-filled larger ring (alignment-independence)
+    d2 = po.init_decoder_state(cfg, ocfg, b=1)
+    d2["mem"] = jnp.zeros((1, 4, cfg.d_model))
+    d2 = po.decoder_push_memory(d2, frames, jnp.asarray([4]))
+    _, ids_exact = po.decode_chunk(params, d2, embeds, jnp.asarray([4]), cfg)
+
+    np.testing.assert_array_equal(np.asarray(ids_mem), np.asarray(ids_exact))
+    assert not np.array_equal(np.asarray(ids_mem), np.asarray(ids_none))

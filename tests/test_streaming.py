@@ -93,3 +93,20 @@ def test_streaming_recognizer_runs_and_finalizes():
     for i in range(0, len(wav), 6400):
         sr2.push_audio(wav[i:i + 6400])
     assert sr2.finalize() == final
+
+
+def test_finalize_padding_adds_no_mass():
+    """Regression (round-2 self-review): zero-pad rows in the last partial
+    chunk must contribute no CIF mass and no decode memory."""
+    params = paraformer.init_params(jax.random.PRNGKey(0), TINY)
+    sr = StreamingRecognizer(params, TINY, CharTokenizer.dummy(TINY.vocab_size),
+                             StreamingConfig(chunk_frames=4))
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((8, TINY.input_dim)).astype(np.float32)
+    for i in range(0, 8, 4):
+        sr._process_chunk(feats[i:i+4])
+    mass_before = float(sr._mass)
+    mem_before = len(sr._memory)
+    sr._process_chunk(np.zeros((4, TINY.input_dim), np.float32), n_valid=0)
+    assert float(sr._mass) == mass_before
+    assert len(sr._memory) == mem_before

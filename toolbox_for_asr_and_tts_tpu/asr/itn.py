@@ -115,6 +115,10 @@ def apply_itn(text: str) -> str:
         s = m.group(0)
         if "幺" not in s and len(s) < 5:
             return s  # short plain strings stay for the cardinal pass (年份…)
+        if m.start() > 0 and text[m.start() - 1] == "点":
+            # a digit run after 点 is a DECIMAL fraction (三点一四一五九),
+            # not a phone readout — leave it for the decimal pass
+            return s
         return "".join(_PHONE_DIGITS[c] for c in s)
 
     text = _PHONE_RE.sub(phone, text)

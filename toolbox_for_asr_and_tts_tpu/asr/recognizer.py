@@ -125,7 +125,11 @@ class Recognizer:
     K_BUCKET = 16  # static token-count granularity for the rescoring pass
 
     def _fn_for(self, batch: int, n_samples: int, want_logits: bool):
-        key = (batch, n_samples, want_logits)
+        # want_logits no longer changes the phase-1 program (the rescoring
+        # distribution comes from the separate _logits_fn pass) — one compile
+        # per (batch, samples) bucket serves both decode modes
+        del want_logits
+        key = (batch, n_samples)
         if key in self._compiled:
             return self._compiled[key]
         t_fb = fe.num_fbank_frames(n_samples, self.fe_cfg)

@@ -347,7 +347,12 @@ def decode_chunk(params: nn.Params, dstate: Dict, new_embeds: jnp.ndarray,
     left = (cfg.kernel_size - 1) // 2 + cfg.sanm_shift
     new_mask = nn.length_mask(n_new, k)
     x = new_embeds * new_mask[..., None]
-    mem_mask = nn.length_mask(dstate["mem_len"], dstate["mem"].shape[1])
+    # the ring keeps valid frames RIGHT-aligned (concat+[-m:]) — mask the
+    # left zero rows, not the right (round-2 review finding: a left-aligned
+    # mask hid the real memory until the ring filled)
+    m_ring = dstate["mem"].shape[1]
+    mem_mask = (jnp.arange(m_ring)[None, :]
+                >= (m_ring - dstate["mem_len"])[:, None]).astype(jnp.float32)
     new_fsmn = []
     for li, layer in enumerate(params["decoder"]["layers"]):
         residual = x
@@ -446,21 +451,6 @@ class OnlineRecognizer:
             self._fns["step"] = jax.jit(run)
         return self._fns["step"]
 
-    def _decode_fn(self, k: int, t_mem: int):
-        key = f"dec{k}_{t_mem}"
-        if key not in self._fns:
-            cfg = self.cfg
-
-            def run(params, embeds, n_tok, memory, n_mem):
-                token_mask = nn.length_mask(n_tok[None], k)
-                mem_mask = nn.length_mask(n_mem[None], t_mem)
-                logits = paraformer.decode(params, embeds[None], token_mask,
-                                           memory[None], mem_mask, cfg)
-                return jnp.argmax(logits[0], axis=-1)
-
-            self._fns[key] = jax.jit(run)
-        return self._fns[key]
-
     # ------------------------------------------------------------ public
     def push_audio(self, audio: np.ndarray) -> str:
         feats = self.frontend.push(audio)
@@ -525,19 +515,9 @@ class OnlineRecognizer:
         return self._fns["inc"]
 
     def _decode_current(self) -> List[int]:
-        if not self._embeds:
-            return []
-        k = 8 * ((len(self._embeds) + 7) // 8)
-        t_mem = 64 * ((max(len(self._memory), 1) + 63) // 64)
-        emb = np.zeros((k, self.cfg.d_model), np.float32)
-        emb[: len(self._embeds)] = np.stack(self._embeds)
-        mem = np.zeros((t_mem, self.cfg.d_model), np.float32)
-        mem[: len(self._memory)] = self._memory
-        ids = self._decode_fn(k, t_mem)(
-            self.params, jnp.asarray(emb),
-            jnp.asarray(len(self._embeds), np.int32), jnp.asarray(mem),
-            jnp.asarray(len(self._memory), np.int32))
-        return np.asarray(ids)[: len(self._embeds)].tolist()
+        from .paraformer_streaming import nar_redecode
+        return nar_redecode(self.params, self.cfg, self._fns, self._embeds,
+                            self._memory)
 
     def partial_text(self) -> str:
         if self.partial_mode == "incremental":

@@ -183,6 +183,35 @@ class StreamingFrontend:
         self._lfr_emitted = 0
 
 
+# --------------------------------------------------- shared partial decode
+def nar_redecode(params, cfg: paraformer.ParaformerConfig, fns: Dict,
+                 embeds: List[np.ndarray], memory: np.ndarray) -> List[int]:
+    """2-pass partials: NAR re-decode of all accumulated CIF embeddings over
+    the bounded encoder memory — shared by StreamingRecognizer and
+    OnlineRecognizer (round-2 review: previously duplicated)."""
+    if not len(embeds):
+        return []
+    k = 8 * ((len(embeds) + 7) // 8)
+    t_mem = 64 * ((max(len(memory), 1) + 63) // 64)
+    key = f"dec{k}_{t_mem}"
+    if key not in fns:
+        def run(p, emb, n_tok, mem, n_mem, k=k, t_mem=t_mem):
+            token_mask = nn.length_mask(n_tok[None], k)
+            mem_mask = nn.length_mask(n_mem[None], t_mem)
+            logits = paraformer.decode(p, emb[None], token_mask,
+                                       mem[None], mem_mask, cfg)
+            return jnp.argmax(logits[0], axis=-1)
+        fns[key] = jax.jit(run)
+    emb = np.zeros((k, cfg.d_model), np.float32)
+    emb[: len(embeds)] = np.stack(embeds)
+    mem = np.zeros((t_mem, cfg.d_model), np.float32)
+    mem[: len(memory)] = memory
+    ids = fns[key](params, jnp.asarray(emb),
+                   jnp.asarray(len(embeds), np.int32), jnp.asarray(mem),
+                   jnp.asarray(len(memory), np.int32))
+    return np.asarray(ids)[: len(embeds)].tolist()
+
+
 # ------------------------------------------------------ streaming recognizer
 class StreamingRecognizer:
     """Incremental wav → partial/final text over a shared Paraformer."""
@@ -228,21 +257,6 @@ class StreamingRecognizer:
                 lambda e, a, m, acc: cif_step(e, a, m, acc, k_cap))
         return self._fns["cif"]
 
-    def _decode_fn(self, k: int, t_mem: int):
-        key = f"dec{k}_{t_mem}"
-        if key not in self._fns:
-            cfg = self.cfg
-
-            def run(params, embeds, n_tok, memory, n_mem):
-                token_mask = nn.length_mask(n_tok[None], k)
-                mem_mask = nn.length_mask(n_mem[None], t_mem)
-                logits = paraformer.decode(params, embeds[None], token_mask,
-                                           memory[None], mem_mask, cfg)
-                return jnp.argmax(logits[0], axis=-1)
-
-            self._fns[key] = jax.jit(run)
-        return self._fns[key]
-
     # ------------------------------------------------------------ public
     def push_audio(self, audio: np.ndarray) -> str:
         """Feed a chunk; returns the current partial hypothesis."""
@@ -256,8 +270,12 @@ class StreamingRecognizer:
             self._process_chunk(chunk)
         return self.partial_text()
 
-    def _process_chunk(self, chunk: np.ndarray) -> None:
+    def _process_chunk(self, chunk: np.ndarray, n_valid: int = -1) -> None:
+        """n_valid: valid rows of `chunk` (rest is finalize zero-padding and
+        must not contribute CIF mass — round-2 review finding)."""
         cf, lb = self.scfg.chunk_frames, self.scfg.encoder_lookback
+        if n_valid < 0:
+            n_valid = len(chunk)
         self._window = np.concatenate([self._window, chunk])[-cf * (lb + 1):]
         t_win = cf * (lb + 1)
         padded = np.zeros((t_win, self.cfg.input_dim), np.float32)
@@ -267,6 +285,8 @@ class StreamingRecognizer:
             jnp.asarray(len(self._window), np.int32))
         enc_new = enc[-cf:]
         alpha_new = alphas[-cf:]
+        if n_valid < cf:  # zero the padded tail's alphas
+            alpha_new = alpha_new * (jnp.arange(cf) < n_valid)
         embeds, n_fired, self._mass, self._acc = self._cif_fn()(
             enc_new, alpha_new, self._mass, self._acc)
         n = int(n_fired)
@@ -274,22 +294,12 @@ class StreamingRecognizer:
             self._embeds.extend(np.asarray(embeds[:n]))
             self._embeds = self._embeds[: self.scfg.max_tokens]
         self._memory = np.concatenate(
-            [self._memory, np.asarray(enc_new)])[-self.scfg.max_memory_frames:]
+            [self._memory, np.asarray(enc_new)[:n_valid]]
+        )[-self.scfg.max_memory_frames:]
 
     def _decode_current(self) -> List[int]:
-        if not self._embeds:
-            return []
-        k = 8 * ((len(self._embeds) + 7) // 8)
-        t_mem = 64 * ((len(self._memory) + 63) // 64)
-        emb = np.zeros((k, self.cfg.d_model), np.float32)
-        emb[: len(self._embeds)] = np.stack(self._embeds)
-        mem = np.zeros((t_mem, self.cfg.d_model), np.float32)
-        mem[: len(self._memory)] = self._memory
-        ids = self._decode_fn(k, t_mem)(
-            self.params, jnp.asarray(emb),
-            jnp.asarray(len(self._embeds), np.int32), jnp.asarray(mem),
-            jnp.asarray(len(self._memory), np.int32))
-        return np.asarray(ids)[: len(self._embeds)].tolist()
+        return nar_redecode(self.params, self.cfg, self._fns, self._embeds,
+                            self._memory)
 
     def partial_text(self) -> str:
         return self.tokenizer.ids_to_text(self._decode_current())
@@ -308,10 +318,11 @@ class StreamingRecognizer:
         while len(self._feat_queue) > 0:
             chunk = self._feat_queue[:cf]
             self._feat_queue = self._feat_queue[cf:]
-            if len(chunk) < cf:  # zero-pad the last partial chunk through
-                pad = np.zeros((cf - len(chunk), self.cfg.input_dim), np.float32)
+            n_valid = len(chunk)
+            if n_valid < cf:  # zero-pad the last partial chunk through
+                pad = np.zeros((cf - n_valid, self.cfg.input_dim), np.float32)
                 chunk = np.concatenate([chunk, pad])
-            self._process_chunk(chunk)
+            self._process_chunk(chunk, n_valid=n_valid)
         tail = self.cfg.predictor_tail_threshold
         frac = float(self._mass) - np.floor(float(self._mass))
         if frac > 0 and frac + tail >= 1.0 and \

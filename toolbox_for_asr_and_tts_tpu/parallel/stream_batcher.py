@@ -112,29 +112,33 @@ class BatchedChunkedASR:
         self._audio: Dict[int, np.ndarray] = {}
         self._fbank_fns: Dict[Tuple[int, int], object] = {}
 
+    FBANK_QUANTA = 24  # frames per fbank call — FIXED shape, so the program
+                       # cache is bounded by group size (CLAUDE.md bucketing
+                       # rule; round-2 review finding: raw buffered lengths
+                       # compiled one program per distinct byte count)
+
     def _batched_fbank(self, rows: List[int]) -> None:
-        """ONE device fbank call for all rows with equal buffered audio;
-        per-session frontends only do the (host numpy) LFR drain."""
+        """ONE device fbank call per quantum for all ready rows; per-session
+        frontends only do the (host numpy) LFR drain."""
         import jax
         import jax.numpy as jnp
         from ..ops import frontend as fe
         fcfg = self.cfg.frontend
-        by_len: Dict[int, List[int]] = {}
-        for s in rows:
-            by_len.setdefault(len(self._audio[s]), []).append(s)
-        for length, group in by_len.items():
-            n_frames = fe.num_fbank_frames(length, fcfg)
-            if n_frames <= 0:
-                continue
-            key = (len(group), length)
+        q = self.FBANK_QUANTA
+        span = (q - 1) * fcfg.frame_shift + fcfg.frame_length
+        consume = q * fcfg.frame_shift
+        while True:
+            ready = [s for s in rows if len(self._audio[s]) >= span]
+            if not ready:
+                return
+            key = len(ready)
             if key not in self._fbank_fns:
                 self._fbank_fns[key] = jax.jit(
-                    lambda a, n=n_frames: fe.fbank(a, fcfg, t_frames=n))
-            batch = np.stack([self._audio[s] for s in group])
+                    lambda a: fe.fbank(a, fcfg, t_frames=q))
+            batch = np.stack([self._audio[s][:span] for s in ready])
             fb = np.asarray(self._fbank_fns[key](jnp.asarray(batch)))
-            consumed = n_frames * fcfg.frame_shift
-            for i, s in enumerate(group):
-                self._audio[s] = self._audio[s][consumed:]
+            for i, s in enumerate(ready):
+                self._audio[s] = self._audio[s][consume:]
                 feats = self._frontends[s].push_fbank(fb[i])
                 if len(feats):
                     self._queues[s] = np.concatenate(

@@ -98,9 +98,13 @@ class HubVadStepper:
         self.slot: Optional[int] = hub.join()
 
     def __call__(self, chunk: np.ndarray) -> bool:
+        if self.slot is None:
+            raise RuntimeError("stepper already closed")
         return self.hub.submit(self.slot, chunk)
 
     def reset(self) -> None:
+        if self.slot is None:  # closed stepper must not touch shared state
+            return
         self.hub.reset(self.slot)
 
     def close(self) -> None:
