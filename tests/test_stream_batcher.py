@@ -167,3 +167,42 @@ def test_fused_partials_match_incremental_recognizer():
         reco.push_audio(audio[s:s+3200])
     assert got == reco._inc_ids, (got, reco._inc_ids)
     assert len(got) > 0
+
+
+def test_fused_ticker_on_mesh_matches_single_device():
+    """Session rows shard over the mesh data axis (params replicated):
+    8-device dp serving must produce exactly the single-device token ids."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from toolbox_for_asr_and_tts_tpu.models import paraformer
+    from toolbox_for_asr_and_tts_tpu.models import paraformer_online as po
+    from toolbox_for_asr_and_tts_tpu.parallel.stream_batcher import (
+        BatchedChunkedASR)
+
+    cfg = paraformer.ParaformerConfig(
+        input_dim=560, d_model=32, n_heads=2, ffn_dim=64,
+        encoder_layers=2, decoder_layers=2, vocab_size=64)
+    ocfg = po.OnlineConfig(c1=4, c2=5, encoder_look_back=2)
+    params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    rng = np.random.default_rng(30)
+    audios = [(rng.standard_normal(9600) * 0.1).astype(np.float32)
+              for _ in range(8)]
+
+    def run(ticker):
+        slots = [ticker.join() for _ in range(8)]
+        got = {i: [] for i in range(8)}
+        for s in range(0, 9600, 3200):
+            fired = ticker.tick({slots[i]: audios[i][s:s+3200]
+                                 for i in range(8)})
+            for i in range(8):
+                got[i].extend(fired.get(slots[i], []))
+        return got
+
+    got_mesh = run(BatchedChunkedASR(params, cfg, ocfg, capacity=8,
+                                     partials=True, mesh=mesh))
+    got_one = run(BatchedChunkedASR(params, cfg, ocfg, capacity=8,
+                                    partials=True))
+    assert got_mesh == got_one
+    assert any(len(v) for v in got_one.values())

@@ -38,23 +38,42 @@ class BatchedChunkedASR:
 
     def __init__(self, params, cfg=None, ocfg=None, capacity: int = 16,
                  cmvn: Optional[Tuple[np.ndarray, np.ndarray]] = None,
-                 fused: bool = True, partials: bool = False):
+                 fused: bool = True, partials: bool = False, mesh=None):
         """fused=True (default): ONE device program per tick — the audio
         ring lives on device and fbank/LFR/CMVN fuse with the encoder+CIF
         (models/paraformer_online.fused_step). fused=False keeps the
         host-frontend path (one batched fbank call + one encoder call).
         partials=True (fused only) also decodes fired tokens INSIDE the same
         program (fsmn-cached incremental decoder); tick() then returns
-        per-slot token-id lists instead of embeddings."""
+        per-slot token-id lists instead of embeddings.
+        mesh: optional jax.sharding.Mesh with a "data" axis — session rows
+        shard across chips (params replicated), so one hub scales streaming
+        over ICI; capacity must divide by the data-axis size."""
         import jax
         from ..models import paraformer as pf
         from ..models import paraformer_online as po
         self._po = po
         self.cfg = cfg or pf.ParaformerConfig()
         self.ocfg = ocfg or po.OnlineConfig()
-        self.params = params
         self.capacity = capacity
         self.cmvn = cmvn
+        self.mesh = mesh
+        self._row_shard = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_data = mesh.shape["data"]
+            if capacity % n_data:
+                raise ValueError(f"capacity {capacity} not divisible by "
+                                 f"data axis {n_data}")
+
+            def row_shard(a):
+                spec = P("data", *([None] * (a.ndim - 1)))
+                return jax.device_put(a, NamedSharding(mesh, spec))
+
+            self._row_shard = row_shard
+            params = jax.tree.map(
+                lambda a: jax.device_put(a, NamedSharding(mesh, P())), params)
+        self.params = params
         self.fused = fused
         self.partials = partials and fused
         if fused:
@@ -62,6 +81,8 @@ class BatchedChunkedASR:
             self.chunk_samples = self.ocfg.c1 * fcfg.lfr_n * fcfg.frame_shift
             self.state = po.init_fused_state(self.cfg, self.ocfg, b=capacity,
                                              decode_partials=self.partials)
+            if self._row_shard is not None:
+                self.state = jax.tree.map(self._row_shard, self.state)
             c, o = self.cfg, self.ocfg
             dp = self.partials
             cm = None
@@ -195,9 +216,13 @@ class BatchedChunkedASR:
                     batch[s] = self._audio[s][:a_len]
                     self._audio[s] = self._audio[s][a_len:]
                     row_active[s] = 1.0
-                res = self._fused_step(self.params, self.state,
-                                       jnp.asarray(batch),
-                                       jnp.asarray(row_active))
+                batch_dev = jnp.asarray(batch)
+                active_dev = jnp.asarray(row_active)
+                if self._row_shard is not None:
+                    batch_dev = self._row_shard(batch_dev)
+                    active_dev = self._row_shard(active_dev)
+                res = self._fused_step(self.params, self.state, batch_dev,
+                                       active_dev)
                 self.state, embeds, n = res[0], res[1], res[2]
                 n = np.asarray(n)
                 if self.partials:
