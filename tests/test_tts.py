@@ -205,6 +205,13 @@ def test_g2p_golden_pinyin():
         "便秘": ["bian4", "mi4"],
         "头发": ["tou2", "fa4"],
         "发烧": ["fa1", "shao1"],
+        # round-2 extension: medical polyphones
+        "中风": ["zhong4", "feng1"],
+        "呕吐": ["ou3", "tu4"],
+        "扎针": ["zha1", "zhen1"],
+        "创伤": ["chuang1", "shang1"],
+        "跌倒": ["die1", "dao3"],
+        "量体温": ["liang2", "ti3", "wen1"],
         # erhua
         "一点儿": ["yi4", "dianr3"],
         "这儿": ["zher4"],

@@ -168,6 +168,35 @@ WORD_PINYIN = {
     "弹性": "tan2 xing4", "子弹": "zi3 dan4",
     # 薄 bo2 / bao2
     "薄弱": "bo2 ruo4", "很薄": "hen3 bao2",
+    # 中 zhong1 / zhong4 (medical: 中风/中暑/中毒)
+    "中风": "zhong4 feng1", "中暑": "zhong4 shu3", "中毒": "zhong4 du2",
+    "击中": "ji1 zhong4", "中奖": "zhong4 jiang3",
+    # 吐 tu3 / tu4
+    "呕吐": "ou3 tu4", "吐血": "tu4 xie3", "吐出": "tu3 chu1",
+    # 散 san4 / san3
+    "散步": "san4 bu4", "松散": "song1 san3", "散剂": "san3 ji4",
+    "扩散": "kuo4 san4",
+    # 倒 dao3 / dao4
+    "摔倒": "shuai1 dao3", "跌倒": "die1 dao3", "倒水": "dao4 shui3",
+    "倒是": "dao4 shi4", "倒立": "dao4 li4",
+    # 扎 zha1 / za1
+    "扎针": "zha1 zhen1", "结扎": "jie2 za1", "包扎": "bao1 za1",
+    # 创 chuang1 / chuang4
+    "创伤": "chuang1 shang1", "创口": "chuang1 kou3",
+    "创可贴": "chuang1 ke3 tie1", "创造": "chuang4 zao4",
+    "创新": "chuang4 xin1",
+    # 咽 third reading ye4
+    "哽咽": "geng3 ye4",
+    # 调剂 (pharmacy) tiao2
+    "调剂": "tiao2 ji4",
+    # 量体温 liang2
+    "量体温": "liang2 ti3 wen1",
+    # 脉 mai4 (号脉/脉搏 keep default); 提防 di1
+    "脉搏": "mai4 bo2", "提防": "di1 fang2",
+    # 钥匙 shi5
+    "钥匙": "yao4 shi5",
+    # 数落 shu3
+    "数落": "shu3 luo5",
 }
 
 # lexicalized 儿化 words: the trailing 儿 rhotacizes the previous final
