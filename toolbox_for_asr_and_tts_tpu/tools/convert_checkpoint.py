@@ -26,25 +26,41 @@ FAMILIES = ("paraformer", "fsmn_vad", "sambert", "hifigan", "campplus",
             "punc", "kws")
 
 
-def _family_setup(family: str):
+def _apply_overrides(cfg, overrides):
+    """Dataclass config + {field: value} overrides (e.g. from the real
+    checkpoint's config.json via --config-json)."""
+    if not overrides:
+        return cfg
+    import dataclasses
+    known = {f.name for f in dataclasses.fields(cfg)}
+    unknown = sorted(set(overrides) - known)
+    if unknown:
+        raise SystemExit(f"unknown config fields {unknown}; "
+                         f"valid: {sorted(known)}")
+    fixed = {k: tuple(v) if isinstance(v, list) else v
+             for k, v in overrides.items()}
+    return dataclasses.replace(cfg, **fixed)
+
+
+def _family_setup(family: str, overrides=None):
     """(template, rules, convert kwargs) per model family."""
     import jax
     from ..runtime import checkpoints as ckpt
     if family == "paraformer":
         from ..models import paraformer
-        cfg = paraformer.ParaformerConfig()
+        cfg = _apply_overrides(paraformer.ParaformerConfig(), overrides)
         template = paraformer.init_params(jax.random.PRNGKey(0), cfg)
         rules = ckpt.paraformer_rules(cfg.encoder_layers, cfg.decoder_layers)
         return template, rules, {}
     if family == "fsmn_vad":
         from ..models import fsmn_vad
-        cfg = fsmn_vad.FsmnVadConfig()
+        cfg = _apply_overrides(fsmn_vad.FsmnVadConfig(), overrides)
         template = fsmn_vad.init_params(jax.random.PRNGKey(0), cfg)
         rules = ckpt.fsmn_vad_rules(cfg.fsmn_layers)
         return template, rules, {}
     if family == "sambert":
         from ..models import sambert
-        cfg = sambert.SambertConfig()
+        cfg = _apply_overrides(sambert.SambertConfig(), overrides)
         template = sambert.init_params(jax.random.PRNGKey(0), cfg)
         rules = ckpt.sambert_rules(cfg.encoder_layers, cfg.pnca_layers,
                                    cfg.postnet_layers)
@@ -53,7 +69,7 @@ def _family_setup(family: str):
     if family == "hifigan":
         from ..models import hifigan
         from ..runtime.checkpoints import fold_weight_norm
-        cfg = hifigan.HifiGanConfig()
+        cfg = _apply_overrides(hifigan.HifiGanConfig(), overrides)
         template = hifigan.init_params(jax.random.PRNGKey(0), cfg)
         rules = ckpt.hifigan_rules(len(cfg.upsample_rates),
                                    len(cfg.resblock_kernels),
@@ -61,25 +77,25 @@ def _family_setup(family: str):
         return template, rules, {"pre_transform": fold_weight_norm}
     if family == "campplus":
         from ..models import campplus
-        cfg = campplus.CampPlusConfig()
+        cfg = _apply_overrides(campplus.CampPlusConfig(), overrides)
         template = campplus.init_params(jax.random.PRNGKey(0), cfg)
         return template, ckpt.campplus_rules(cfg.block_layers), {}
     if family == "punc":
         from ..models import ct_transformer
-        cfg = ct_transformer.CTTransformerConfig()
+        cfg = _apply_overrides(ct_transformer.CTTransformerConfig(), overrides)
         template = ct_transformer.init_params(jax.random.PRNGKey(0), cfg)
         return template, ckpt.ct_transformer_rules(cfg.num_layers), {}
     if family == "kws":
         from ..models import kws_ctc
-        cfg = kws_ctc.KwsConfig()
+        cfg = _apply_overrides(kws_ctc.KwsConfig(), overrides)
         template = kws_ctc.init_params(jax.random.PRNGKey(0), cfg)
         return template, ckpt.kws_rules(cfg.num_layers), {}
     raise SystemExit(f"unknown family {family}; choose from {FAMILIES}")
 
 
-def convert(family: str, model_dir: str) -> str:
+def convert(family: str, model_dir: str, overrides=None) -> str:
     from ..runtime import checkpoints as ckpt
-    template, rules, kwargs = _family_setup(family)
+    template, rules, kwargs = _family_setup(family, overrides)
     params = ckpt.convert_or_load_cached(model_dir, template, rules, **kwargs)
     out = os.path.join(model_dir, "jax_params.npz")
     if not os.path.exists(out):
@@ -89,11 +105,11 @@ def convert(family: str, model_dir: str) -> str:
     return out
 
 
-def diff(family: str, model_dir: str) -> None:
+def diff(family: str, model_dir: str, overrides=None) -> None:
     """Weight-level diff: every mapped tensor must round-trip exactly."""
     from ..runtime import checkpoints as ckpt
     sd = ckpt.load_torch_state_dict(_find_ckpt(model_dir))
-    template, rules, kwargs = _family_setup(family)
+    template, rules, kwargs = _family_setup(family, overrides)
     if kwargs.get("pre_transform") is not None:
         sd = kwargs["pre_transform"](sd)
     params = ckpt.convert_state_dict(sd, rules, template, strict=False,
@@ -126,10 +142,17 @@ def main() -> None:
     ap.add_argument("--family", required=True, choices=FAMILIES)
     ap.add_argument("--model-dir", required=True)
     ap.add_argument("--diff", action="store_true")
+    ap.add_argument("--config-json", default=None,
+                    help="JSON file (or the checkpoint's config.json subset) "
+                         "overriding the family config's dataclass fields")
     args = ap.parse_args()
-    convert(args.family, args.model_dir)
+    overrides = None
+    if args.config_json:
+        with open(args.config_json, encoding="utf-8") as f:
+            overrides = json.load(f)
+    convert(args.family, args.model_dir, overrides)
     if args.diff:
-        diff(args.family, args.model_dir)
+        diff(args.family, args.model_dir, overrides)
 
 
 if __name__ == "__main__":
