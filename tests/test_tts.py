@@ -230,3 +230,17 @@ def test_g2p_erhua_phones_encode():
     syms = [vocab.symbols[i] for i in ids]
     assert "ianr3" in syms, syms
     assert vocab.to_id["ianr3"] != vocab.to_id[vocab.UNK]
+
+
+def test_synthesizer_mesh_matches_single_device():
+    """dp-sharded synthesis over the 8-device mesh == single device, for a
+    segment count that is NOT a device multiple (padding rows dropped)."""
+    s1 = Synthesizer.random(seed=3)
+    s8 = Synthesizer.random(seed=3, use_mesh=True)
+    assert s8.mesh is not None and s8.mesh.devices.size == 8
+    segs = ["你好。", "今天天气不错。", "请按时吃药。"]  # 3 rows → pad to 8
+    w1, d1 = s1.synthesize_segments(segs, "zhitian_emo")
+    w8, d8 = s8.synthesize_segments(segs, "zhitian_emo")
+    assert d1 == d8
+    for a, b in zip(w1, w8):
+        np.testing.assert_allclose(a, b, atol=1e-4)
