@@ -76,6 +76,114 @@ def test_hub_reset_and_leave(hub):
     assert st.slot is None
 
 
+# --------------------------------------------------------- chunked hub
+from toolbox_for_asr_and_tts_tpu.models import paraformer as _pf
+from toolbox_for_asr_and_tts_tpu.models import paraformer_online as _po
+from toolbox_for_asr_and_tts_tpu.asr.tokenizer import CharTokenizer
+from toolbox_for_asr_and_tts_tpu.service.hub import (ChunkedHub,
+                                                     HubStreamingRecognizer)
+
+_PCFG = _pf.ParaformerConfig(input_dim=560, d_model=32, n_heads=2, ffn_dim=64,
+                             encoder_layers=2, decoder_layers=2, vocab_size=64)
+_OCFG = _po.OnlineConfig(c1=4, c2=5, encoder_look_back=2)
+
+
+@pytest.fixture(scope="module")
+def chunked_hub():
+    params = _pf.init_params(jax.random.PRNGKey(3), _PCFG)
+    h = ChunkedHub(params, _PCFG, _OCFG, CharTokenizer.dummy(64),
+                   capacity=8, tick_ms=5.0)
+    yield h
+    h.close()
+
+
+def test_chunked_hub_matches_per_session_recognizers(chunked_hub):
+    """3 sessions pushing concurrently through the hub accumulate exactly
+    the incremental-mode OnlineRecognizer partial ids, and the hub batches
+    (fewer device ticks than submissions)."""
+    hub = chunked_hub
+    rng = np.random.default_rng(11)
+    n_sessions, step, total = 3, 3200, 16000
+    audio = [(rng.standard_normal(total) * 0.1).astype(np.float32)
+             for _ in range(n_sessions)]
+
+    want = []
+    for i in range(n_sessions):
+        reco = _po.OnlineRecognizer(hub.ticker.params, _PCFG,
+                                    CharTokenizer.dummy(64), _OCFG,
+                                    partial_mode="incremental")
+        for s in range(0, total, step):
+            reco.push_audio(audio[i][s:s + step])
+        want.append(list(reco._inc_ids))
+
+    recos = [HubStreamingRecognizer(hub) for _ in range(n_sessions)]
+    barrier = threading.Barrier(n_sessions)
+
+    def run(i):
+        for s in range(0, total, step):
+            barrier.wait()
+            recos[i].push_audio(audio[i][s:s + step])
+
+    threads = [threading.Thread(target=run, args=(i,))
+               for i in range(n_sessions)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    tok = CharTokenizer.dummy(64)
+    for i in range(n_sessions):
+        got = hub._ids[recos[i].slot]
+        assert got == want[i], f"session {i}: {got} != {want[i]}"
+        assert recos[i].partial_text() == tok.ids_to_text(want[i])
+        assert len(want[i]) > 0
+    assert hub.ticks < hub.submissions, (hub.ticks, hub.submissions)
+    for r in recos:
+        r.close()
+
+
+def test_chunked_hub_reset_restarts_cleanly(chunked_hub):
+    """reset() clears partial ids AND streaming caches: replaying the same
+    audio after reset reproduces the same partials (fresh-session equality)."""
+    hub = chunked_hub
+    rng = np.random.default_rng(12)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    reco = HubStreamingRecognizer(hub)
+    first = []
+    for s in range(0, 16000, 3200):
+        reco.push_audio(audio[s:s + 3200])
+    first = list(hub._ids[reco.slot])
+    assert len(first) > 0
+    reco.reset()
+    assert reco.partial_text() == ""
+    for s in range(0, 16000, 3200):
+        reco.push_audio(audio[s:s + 3200])
+    assert hub._ids[reco.slot] == first
+    reco.close()
+    assert reco.slot is None
+
+
+def test_streaming_factory_batch_env(monkeypatch):
+    """VOICE_BATCH_SERVING=1 + VOICE_ENABLE_PARTIALS=1 wires sessions'
+    partials through the shared ChunkedHub."""
+    monkeypatch.setenv("VOICE_BATCH_SERVING", "1")
+    monkeypatch.setenv("VOICE_ENABLE_PARTIALS", "1")
+    monkeypatch.setenv("VOICE_BATCH_CAPACITY", "4")
+    from toolbox_for_asr_and_tts_tpu.asr.recognizer import Recognizer
+    from toolbox_for_asr_and_tts_tpu.service.engines import _streaming_factory
+    reco = Recognizer.random(_PCFG, use_mesh=False)
+    factory = _streaming_factory(reco)
+    try:
+        st = factory()
+        assert isinstance(st, HubStreamingRecognizer)
+        rng = np.random.default_rng(13)
+        out = st.push_audio((rng.standard_normal(6400) * 0.1)
+                            .astype(np.float32))
+        assert isinstance(out, str)
+        st.close()
+    finally:
+        factory.hub.close()
+
+
 def test_service_batch_serving_env(monkeypatch):
     """VOICE_BATCH_SERVING=1 wires HubVadStepper into the engines'
     vad_factory."""

@@ -192,6 +192,18 @@ class BatchedChunkedASR:
         import jax
         self.state = jax.tree.map(lambda a: a.at[slot].set(0), self.state)
 
+    def reset_slot(self, slot: int) -> None:
+        """Session reset (reference reset_asr_state clears streaming caches,
+        voice_interface.py:1257-1275): device state row, host audio
+        remainder, and the host frontend/feature queue in unfused mode."""
+        self._reset_slot(slot)
+        self._audio[slot] = np.zeros(0, np.float32)
+        if not self.fused:
+            fe = self._frontends.get(slot)
+            if fe is not None:
+                fe.reset()
+            self._queues[slot] = np.zeros((0, self.cfg.input_dim), np.float32)
+
     # ------------------------------------------------------------ tick
     def tick(self, chunks: Dict[int, np.ndarray]
              ) -> Dict[int, List[np.ndarray]]:

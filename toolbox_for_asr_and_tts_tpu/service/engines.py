@@ -97,12 +97,28 @@ def _streaming_factory(reco):
         def factory():
             return StreamingRecognizer(reco.params, reco.cfg, reco.tokenizer,
                                        StreamingConfig(), cmvn=cmvn)
-    else:
-        from ..models.paraformer_online import OnlineConfig, OnlineRecognizer
+        return factory
+
+    from ..models.paraformer_online import OnlineConfig, OnlineRecognizer
+
+    if os.getenv("VOICE_BATCH_SERVING", "0") in ("1", "true"):
+        # batched partials: every session's speech chunk joins ONE fused
+        # device program per tick (service/hub.py::ChunkedHub) instead of
+        # one OnlineRecognizer program per connection per chunk
+        from .hub import ChunkedHub, HubStreamingRecognizer
+        hub = ChunkedHub(reco.params, reco.cfg, OnlineConfig(),
+                         reco.tokenizer, cmvn=cmvn,
+                         capacity=int(os.getenv("VOICE_BATCH_CAPACITY", "16")))
 
         def factory():
-            return OnlineRecognizer(reco.params, reco.cfg, reco.tokenizer,
-                                    OnlineConfig(), cmvn=cmvn)
+            return HubStreamingRecognizer(hub)
+
+        factory.hub = hub
+        return factory
+
+    def factory():
+        return OnlineRecognizer(reco.params, reco.cfg, reco.tokenizer,
+                                OnlineConfig(), cmvn=cmvn)
 
     return factory
 

@@ -34,6 +34,7 @@ class VadHub:
         self.tick_ms = tick_ms
         self._pending: Dict[int, Tuple[np.ndarray, threading.Event, list]] = {}
         self._lock = threading.Lock()
+        self._ticker_lock = threading.Lock()  # tick vs join/leave/reset
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="vad-hub")
@@ -43,15 +44,18 @@ class VadHub:
 
     # ------------------------------------------------------------- rows
     def join(self) -> int:
-        return self.ticker.join()
+        with self._ticker_lock:
+            return self.ticker.join()
 
     def leave(self, slot: int) -> None:
         with self._lock:
             self._pending.pop(slot, None)
-        self.ticker.leave(slot)
+        with self._ticker_lock:
+            self.ticker.leave(slot)
 
     def reset(self, slot: int) -> None:
-        self.ticker.reset_slot(slot)
+        with self._ticker_lock:
+            self.ticker.reset_slot(slot)
 
     # ------------------------------------------------------------ submit
     def submit(self, slot: int, chunk: np.ndarray,
@@ -73,8 +77,9 @@ class VadHub:
             if not batch:
                 continue
             try:
-                results = self.ticker.tick(
-                    {s: c for s, (c, _, _) in batch.items()})
+                with self._ticker_lock:
+                    results = self.ticker.tick(
+                        {s: c for s, (c, _, _) in batch.items()})
             except Exception:
                 logger.exception("VAD hub tick failed")
                 results = {s: False for s in batch}
@@ -87,6 +92,153 @@ class VadHub:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=2.0)
+
+
+class ChunkedHub:
+    """Batched streaming-partials hub: every partial-enabled WS session's
+    speech chunk joins ONE fused device program per tick (audio → fbank →
+    LFR → encoder → CIF → incremental decode, parallel/stream_batcher.py
+    `BatchedChunkedASR(fused=True, partials=True)`).
+
+    The per-session alternative (`engines._streaming_factory` default) runs
+    one `OnlineRecognizer` program per connection per chunk; with S live
+    sessions that is S device calls per 400 ms. The hub runs one. Decoded
+    token ids accumulate per slot; `submit` returns the session's current
+    partial text. Rows shard over an optional mesh "data" axis (ICI dp).
+    """
+
+    def __init__(self, params, cfg, ocfg, tokenizer, cmvn=None,
+                 capacity: int = 16, tick_ms: float = 10.0, mesh=None):
+        from ..parallel.stream_batcher import BatchedChunkedASR
+        self.ticker = BatchedChunkedASR(params, cfg, ocfg, capacity=capacity,
+                                        cmvn=cmvn, fused=True, partials=True,
+                                        mesh=mesh)
+        self.tokenizer = tokenizer
+        self.tick_ms = tick_ms
+        self._ids: Dict[int, list] = {}
+        self._pending: Dict[int, Tuple[np.ndarray, threading.Event]] = {}
+        self._lock = threading.Lock()
+        # serializes ticker state mutations (tick vs join/leave/reset): the
+        # fused tick also drains OTHER slots' leftover audio, so a reset
+        # racing a tick could resurrect a pre-reset cache row
+        self._ticker_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="chunked-hub")
+        self._thread.start()
+        self.ticks = 0
+        self.submissions = 0
+
+    # ------------------------------------------------------------- rows
+    def join(self) -> int:
+        with self._ticker_lock:
+            slot = self.ticker.join()
+        with self._lock:
+            self._ids[slot] = []
+        return slot
+
+    def leave(self, slot: int) -> None:
+        with self._lock:
+            dropped = self._pending.pop(slot, None)
+            self._ids.pop(slot, None)
+        if dropped is not None:
+            dropped[1].set()  # release a blocked submitter
+        with self._ticker_lock:
+            self.ticker.leave(slot)
+
+    def reset(self, slot: int) -> None:
+        with self._lock:
+            dropped = self._pending.pop(slot, None)
+            self._ids[slot] = []
+        if dropped is not None:
+            dropped[1].set()
+        with self._ticker_lock:
+            self.ticker.reset_slot(slot)
+
+    # ------------------------------------------------------------ submit
+    def submit(self, slot: int, chunk: np.ndarray,
+               timeout: float = 10.0) -> str:
+        """Queue this session's chunk for the next tick; block until the
+        tick that includes it resolves; return the partial text so far."""
+        ev = threading.Event()
+        with self._lock:
+            if slot in self._pending:  # coalesce back-to-back submits
+                prev, prev_ev = self._pending[slot]
+                chunk = np.concatenate([prev, np.asarray(chunk, np.float32)])
+                prev_ev.set()
+            self._pending[slot] = (np.asarray(chunk, np.float32), ev)
+        if not ev.wait(timeout):
+            raise TimeoutError("chunked-ASR hub tick timed out")
+        with self._lock:
+            return self.tokenizer.ids_to_text(self._ids.get(slot, []))
+
+    def partial_text(self, slot: int) -> str:
+        with self._lock:
+            return self.tokenizer.ids_to_text(self._ids.get(slot, []))
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            time.sleep(self.tick_ms / 1000.0)
+            with self._lock:
+                batch = self._pending
+                self._pending = {}
+            if not batch:
+                continue
+            try:
+                with self._ticker_lock:
+                    fired = self.ticker.tick(
+                        {s: c for s, (c, _) in batch.items()})
+            except Exception:
+                logger.exception("chunked hub tick failed")
+                fired = {}
+            self.ticks += 1
+            self.submissions += len(batch)
+            with self._lock:
+                for s, ids in fired.items():
+                    if ids and s in self._ids:
+                        self._ids[s].extend(int(i) for i in ids)
+            for _, (_, ev) in batch.items():
+                ev.set()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+
+
+class HubStreamingRecognizer:
+    """Drop-in for the session's per-connection streaming recognizer
+    (`push_audio(chunk) -> partial text`, `reset()`) backed by the shared
+    ChunkedHub — StreamingASRSession is unchanged (asr/session.py:279-283)."""
+
+    def __init__(self, hub: ChunkedHub):
+        self.hub = hub
+        self.slot: Optional[int] = hub.join()
+
+    def push_audio(self, chunk: np.ndarray) -> str:
+        if self.slot is None:
+            raise RuntimeError("recognizer already closed")
+        return self.hub.submit(self.slot, chunk)
+
+    def partial_text(self) -> str:
+        if self.slot is None:
+            return ""
+        return self.hub.partial_text(self.slot)
+
+    def reset(self) -> None:
+        if self.slot is None:
+            return
+        self.hub.reset(self.slot)
+
+    def close(self) -> None:
+        if self.slot is not None:
+            self.hub.leave(self.slot)
+            self.slot = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class HubVadStepper:
