@@ -86,6 +86,11 @@ class Recognizer:
         self.rtf = RTFMeter()
         # ms per LFR frame (frame_shift 10 ms × lfr_n)
         self.frame_ms = self.fe_cfg.frame_shift_ms * self.fe_cfg.lfr_n
+        # BiCIF timestamp branch (paraformer-large-vad-punc-spk carries it):
+        # upsampled fire frames refine spans to frame_ms/upsample_times
+        self.has_bicif = isinstance(params.get("predictor"), dict) \
+            and "upsample" in params["predictor"]
+        self.us_ms = self.frame_ms / cfg.upsample_times
 
     # ------------------------------------------------------------ factory
     @classmethod
@@ -100,13 +105,27 @@ class Recognizer:
                        cfg: Optional[paraformer.ParaformerConfig] = None,
                        **kw) -> "Recognizer":
         """Load a converted ModelScope Paraformer checkpoint directory
-        (tokens + am.mvn + model weights; see runtime/checkpoints.py)."""
+        (tokens + am.mvn + model weights; see runtime/checkpoints.py).
+
+        BiCIF auto-detect: the spk model (BiCifParaformer) carries the
+        upsampled timestamp predictor; plain vocab8404 checkpoints don't.
+        Try the bicif template first and fall back when its tensors are
+        absent, so one loader serves both families."""
         import os
         from ..runtime import checkpoints as ckpt
         cfg = cfg or paraformer.ParaformerConfig()
-        template = paraformer.init_params(jax.random.PRNGKey(0), cfg)
-        rules = ckpt.paraformer_rules(cfg.encoder_layers, cfg.decoder_layers)
-        params = ckpt.convert_or_load_cached(model_dir, template, rules)
+        try:
+            bcfg = dataclasses.replace(cfg, bicif=True)
+            template = paraformer.init_params(jax.random.PRNGKey(0), bcfg)
+            rules = ckpt.paraformer_rules(bcfg.encoder_layers,
+                                          bcfg.decoder_layers, bicif=True)
+            params = ckpt.convert_or_load_cached(model_dir, template, rules)
+            cfg = bcfg
+        except (KeyError, ValueError):
+            template = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+            rules = ckpt.paraformer_rules(cfg.encoder_layers,
+                                          cfg.decoder_layers)
+            params = ckpt.convert_or_load_cached(model_dir, template, rules)
         tok_path = None
         for cand in ("tokens.json", "tokens.txt"):
             p = os.path.join(model_dir, cand)
@@ -150,13 +169,17 @@ class Recognizer:
             # encoder memory / CIF embeds kept ON DEVICE here.
             # All small outputs PACK into one array: each np.asarray fetch is
             # a full tunnel round trip (~33 ms measured), so 1 fetch, not 4.
-            packed = jnp.concatenate([
+            cols = [
                 out["token_count"][:, None].astype(jnp.float32),
                 out["tokens"].astype(jnp.float32),
                 out["token_center"],
                 out["token_start"].astype(jnp.float32),
                 out["fire_frame"].astype(jnp.float32),
-            ], axis=1)
+            ]
+            if "us_start" in out:   # BiCIF 20 ms timestamp boundaries
+                cols += [out["us_start"].astype(jnp.float32),
+                         out["us_end"].astype(jnp.float32)]
+            packed = jnp.concatenate(cols, axis=1)
             device_side = {"enc": out["enc"], "embeds": out["embeds"],
                            "feat_lens": feat_lens}
             return packed, device_side
@@ -213,6 +236,9 @@ class Recognizer:
             "token_start": packed[:, 1 + 2 * k_max: 1 + 3 * k_max],
             "fire_frame": packed[:, 1 + 3 * k_max: 1 + 4 * k_max],
         }
+        if self.has_bicif:
+            out["us_start"] = packed[:, 1 + 4 * k_max: 1 + 5 * k_max]
+            out["us_end"] = packed[:, 1 + 5 * k_max: 1 + 6 * k_max]
         logits_np = None
         if want_logits and int(out["token_count"].max()) > 0:
             # phase 2: re-decode at a tight K bucket so the fetched logits
@@ -254,11 +280,21 @@ class Recognizer:
             ts = (out["token_center"][i, :n].astype(np.float64)
                   * self.frame_ms).astype(int).tolist()
             # FunASR-style [start_ms, end_ms] intervals per token
-            spans = list(zip(
-                (out["token_start"][i, :n] * self.frame_ms).astype(int)
-                .tolist(),
-                ((out["fire_frame"][i, :n] + 1) * self.frame_ms).astype(int)
-                .tolist()))
+            if self.has_bicif:
+                # BiCIF boundaries at 20 ms; FunASR ts_prediction caps a
+                # token at MAX_TOKEN_DURATION=30 upsampled frames (600 ms) —
+                # mass past that is treated as trailing silence
+                starts = out["us_start"][i, :n] * self.us_ms
+                ends = (out["us_end"][i, :n] + 1) * self.us_ms
+                ends = np.minimum(ends, starts + 600.0)
+                spans = list(zip(starts.astype(int).tolist(),
+                                 ends.astype(int).tolist()))
+            else:
+                spans = list(zip(
+                    (out["token_start"][i, :n] * self.frame_ms).astype(int)
+                    .tolist(),
+                    ((out["fire_frame"][i, :n] + 1) * self.frame_ms)
+                    .astype(int).tolist()))
             results.append(TranscribeResult(
                 text=self.tokenizer.ids_to_text(ids),
                 tokens=toks,

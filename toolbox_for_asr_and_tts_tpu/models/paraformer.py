@@ -50,6 +50,10 @@ class ParaformerConfig:
     vocab_size: int = 8404
     predictor_kernel: int = 3      # l_order=1, r_order=1
     predictor_tail_threshold: float = 0.45
+    bicif: bool = False            # BiCifParaformer: upsampled second CIF
+                                   # (timestamp predictor of the spk model,
+                                   # voice_interface.py:776-841)
+    upsample_times: int = 3        # LFR 60 ms → 20 ms timestamp resolution
     blank_id: int = 0
     sos_id: int = 1
     eos_id: int = 2
@@ -102,14 +106,35 @@ def init_params(key, cfg: ParaformerConfig = ParaformerConfig()) -> nn.Params:
         "norm1": nn.layernorm_init(cfg.d_model),
         "ffn": nn.dec_ffn_init(keys[next(ki)], cfg.d_model, cfg.ffn_dim),
     }
+    predictor = {
+        "conv": nn.conv1d_init(keys[next(ki)], cfg.d_model, cfg.d_model,
+                               cfg.predictor_kernel),
+        "out": nn.linear_init(keys[next(ki)], cfg.d_model, 1),
+    }
+    if cfg.bicif:
+        d, u = cfg.d_model, cfg.upsample_times
+        k2 = jax.random.split(keys[next(ki)], 8)
+        s = 1.0 / (d ** 0.5)
+
+        def lstm_dir(ka, kb):
+            return {"w_ih": jax.random.uniform(ka, (4 * d, d), minval=-s,
+                                               maxval=s),
+                    "w_hh": jax.random.uniform(kb, (4 * d, d), minval=-s,
+                                               maxval=s),
+                    "b_ih": jnp.zeros((4 * d,)), "b_hh": jnp.zeros((4 * d,))}
+
+        predictor["upsample"] = {
+            # ConvTranspose1d(d, d, u, u): torch weight layout [in, out, k]
+            "cnn": {"w": jax.random.normal(k2[0], (d, d, u)) * s,
+                    "b": jnp.zeros((d,))},
+            "fwd": lstm_dir(k2[1], k2[2]),
+            "bwd": lstm_dir(k2[3], k2[4]),
+            "out": nn.linear_init(k2[5], 2 * d, 1),
+        }
     return {
         "encoder": {"layers": enc_layers,
                     "after_norm": nn.layernorm_init(cfg.d_model)},
-        "predictor": {
-            "conv": nn.conv1d_init(keys[next(ki)], cfg.d_model, cfg.d_model,
-                                   cfg.predictor_kernel),
-            "out": nn.linear_init(keys[next(ki)], cfg.d_model, 1),
-        },
+        "predictor": predictor,
         "decoder": {"layers": dec_layers, "final": dec_final,
                     "after_norm": nn.layernorm_init(cfg.d_model),
                     "out": nn.linear_init(keys[next(ki)], cfg.d_model,
@@ -209,6 +234,73 @@ def cif(enc: jnp.ndarray, alphas: jnp.ndarray, k_max: int,
     return embeds, token_count, fire_frame, center, start_frame
 
 
+# ------------------------------------------------- BiCIF timestamp branch
+def _lstm_dir(p: nn.Params, x: jnp.ndarray, reverse: bool) -> jnp.ndarray:
+    """One torch-layout LSTM direction over [B, T, D] (gate order i,f,g,o:
+    torch.nn.LSTM semantics, so the real blstm weights load unchanged)."""
+    if reverse:
+        x = x[:, ::-1]
+    b, t, _ = x.shape
+    h_dim = p["w_hh"].shape[1]
+    # input contribution precomputed for every step (one big MXU matmul)
+    xw = jnp.einsum("btd,gd->btg", x, p["w_ih"]) + p["b_ih"] + p["b_hh"]
+
+    def step(carry, xt):
+        h, c = carry
+        g = xt + h @ p["w_hh"].T
+        i, f, gg, o = jnp.split(g, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(gg)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    zeros = jnp.zeros((b, h_dim), x.dtype)
+    _, ys = jax.lax.scan(step, (zeros, zeros), xw.transpose(1, 0, 2))
+    ys = ys.transpose(1, 0, 2)
+    return ys[:, ::-1] if reverse else ys
+
+
+def upsample_alphas(params: nn.Params, enc: jnp.ndarray, mask: jnp.ndarray,
+                    cfg: ParaformerConfig) -> jnp.ndarray:
+    """BiCIF upsampled alphas (FunASR CifPredictorV3: upsample_cnn → blstm →
+    cif_output2 → sigmoid), the 20 ms-resolution timestamp signal of
+    `paraformer-large-vad-punc-spk` (voice_interface.py:776-841).
+
+    enc: [B, T, D]; mask: [B, T] → us_alphas [B, T·u] (padding masked).
+    ConvTranspose1d with stride == kernel == u is frame-local: input frame t
+    produces output frames t·u..t·u+u−1 through kernel slice j — an einsum,
+    no overlap-add needed.
+    """
+    p = params["predictor"]["upsample"]
+    b, t, d = enc.shape
+    u = p["cnn"]["w"].shape[-1]
+    up = jnp.einsum("btd,dok->btko", enc, p["cnn"]["w"]) + p["cnn"]["b"]
+    up = up.reshape(b, t * u, d)
+    ys = jnp.concatenate([_lstm_dir(p["fwd"], up, False),
+                          _lstm_dir(p["bwd"], up, True)], axis=-1)
+    alphas = jax.nn.sigmoid(nn.linear(p["out"], ys))[..., 0]     # [B, T·u]
+    return alphas * jnp.repeat(mask, u, axis=1)
+
+
+def upsample_fire_frames(us_alphas: jnp.ndarray, token_count: jnp.ndarray,
+                         k_max: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Token boundary frames from upsampled alphas.
+
+    FunASR rescales us_alphas so total mass equals the main CIF's token
+    count, then integrates-and-fires at threshold 1 (cif_wo_hidden); here the
+    fire positions come straight from the rescaled cumsum (static shapes):
+    token k occupies upsampled frames [us_start_k, us_end_k].
+    """
+    n = token_count.astype(jnp.float32)[:, None]
+    mass = jnp.maximum(us_alphas.sum(axis=-1, keepdims=True), 1e-6)
+    csum = jnp.cumsum(us_alphas * (n / mass), axis=-1)           # [B, U]
+    k = jnp.arange(k_max, dtype=jnp.float32)
+    ended = csum[:, None, :] >= (k[None, :, None] + 1.0 - 1e-4)
+    started = csum[:, None, :] > (k[None, :, None] + 1e-4)
+    us_end = jnp.argmax(ended.astype(jnp.int32), axis=2)
+    us_start = jnp.argmax(started.astype(jnp.int32), axis=2)
+    return us_start.astype(jnp.int32), us_end.astype(jnp.int32)
+
+
 # ----------------------------------------------------------------- decoder
 def decode(params: nn.Params, embeds: jnp.ndarray, token_mask: jnp.ndarray,
            memory: jnp.ndarray, memory_mask: jnp.ndarray,
@@ -260,7 +352,13 @@ def forward(params: nn.Params, feats: jnp.ndarray, feat_lengths: jnp.ndarray,
     token_mask = nn.length_mask(token_count, k_max)
     logits = decode(params, embeds, token_mask, enc, mask, cfg)
     tokens = jnp.argmax(logits, axis=-1) * token_mask.astype(jnp.int32)
+    extra = {}
+    if "upsample" in params["predictor"]:
+        us = upsample_alphas(params, enc, mask, cfg)
+        us_start, us_end = upsample_fire_frames(us, token_count, k_max)
+        extra = {"us_start": us_start, "us_end": us_end}
     return {
+        **extra,
         "logits": logits,
         "tokens": tokens,
         "token_count": token_count,

@@ -124,9 +124,35 @@ def _enc_layer(src: str, dst: str) -> List[Rule]:
     ]
 
 
-def paraformer_rules(n_enc: int, n_dec: int) -> List[Rule]:
+def bicif_rules() -> List[Rule]:
+    """BiCifParaformer timestamp-predictor tensors (CifPredictorV3:
+    upsample_cnn ConvTranspose1d + bidirectional LSTM + cif_output2) —
+    present in `paraformer-large-vad-punc-spk` (the diarization/final-
+    transcription model, voice_interface.py:776-841), absent from the plain
+    vocab8404 offline/online checkpoints."""
+    up = "predictor.upsample"
+    return [
+        (f"{up}.cnn.w", "predictor.upsample_cnn.weight"),   # [in, out, k]
+        (f"{up}.cnn.b", "predictor.upsample_cnn.bias"),
+        (f"{up}.fwd.w_ih", "predictor.blstm.weight_ih_l0"),
+        (f"{up}.fwd.w_hh", "predictor.blstm.weight_hh_l0"),
+        (f"{up}.fwd.b_ih", "predictor.blstm.bias_ih_l0"),
+        (f"{up}.fwd.b_hh", "predictor.blstm.bias_hh_l0"),
+        (f"{up}.bwd.w_ih", "predictor.blstm.weight_ih_l0_reverse"),
+        (f"{up}.bwd.w_hh", "predictor.blstm.weight_hh_l0_reverse"),
+        (f"{up}.bwd.b_ih", "predictor.blstm.bias_ih_l0_reverse"),
+        (f"{up}.bwd.b_hh", "predictor.blstm.bias_hh_l0_reverse"),
+        (f"{up}.out.w", "predictor.cif_output2.weight!t"),
+        (f"{up}.out.b", "predictor.cif_output2.bias"),
+    ]
+
+
+def paraformer_rules(n_enc: int, n_dec: int,
+                     bicif: bool = False) -> List[Rule]:
     """FunASR Paraformer state_dict ↔ models/paraformer.py pytree."""
     rules: List[Rule] = []
+    if bicif:
+        rules += bicif_rules()
     rules += _enc_layer("encoder.encoders0.0", "encoder.layers.0")
     for i in range(1, n_enc):
         rules += _enc_layer(f"encoder.encoders.{i-1}", f"encoder.layers.{i}")

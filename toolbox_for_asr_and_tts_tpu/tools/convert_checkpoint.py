@@ -50,7 +50,10 @@ def _family_setup(family: str, overrides=None):
         from ..models import paraformer
         cfg = _apply_overrides(paraformer.ParaformerConfig(), overrides)
         template = paraformer.init_params(jax.random.PRNGKey(0), cfg)
-        rules = ckpt.paraformer_rules(cfg.encoder_layers, cfg.decoder_layers)
+        # --config-json '{"bicif": true}' selects the spk model's
+        # BiCifParaformer variant (timestamp predictor tensors included)
+        rules = ckpt.paraformer_rules(cfg.encoder_layers, cfg.decoder_layers,
+                                      bicif=cfg.bicif)
         return template, rules, {}
     if family == "fsmn_vad":
         from ..models import fsmn_vad
