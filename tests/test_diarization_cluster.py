@@ -75,3 +75,78 @@ def test_spectral_respects_max_speakers():
     emb = _synthetic(truth, noise=0.1, seed=4)
     got = spectral_cluster(emb, max_speakers=4)
     assert got.max() + 1 <= 4
+
+
+# ------------------------------------------------- overlap refinement
+from toolbox_for_asr_and_tts_tpu.asr.diarization import (  # noqa: E402
+    Sentence, refine_overlap)
+
+SR = 16000
+
+
+class FakeVerifier:
+    """Embeds a segment as the (unit-norm) histogram of per-sample speaker
+    codes: speaker s is encoded in the waveform as constant amplitude
+    0.1·(s+1), so a window over speaker s embeds one-hot, and a window over
+    mixed speech embeds the mixture — exactly the blind spot under test."""
+
+    def embed(self, segs):
+        out = []
+        for s in segs:
+            codes = np.clip(np.round(np.abs(np.asarray(s)) * 10)
+                            .astype(int) - 1, 0, 2)
+            h = np.bincount(codes, minlength=3).astype(float)
+            out.append(h / (np.linalg.norm(h) + 1e-9))
+        return np.stack(out)
+
+
+def _speaker_wav(spans):
+    """spans: list of (speaker, dur_ms) → concatenated coded waveform."""
+    parts = [np.full(int(d * SR / 1000), 0.1 * (s + 1), np.float32)
+             for s, d in spans]
+    return np.concatenate(parts)
+
+
+def test_overlap_detected_within_sentence():
+    """A sentence whose span contains a speaker change gets the secondary
+    speaker recorded in overlap_spk (label unchanged — not mixture-dominated
+    enough to reassign); pure sentences stay None."""
+    wav = _speaker_wav([(0, 2000), (0, 1000), (1, 2000), (1, 2000)])
+    sents = [Sentence("甲", 0, 2000, spk=0),
+             Sentence("混", 2000, 5000, spk=1),   # 1 s spk0 + 2 s spk1
+             Sentence("乙", 5000, 7000, spk=1)]
+    v = FakeVerifier()
+    emb = v.embed([wav[0:2000 * 16], wav[2000 * 16:5000 * 16],
+                   wav[5000 * 16:]])
+    labels = np.array([0, 1, 1])
+    out = refine_overlap(wav, sents, emb, labels, v)
+    assert out[0].overlap_spk is None
+    assert out[2].overlap_spk is None
+    assert out[1].overlap_spk == [0]
+    assert out[1].spk == 1
+
+
+def test_overlap_reassigns_mixture_dominated():
+    """Sentence-level label disagrees with ≥70% of its windows → spk is
+    reassigned to the window majority and the old label lands in
+    overlap_spk."""
+    v = FakeVerifier()
+    wav = _speaker_wav([(0, 4000), (1, 500), (1, 2000), (0, 2000)])
+    sents = [Sentence("甲", 0, 4500, spk=1),
+             Sentence("乙", 4500, 6500, spk=1),
+             Sentence("丙", 6500, 8500, spk=0)]
+    emb = v.embed([wav[0:4500 * 16], wav[4500 * 16:6500 * 16],
+                   wav[6500 * 16:]])
+    out = refine_overlap(wav, sents, emb, np.array([1, 1, 0]), v)
+    assert out[0].spk == 0, out[0]
+    assert 1 in out[0].overlap_spk
+    assert out[1].spk == 1 and out[1].overlap_spk is None
+
+
+def test_overlap_short_sentences_skipped():
+    wav = _speaker_wav([(0, 800), (1, 800)])
+    sents = [Sentence("a", 0, 800, spk=0), Sentence("b", 800, 1600, spk=1)]
+    v = FakeVerifier()
+    emb = v.embed([wav[: 800 * 16], wav[800 * 16:]])
+    out = refine_overlap(wav, sents, emb, np.array([0, 1]), v)
+    assert all(s.overlap_spk is None for s in out)

@@ -30,6 +30,9 @@ class Sentence:
     start_ms: int
     end_ms: int
     spk: int = 0
+    overlap_spk: list = None   # other speakers detected INSIDE this span
+                               # (overlap / within-sentence speaker change);
+                               # None = pure single-speaker sentence
 
 
 def _renumber(labels: np.ndarray) -> np.ndarray:
@@ -154,21 +157,98 @@ def cluster_embeddings(embeddings: np.ndarray, threshold: float = 0.60,
     return out
 
 
+def refine_overlap(wav: np.ndarray, sents: List[Sentence],
+                   sent_emb: np.ndarray, labels: np.ndarray, verifier,
+                   sample_rate: int = 16000, win_ms: int = 1000,
+                   hop_ms: int = 500, min_sent_ms: int = 1500,
+                   margin: float = 0.05, reassign_frac: float = 0.7
+                   ) -> List[Sentence]:
+    """Overlap / within-sentence speaker-change detection (second pass).
+
+    A sentence whose span contains two voices gets ONE mixture embedding at
+    the sentence level, so cluster labels can't see inside it (the reference
+    pipeline has the same blind spot — one spk per sentence_info entry,
+    voice_interface.py:2108-2170). Second pass: slide win_ms windows over
+    every long-enough sentence, embed ALL windows in ONE batched TPU call,
+    and vote each window against the cluster centroids. Windows whose best
+    centroid beats the sentence's assigned centroid by `margin` reveal a
+    secondary speaker → recorded in `overlap_spk`; if ≥ reassign_frac of
+    windows vote for one other speaker, the sentence's own embedding was
+    mixture-dominated and `spk` is reassigned to the window majority.
+    """
+    k = int(labels.max()) + 1 if len(labels) else 0
+    if k < 2 or len(np.unique(labels)) < 2:
+        return sents
+    x = np.asarray(sent_emb, np.float64)
+    x = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-9)
+    counts = np.bincount(labels, minlength=k)
+    cent = np.stack([x[labels == j].mean(0) if counts[j] else np.zeros(
+        x.shape[1]) for j in range(k)])
+    cent = cent / (np.linalg.norm(cent, axis=1, keepdims=True) + 1e-9)
+    win = int(win_ms * sample_rate / 1000)
+    hop = int(hop_ms * sample_rate / 1000)
+    windows: List[np.ndarray] = []
+    owners: List[int] = []
+    for si, s in enumerate(sents):
+        if s.end_ms - s.start_ms < min_sent_ms:
+            continue
+        a = int(s.start_ms * sample_rate / 1000)
+        b = min(int(s.end_ms * sample_rate / 1000), len(wav))
+        starts = list(range(a, b - win + 1, hop))
+        if starts and starts[-1] != b - win:
+            starts.append(b - win)   # right-align the last window
+        for w in starts:
+            windows.append(np.asarray(wav[w: w + win], np.float32))
+            owners.append(si)
+    if not windows:
+        return sents
+    wemb = np.asarray(verifier.embed(windows), np.float64)
+    wemb = wemb / (np.linalg.norm(wemb, axis=1, keepdims=True) + 1e-9)
+    sim = wemb @ cent.T                                    # [W, K]
+    sim[:, counts == 0] = -np.inf   # empty clusters can't win votes
+    best = sim.argmax(1)
+    owners_arr = np.asarray(owners)
+    for si in sorted(set(owners)):
+        rows = np.flatnonzero(owners_arr == si)
+        own = sents[si].spk
+        others: Dict[int, int] = {}
+        for r in rows:
+            b_lbl = int(best[r])
+            if b_lbl != own and sim[r, b_lbl] - sim[r, own] >= margin:
+                others[b_lbl] = others.get(b_lbl, 0) + 1
+        if not others:
+            continue
+        sents[si].overlap_spk = sorted(others)
+        dom, cnt = max(others.items(), key=lambda kv: kv[1])
+        if cnt / len(rows) >= reassign_frac:
+            # mixture-dominated sentence embedding: window majority wins
+            sents[si].overlap_spk = sorted(set([own]) | set(
+                o for o in others if o != dom))
+            sents[si].spk = dom
+        logger.info("overlap in sentence %d: spk=%d others=%s",
+                    si, sents[si].spk, sents[si].overlap_spk)
+    return sents
+
+
 class Diarizer:
     """Offline transcription with sentence timestamps + speaker labels."""
 
     def __init__(self, recognizer, verifier, punctuator=None,
                  cluster_threshold: float = 0.60,
-                 gap_split_ms: int = 800, method: str = "spectral"):
+                 gap_split_ms: int = 800, method: str = "spectral",
+                 overlap_detection: bool = True):
         """gap_split_ms mirrors the reference's >800 ms-gap heuristic speaker
         split (voice_interface.py:2108-2170). method: "spectral" (FunASR's
-        algorithm family, default) or "agglomerative"."""
+        algorithm family, default) or "agglomerative". overlap_detection
+        runs the windowed second pass (refine_overlap) on multi-speaker
+        audio — one extra batched embed call."""
         self.recognizer = recognizer
         self.verifier = verifier
         self.punctuator = punctuator
         self.cluster_threshold = cluster_threshold
         self.gap_split_ms = gap_split_ms
         self.method = method
+        self.overlap_detection = overlap_detection
 
     def _sentences_from_tokens(self, result) -> List[Sentence]:
         """Split a TranscribeResult into sentences at predicted sentence-final
@@ -224,6 +304,13 @@ class Diarizer:
             labels = cluster_embeddings(emb, self.cluster_threshold)
         for s, l in zip(sents, labels):
             s.spk = int(l)
+        if self.overlap_detection and len(sents) and labels.max() > 0:
+            try:
+                sents = refine_overlap(wav, sents, emb, labels,
+                                       self.verifier,
+                                       sample_rate=sample_rate)
+            except Exception:
+                logger.exception("overlap refinement failed; sentence labels")
         if self.punctuator is not None:
             for s in sents:
                 s.text = self.punctuator.punctuate(s.text)
