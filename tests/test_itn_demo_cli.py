@@ -162,6 +162,25 @@ ITN_GOLDEN = [
     # times
     ("下午三点二十", "下午3点20"),
     ("三点半", "3点半"),
+    ("两点一刻", "2点1刻"),
+    # colloquial trailing abbreviation (round-2 long-tail closure)
+    ("三万五", "35000"),
+    ("一千二", "1200"),
+    ("两百五", "250"),
+    ("十五万三", "153000"),
+    ("一万二千三", "12300"),
+    ("三亿五", "350000000"),
+    ("一百零五", "105"),      # explicit 零 blocks abbreviation
+    ("收缩压一百四", "收缩压140"),
+    # money / measure colloquial decimals
+    ("五块三", "5块3"),
+    ("三块五毛", "3块5毛"),
+    ("体温三十八度五", "体温38度5"),
+    # adjacent-digit approximations must NOT convert
+    ("五六个人", "五六个人"),
+    ("一两天", "一两天"),
+    ("三五成群", "三五成群"),
+    ("十之八九", "十之八九"),
 ]
 
 

@@ -24,33 +24,53 @@ _NUM_CHARS = "零一二两三四五六七八九十百千万亿"
 
 
 def _parse_section(s: str) -> Optional[int]:
-    """Parse a number below 万 (e.g. 三千五百二十一)."""
+    """Parse a number below 万 (e.g. 三千五百二十一).
+
+    Colloquial trailing abbreviation (fst_itn long-tail): a single digit
+    after a unit with no explicit 零 takes the NEXT LOWER unit — 一千二 =
+    1200, 两百五 = 250 — while 一百零五 stays 105 (零 makes it literal)."""
     total = 0
     current = 0
+    last_unit = 0
+    explicit_zero = False
     for ch in s:
+        if ch == "零":
+            explicit_zero = True
+            continue
         if ch in _DIGITS:
             current = current * 10 + _DIGITS[ch] if current else _DIGITS[ch]
         elif ch in _UNITS:
             unit = _UNITS[ch]
             total += (current or 1) * unit
             current = 0
-        elif ch == "零":
-            continue
+            last_unit = unit
+            explicit_zero = False
         else:
             return None
-    return total + current
+    if current:
+        if last_unit > 10 and not explicit_zero and current < 10:
+            total += current * (last_unit // 10)
+        else:
+            total += current
+    return total
 
 
 def parse_cn_number(s: str) -> Optional[int]:
     """整数: handles 万/亿 grouping. Returns None if not parseable."""
     if not s or any(c not in _NUM_CHARS for c in s):
         return None
-    # digit-string form like 一二三 (phone numbers): all plain digits
+    # digit-string form like 一二三 (dates/codes): all plain digits. Two-char
+    # pairs are NOT converted — adjacent-digit pairs are approximations
+    # (五六个人 "five or six", 一两天, 三五成群, 十之八九), an fst_itn
+    # long-tail rule the round-2 engine missed.
     if all(c in _DIGITS or c == "零" for c in s) and len(s) > 1:
+        if len(s) == 2:
+            return None
         digit_map = {**_DIGITS, "零": 0}
         return int("".join(str(digit_map[c]) for c in s))
     total = 0
     rest = s
+    last_big = 0
     for ch, mult in (("亿", _BIG_UNITS["亿"]), ("万", _BIG_UNITS["万"])):
         if ch in rest:
             left, rest = rest.split(ch, 1)
@@ -62,6 +82,11 @@ def parse_cn_number(s: str) -> Optional[int]:
             if sec is None:
                 return None
             total += sec * mult
+            last_big = mult
+    # colloquial trailing abbreviation across 万/亿: 三万五 = 35000,
+    # 三亿五 = 350000000 (next lower power of ten of the big unit)
+    if rest and last_big and len(rest) == 1 and rest in _DIGITS:
+        return total + _DIGITS[rest] * (last_big // 10)
     sec = _parse_section(rest) if rest else 0
     if sec is None:
         return None
@@ -77,7 +102,7 @@ _DECIMAL_RE = re.compile(
     # is a TIME, 3点20) — unless that unit starts a measure word (三点二千克
     # IS the decimal 3.2 kg)
     f"([{_NUM_CHARS}]+)点([零一二两三四五六七八九]+)"
-    "(?!(?:十|[百千万亿](?![克米帕瓦升])))")
+    "(?!(?:十|刻|[百千万亿](?![克米帕瓦升])))")   # 两点一刻 is a TIME, 2点1刻
 _NUMBER_RE = re.compile(f"[{_NUM_CHARS}]{{2,}}|[一二两三四五六七八九]")
 # digit-string readouts: ≥5 plain digits, or ≥3 containing 幺 (幺 only ever
 # appears in phone/code readouts — 幺二零 → 120); enforced in the callback
@@ -87,9 +112,12 @@ _PHONE_DIGITS = {**{c: str(d) for c, d in _DIGITS.items()}, "零": "0",
 # measure/unit words that license converting a single spoken digit
 _UNIT_CONTEXT = re.compile(
     r"^(毫米|毫克|千克|公斤|厘米|毫升|小时|分钟|岁|次|天|周|月|年|度|号|日|点|倍|"
-    r"粒|片|克|秒|升|条|支|针|盒|瓶|袋|mg|ml|kg|cm|mm)")
+    r"粒|片|克|秒|升|条|支|针|盒|瓶|袋|块|元|毛|角|刻|mg|ml|kg|cm|mm)")
 # characters that license a single digit by ADJACENCY (ranges, ordinals)
 _RANGE_NEXT = ("到", "至", "或")
+# units whose PRECEDING conversion licenses a trailing colloquial decimal
+# digit: 五块三 → 5块3, 体温38度五 → 38度5 (fst_itn money/measure tails)
+_PREV_UNIT = set("块元毛角度")
 
 
 def _fmt_decimal(int_part: str, frac_part: str) -> Optional[str]:
@@ -162,6 +190,7 @@ def apply_itn(text: str) -> str:
             prev = text[start - 1] if start else ""
             licensed = (prev == "第"                      # ordinal 第三 → 第3
                         or prev in _RANGE_NEXT            # 三到五: the 五 side
+                        or prev in _PREV_UNIT             # 五块三: the 三 side
                         or bool(_UNIT_CONTEXT.match(text[end:end + 2])))
             if not licensed and text[end:end + 1] in _RANGE_NEXT:
                 # 三到五天: the 三 side — license only when the other side
