@@ -113,7 +113,8 @@ class Recognizer:
         absent, so one loader serves both families."""
         import os
         from ..runtime import checkpoints as ckpt
-        cfg = cfg or paraformer.ParaformerConfig()
+        cfg = cfg or paraformer.ParaformerConfig.from_funasr(
+            ckpt.load_model_config(model_dir))
         try:
             bcfg = dataclasses.replace(cfg, bicif=True)
             template = paraformer.init_params(jax.random.PRNGKey(0), bcfg)

@@ -130,14 +130,14 @@ class StreamingVadStepper:
     pytree plus the incremental frontend's buffers.
     """
 
-    def __init__(self, params, cfg=None, threshold: float = 0.5):
+    def __init__(self, params, cfg=None, threshold: float = 0.5, cmvn=None):
         from ..models import fsmn_vad
         from ..models.paraformer_streaming import StreamingFrontend
         self._fsmn_vad = fsmn_vad
         self.params = params
         self.cfg = cfg or fsmn_vad.FsmnVadConfig()
         self.threshold = threshold
-        self.frontend = StreamingFrontend(self.cfg.frontend)
+        self.frontend = StreamingFrontend(self.cfg.frontend, cmvn)
         self.cache = fsmn_vad.init_cache(1, self.cfg)
         self._step = None
 

@@ -50,6 +50,33 @@ class CTTransformerConfig:
     # name refers to.
     right_context: int = -1
 
+    @classmethod
+    def from_funasr(cls, conf: dict, **overrides) -> "CTTransformerConfig":
+        """Build the config from a FunASR checkpoint's own config.yaml
+        (`encoder_conf` geometry + `model_conf.punc_list`), so a mounted
+        real `punc_ct-transformer_..._large` dir pins layer count / dims
+        instead of this file's defaults."""
+        kw = {}
+        enc = conf.get("encoder_conf", {}) or {}
+        for src, dst in (("attention_heads", "n_heads"),
+                         ("linear_units", "ffn_dim"),
+                         ("num_blocks", "num_layers"),
+                         ("output_size", "d_model"),
+                         ("input_size", "embed_dim"),
+                         ("kernel_size", "kernel_size"),
+                         ("sanm_shift", "sanm_shift")):
+            if src in enc:
+                kw[dst] = enc[src]
+        mc = conf.get("model_conf", {}) or {}
+        punc = mc.get("punc_list") or conf.get("punc_list")
+        if punc:
+            kw["punc_list"] = tuple(punc)
+            kw["punc_size"] = len(punc)
+        if "vocab_size" in mc:
+            kw["vocab_size"] = mc["vocab_size"]
+        kw.update(overrides)
+        return cls(**kw)
+
 
 def init_params(key, cfg: CTTransformerConfig) -> nn.Params:
     keys = jax.random.split(key, 2 * cfg.num_layers + 3)
@@ -177,11 +204,13 @@ class Punctuator:
     def from_model_dir(cls, model_dir: str,
                        cfg: Optional[CTTransformerConfig] = None
                        ) -> "Punctuator":
-        """Converted `punc_ct-transformer_...-large` checkpoint dir."""
+        """Converted `punc_ct-transformer_...-large` checkpoint dir. With no
+        explicit cfg, geometry comes from the dir's own config.yaml."""
         import os
         import jax as _jax
         from ..runtime import checkpoints as ckpt
-        cfg = cfg or CTTransformerConfig()
+        cfg = cfg or CTTransformerConfig.from_funasr(
+            ckpt.load_model_config(model_dir))
         template = init_params(_jax.random.PRNGKey(0), cfg)
         params = ckpt.convert_or_load_cached(
             model_dir, template, ckpt.ct_transformer_rules(cfg.num_layers))

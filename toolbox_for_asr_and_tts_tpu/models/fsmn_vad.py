@@ -47,6 +47,48 @@ class FsmnVadConfig:
     def frontend(self) -> FrontendConfig:
         return FrontendConfig(lfr_m=5, lfr_n=1)
 
+    @classmethod
+    def from_funasr(cls, conf: dict, **overrides) -> "FsmnVadConfig":
+        """Config from the checkpoint's own config.yaml (FunASR FSMN
+        encoder_conf + model_conf.sil_pdf_ids)."""
+        enc = conf.get("encoder_conf", {}) or {}
+        kw = {}
+        for srcs, dst in ((("input_dim",), "input_dim"),
+                          (("input_affine_dim",), "input_affine_dim"),
+                          (("linear_dim",), "linear_dim"),
+                          (("proj_dim",), "proj_dim"),
+                          (("fsmn_layers", "fsmn_layer_num"), "fsmn_layers"),
+                          (("lorder",), "lorder"),
+                          (("rorder",), "rorder"),
+                          (("output_affine_dim",), "output_affine_dim"),
+                          (("output_dim",), "output_dim")):
+            for s in srcs:
+                if s in enc:
+                    kw[dst] = enc[s]
+                    break
+        mc = conf.get("model_conf", {}) or {}
+        if "sil_pdf_ids" in mc:
+            kw["sil_pdf_ids"] = tuple(mc["sil_pdf_ids"])
+        kw.update(overrides)
+        return cls(**kw)
+
+
+def from_model_dir(model_dir: str, cfg: "FsmnVadConfig" = None):
+    """Converted `speech_fsmn_vad_zh-cn-16k-common` checkpoint dir →
+    (params, cfg, cmvn). Geometry from the dir's config.yaml, CMVN from
+    am.mvn (FunASR applies it in the VAD frontend)."""
+    import os
+    from ..runtime import checkpoints as ckpt
+    cfg = cfg or FsmnVadConfig.from_funasr(ckpt.load_model_config(model_dir))
+    template = init_params(jax.random.PRNGKey(0), cfg)
+    params = ckpt.convert_or_load_cached(model_dir, template,
+                                         ckpt.fsmn_vad_rules(cfg.fsmn_layers))
+    cmvn = None
+    mvn = os.path.join(model_dir, "am.mvn")
+    if os.path.exists(mvn):
+        cmvn = ckpt.parse_kaldi_cmvn(mvn)
+    return params, cfg, cmvn
+
 
 def init_params(key, cfg: FsmnVadConfig = FsmnVadConfig()) -> nn.Params:
     keys = jax.random.split(key, 4 + 3 * cfg.fsmn_layers)

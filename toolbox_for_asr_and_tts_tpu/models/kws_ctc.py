@@ -45,6 +45,26 @@ class KwsConfig:
     def frontend(self) -> FrontendConfig:
         return FrontendConfig(lfr_m=3, lfr_n=3)
 
+    @classmethod
+    def from_funasr(cls, conf: dict, **overrides) -> "KwsConfig":
+        """Config from the checkpoint's own config.yaml (FunASR FSMN
+        encoder_conf), pinning the xiaohu model's real geometry when a dir
+        is mounted — the round-1 gap was exactly these unverified dims."""
+        enc = conf.get("encoder_conf", {}) or {}
+        kw = {}
+        for srcs, dst in ((("input_dim",), "input_dim"),
+                          (("linear_dim",), "hidden_dim"),
+                          (("proj_dim",), "proj_dim"),
+                          (("fsmn_layers", "fsmn_layer_num"), "num_layers"),
+                          (("lorder",), "lorder"),
+                          (("output_dim",), "vocab_size")):
+            for s in srcs:
+                if s in enc:
+                    kw[dst] = enc[s]
+                    break
+        kw.update(overrides)
+        return cls(**kw)
+
 
 def init_params(key, cfg: KwsConfig) -> nn.Params:
     keys = jax.random.split(key, 2 + 3 * cfg.num_layers)
@@ -145,11 +165,12 @@ class KeywordSpotter:
     @classmethod
     def from_model_dir(cls, model_dir: str, cfg: Optional[KwsConfig] = None,
                        keyword: str = "小护", **kw) -> "KeywordSpotter":
-        """Converted `speech_charctc_kws_phone-xiaohu` checkpoint dir."""
+        """Converted `speech_charctc_kws_phone-xiaohu` checkpoint dir. With
+        no explicit cfg, geometry comes from the dir's own config.yaml."""
         import os
         import jax as _jax
         from ..runtime import checkpoints as ckpt
-        cfg = cfg or KwsConfig()
+        cfg = cfg or KwsConfig.from_funasr(ckpt.load_model_config(model_dir))
         template = init_params(_jax.random.PRNGKey(0), cfg)
         params = ckpt.convert_or_load_cached(
             model_dir, template, ckpt.kws_rules(cfg.num_layers))

@@ -60,10 +60,50 @@ class ParaformerConfig:
     unk_id: int = 8403
     remat: bool = False            # jax.checkpoint each encoder layer
                                    # (training-memory ↔ FLOPs trade)
+    lfr_m: int = 7
+    lfr_n: int = 6
 
     @property
     def frontend(self) -> FrontendConfig:
-        return FrontendConfig(lfr_m=7, lfr_n=6)
+        return FrontendConfig(lfr_m=self.lfr_m, lfr_n=self.lfr_n)
+
+    @classmethod
+    def from_funasr(cls, conf: dict, **overrides) -> "ParaformerConfig":
+        """Config from a FunASR checkpoint's own config.yaml, so a mounted
+        real dir pins geometry (encoder/decoder blocks, dims, CIF orders,
+        LFR) instead of this file's defaults. Handles FunASR's historical
+        `sanm_shfit` spelling."""
+        kw = {}
+        enc = conf.get("encoder_conf", {}) or {}
+        for src, dst in (("output_size", "d_model"),
+                         ("attention_heads", "n_heads"),
+                         ("linear_units", "ffn_dim"),
+                         ("num_blocks", "encoder_layers"),
+                         ("kernel_size", "kernel_size"),
+                         ("sanm_shift", "sanm_shift"),
+                         ("sanm_shfit", "sanm_shift")):
+            if src in enc:
+                kw[dst] = enc[src]
+        dec = conf.get("decoder_conf", {}) or {}
+        if "num_blocks" in dec:
+            kw["decoder_layers"] = dec["num_blocks"]
+        pred = conf.get("predictor_conf", {}) or {}
+        if "tail_threshold" in pred:
+            kw["predictor_tail_threshold"] = pred["tail_threshold"]
+        if "l_order" in pred and "r_order" in pred:
+            kw["predictor_kernel"] = pred["l_order"] + pred["r_order"] + 1
+        fr = conf.get("frontend_conf", {}) or {}
+        lfr_m = fr.get("lfr_m", 7)
+        lfr_n = fr.get("lfr_n", 6)
+        kw["lfr_m"], kw["lfr_n"] = lfr_m, lfr_n
+        kw["input_dim"] = fr.get("n_mels", 80) * lfr_m
+        if conf.get("model") == "BicifParaformer" \
+                or "upsample_times" in pred:
+            kw["bicif"] = True
+            if "upsample_times" in pred:
+                kw["upsample_times"] = pred["upsample_times"]
+        kw.update(overrides)
+        return cls(**kw)
 
 
 def max_tokens_for(t_frames: int) -> int:

@@ -283,13 +283,14 @@ class BatchedVadTicker:
     """
 
     def __init__(self, params, cfg=None, capacity: int = 16,
-                 threshold: float = 0.5):
+                 threshold: float = 0.5, cmvn=None):
         import jax
         from ..models import fsmn_vad
         self._fsmn_vad = fsmn_vad
         self.cfg = cfg or fsmn_vad.FsmnVadConfig()
         self.params = params
         self.threshold = threshold
+        self.cmvn = cmvn
         self.capacity = capacity
         self.cache = fsmn_vad.init_cache(capacity, self.cfg)
         self._frontends: Dict[int, object] = {}
@@ -307,7 +308,8 @@ class BatchedVadTicker:
             if not self._free:
                 raise RuntimeError("VAD ticker at capacity")
             slot = self._free.pop()
-        self._frontends[slot] = StreamingFrontend(self.cfg.frontend)
+        self._frontends[slot] = StreamingFrontend(self.cfg.frontend,
+                                                  self.cmvn)
         self._reset_slot(slot)
         return slot
 

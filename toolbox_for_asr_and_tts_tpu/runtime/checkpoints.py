@@ -27,6 +27,42 @@ import numpy as np
 logger = logging.getLogger("toolbox.checkpoints")
 
 
+# ------------------------------------------------------------ model config
+def load_model_config(model_dir: str) -> Dict[str, Any]:
+    """Parse the checkpoint's own config (FunASR `config.yaml`, ModelScope
+    `configuration.json`, or `config.json`) so model hyperparameters come
+    from the mounted checkpoint instead of hardcoded guesses — the
+    reference's models carry their geometry this way
+    (voice_interface.py:593-618 resolves dirs that contain these files).
+
+    Returns {} when no config file exists (callers keep their defaults).
+    """
+    for name in ("config.yaml", "config.json", "configuration.json"):
+        p = os.path.join(model_dir, name)
+        if not os.path.exists(p):
+            continue
+        try:
+            with open(p, encoding="utf-8") as f:
+                if name.endswith(".yaml"):
+                    import yaml
+                    conf = yaml.safe_load(f)
+                else:
+                    import json
+                    conf = json.load(f)
+        except Exception:
+            logger.exception("unparseable model config %s", p)
+            continue
+        if isinstance(conf, dict):
+            # ModelScope configuration.json nests the FunASR config under
+            # "model" / "model_config"
+            for key in ("model_config", "model"):
+                if isinstance(conf.get(key), dict) and (
+                        "encoder_conf" in conf[key] or "input_dim" in conf[key]):
+                    return conf[key]
+            return conf
+    return {}
+
+
 # ------------------------------------------------------------------- kaldi
 def parse_kaldi_cmvn(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """Parse a kaldi-nnet `am.mvn` file → (add_shift means, rescale istd).

@@ -43,22 +43,42 @@ def build_test_engines():
                         streaming_factory=_streaming_factory(reco))
 
 
-def _vad_factory():
+def _vad_factory(model_dir: Optional[str] = None):
     """Per-session FSMN-VAD stepper factory (per-connection cache, like the
-    reference's `session.vad_cache`). Shares one weight pytree.
+    reference's `session.vad_cache`). Shares one weight pytree, loaded from
+    the resolved `fsmn_vad` checkpoint when present (geometry + am.mvn CMVN
+    from the dir itself) with a LOUD random fallback otherwise.
 
     VOICE_BATCH_SERVING=1 serves all sessions' chunks through ONE batched
     device tick instead (service/hub.py) — same stepper interface, same
     per-session cache semantics, one kernel per tick for S sessions."""
     import jax
     from ..models import fsmn_vad
-    cfg = fsmn_vad.FsmnVadConfig()
-    params = fsmn_vad.init_params(jax.random.PRNGKey(7), cfg)
+    from ..runtime.registry import resolve
+    params = cfg = cmvn = None
+    d = resolve("fsmn_vad", model_dir)
+    if d is not None:
+        try:
+            params, cfg, cmvn = fsmn_vad.from_model_dir(d)
+            logger.info("FSMN-VAD loaded from %s", d)
+        except Exception:
+            logger.exception("FAILED converting FSMN-VAD checkpoint at %s — "
+                             "FALLING BACK TO RANDOM WEIGHTS", d)
+            params = None
+    if params is None:
+        logger.warning(
+            "NO FSMN-VAD checkpoint dir (registry key 'fsmn_vad') — serving "
+            "RANDOMLY INITIALIZED VAD weights: model-VAD decisions are "
+            "arbitrary until a real model is mounted (energy VAD still "
+            "gates speech, voice_interface.py:1606)")
+        cfg = fsmn_vad.FsmnVadConfig()
+        params = fsmn_vad.init_params(jax.random.PRNGKey(7), cfg)
 
     if os.getenv("VOICE_BATCH_SERVING", "0") in ("1", "true"):
         from .hub import HubVadStepper, VadHub
         hub = VadHub(params, cfg,
-                     capacity=int(os.getenv("VOICE_BATCH_CAPACITY", "16")))
+                     capacity=int(os.getenv("VOICE_BATCH_CAPACITY", "16")),
+                     cmvn=cmvn)
 
         def factory():
             return HubVadStepper(hub)
@@ -69,7 +89,7 @@ def _vad_factory():
     from ..asr.vad import StreamingVadStepper
 
     def factory():
-        return StreamingVadStepper(params, cfg)
+        return StreamingVadStepper(params, cfg, cmvn=cmvn)
 
     return factory
 
@@ -169,5 +189,5 @@ def build_engines(model_dir: Optional[str] = None, use_mesh: bool = True):
                "keyword spotting (charctc)")
     diar = Diarizer(reco, sv, punctuator=punc)
     return VoiceEngines(diarizer=diar, kws=kws, verifier=sv,
-                        vad_factory=_vad_factory(),
+                        vad_factory=_vad_factory(model_dir),
                         streaming_factory=_streaming_factory(reco))

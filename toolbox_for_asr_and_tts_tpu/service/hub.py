@@ -28,9 +28,10 @@ logger = logging.getLogger("toolbox.hub")
 
 class VadHub:
     def __init__(self, params, cfg=None, capacity: int = 16,
-                 threshold: float = 0.5, tick_ms: float = 10.0):
+                 threshold: float = 0.5, tick_ms: float = 10.0, cmvn=None):
         from ..parallel.stream_batcher import BatchedVadTicker
-        self.ticker = BatchedVadTicker(params, cfg, capacity, threshold)
+        self.ticker = BatchedVadTicker(params, cfg, capacity, threshold,
+                                       cmvn=cmvn)
         self.tick_ms = tick_ms
         self._pending: Dict[int, Tuple[np.ndarray, threading.Event, list]] = {}
         self._lock = threading.Lock()
