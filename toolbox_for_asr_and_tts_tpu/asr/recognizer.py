@@ -159,7 +159,13 @@ class Recognizer:
 
         def run(params, wavs, wav_lens):
             feats = fe.fbank(wavs, fcfg, t_frames=t_fb)
-            feats = fe.apply_lfr(feats, fcfg.lfr_m, fcfg.lfr_n, t_out=t_lfr)
+            # replicate-last LFR must repeat the last VALID fbank frame, not
+            # frames framed over the bucket's zero padding (FunASR exact-
+            # length semantics; transcript-seam fix, see apply_lfr docstring)
+            vfb = jnp.maximum(
+                0, 1 + (wav_lens - fcfg.frame_length) // fcfg.frame_shift)
+            feats = fe.apply_lfr(feats, fcfg.lfr_m, fcfg.lfr_n, t_out=t_lfr,
+                                 valid_frames=vfb)
             if cmvn is not None:
                 feats = fe.apply_cmvn(feats, cmvn[0], cmvn[1])
             feat_lens = fe.frontend_valid_frames(wav_lens, fcfg)

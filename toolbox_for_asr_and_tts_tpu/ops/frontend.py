@@ -188,13 +188,22 @@ def fbank(x: jnp.ndarray, cfg: FrontendConfig = FrontendConfig(),
 
 
 def apply_lfr(feats: jnp.ndarray, lfr_m: int, lfr_n: int,
-              t_out: Optional[int] = None) -> jnp.ndarray:
+              t_out: Optional[int] = None,
+              valid_frames=None) -> jnp.ndarray:
     """Low frame rate stacking (FunASR `apply_lfr` semantics).
 
     Left-pads (m-1)//2 copies of the first frame, stacks m consecutive frames
     every n frames, repeating the last frame past the end.
 
     feats: [B, T, D] → [B, ceil(T/n), m*D]
+
+    valid_frames: optional [B] per-row valid fbank frame counts. In the
+    bucketed serving path the padded audio produces EXTRA fbank frames past
+    the real signal (windows over zero padding); FunASR's replicate-last
+    semantics require the last VALID frame to repeat instead, or the final
+    LFR frame's lookahead taps differ from the exact-length computation —
+    a one-token transcript seam caught by
+    tests/test_service_transcript_rehearsal.py.
     """
     b, t, d = feats.shape
     t_lfr = t_out if t_out is not None else num_lfr_frames(t, lfr_n)
@@ -203,6 +212,12 @@ def apply_lfr(feats: jnp.ndarray, lfr_m: int, lfr_n: int,
     i = jnp.arange(t_lfr)[:, None] * lfr_n
     j = jnp.arange(lfr_m)[None, :]
     src = jnp.clip(i + j - left, 0, t - 1)  # (T_lfr, m)
+    if valid_frames is not None:
+        hi = jnp.maximum(valid_frames, 1) - 1        # [B]
+        src = jnp.minimum(src[None], hi[:, None, None])  # (B, T_lfr, m)
+        out = jnp.take_along_axis(feats, src.reshape(b, -1)[..., None],
+                                  axis=1).reshape(b, t_lfr, lfr_m, d)
+        return out.reshape(b, t_lfr, lfr_m * d)
     out = feats[:, src]  # (B, T_lfr, m, D)
     return out.reshape(b, t_lfr, lfr_m * d)
 
