@@ -62,6 +62,32 @@ def test_split_pinyin():
     assert split_pinyin("zhong4") == ("zh", "ong", 4)
     assert split_pinyin("a1") == ("", "a", 1)
     assert split_pinyin("xiao3") == ("x", "iao", 3)
+    # pinyin spelling rule: u after j/q/x/y is ü ('v' in the phone set)
+    assert split_pinyin("xue4") == ("x", "ve", 4)
+    assert split_pinyin("jue2") == ("j", "ve", 2)
+    assert split_pinyin("yuan2") == ("y", "van", 2)
+    assert split_pinyin("jun1") == ("j", "vn", 1)
+    assert split_pinyin("qu4") == ("q", "v", 4)
+    # real u-finals unaffected
+    assert split_pinyin("dun4") == ("d", "un", 4)
+    assert split_pinyin("wu3") == ("w", "u", 3)
+
+
+def test_lexicon_no_unk():
+    """Every word in the polyphone lexicon AND every char in the base
+    pinyin table must encode without <unk> — caught the ü-final gap where
+    血/觉/乐/全/军 all hit <unk> (round-2b)."""
+    from toolbox_for_asr_and_tts_tpu.tts.polyphones import WORD_PINYIN
+    from toolbox_for_asr_and_tts_tpu.tts.pinyin_data import PINYIN_TABLE
+    from toolbox_for_asr_and_tts_tpu.tts.text_frontend import (
+        G2P, PhoneVocab, text_to_phone_ids)
+    g, vocab = G2P(), PhoneVocab.default()
+    bad = []
+    for w in list(WORD_PINYIN) + list(PINYIN_TABLE):
+        syms = [vocab.symbols[i] for i in text_to_phone_ids(w, g, vocab)]
+        if vocab.UNK in syms:
+            bad.append((w, syms))
+    assert not bad, bad[:10]
 
 
 def test_g2p_and_vocab():
@@ -212,6 +238,32 @@ def test_g2p_golden_pinyin():
         "创伤": ["chuang1", "shang1"],
         "跌倒": ["die1", "dao3"],
         "量体温": ["liang2", "ti3", "wen1"],
+        # round-2b polyphone families
+        "冠心病": ["guan1", "xin1", "bing4"],
+        "冠军": ["guan4", "jun1"],
+        "症状": ["zheng4", "zhuang4"],
+        "症结": ["zheng1", "jie2"],
+        "粘膜": ["nian2", "mo2"],
+        "粘贴": ["zhan1", "tie1"],
+        "禁食": ["jin4", "shi2"],
+        "不禁": ["bu4", "jin1"],
+        "屏住": ["bing3", "zhu4"],
+        "屏幕": ["ping2", "mu4"],
+        "脑卒中": ["nao3", "cu4", "zhong4"],
+        "荨麻疹": ["xun2", "ma2", "zhen3"],
+        "血浆": ["xue4", "jiang1"],
+        "扫描": ["sao3", "miao2"],
+        "扫帚": ["sao4", "zhou5"],
+        "尽量": ["jin3", "liang4"],
+        "因为": ["yin1", "wei4"],
+        "认为": ["ren4", "wei2"],
+        "强迫": ["qiang3", "po4"],
+        "增强": ["zeng1", "qiang2"],
+        "落枕": ["lao4", "zhen3"],
+        "咀嚼": ["ju3", "jue2"],
+        "涂抹": ["tu2", "mo3"],
+        "肚子": ["du4", "zi5"],
+        "夹层": ["jia1", "ceng2"],
         # erhua
         "一点儿": ["yi4", "dianr3"],
         "这儿": ["zher4"],

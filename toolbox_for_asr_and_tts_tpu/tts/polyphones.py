@@ -197,6 +197,143 @@ WORD_PINYIN = {
     "钥匙": "yao4 shi5",
     # 数落 shu3
     "数落": "shu3 luo5",
+    # ---- round-2b growth: new polyphone families (medical-weighted) ----
+    # 为 wei2 / wei4
+    "因为": "yin1 wei4", "为了": "wei4 le5", "认为": "ren4 wei2",
+    "作为": "zuo4 wei2", "成为": "cheng2 wei2", "以为": "yi3 wei2",
+    # 会 hui4 / kuai4
+    "会计": "kuai4 ji4",
+    # 和 he2 / huo5
+    "暖和": "nuan3 huo5",
+    # 落 luo4 / lao4 / la4
+    "落枕": "lao4 zhen3", "降落": "jiang4 luo4", "落后": "luo4 hou4",
+    "落下病根": "la4 xia4 bing4 gen1",
+    # 露 lu4 / lou4
+    "暴露": "bao4 lu4", "露出": "lou4 chu1", "露水": "lu4 shui3",
+    # 削 xiao1 / xue1
+    "削皮": "xiao1 pi2", "削弱": "xue1 ruo4", "剥削": "bo1 xue1",
+    # 铺 pu1 / pu4
+    "铺床": "pu1 chuang2", "床铺": "chuang2 pu4", "药铺": "yao4 pu4",
+    # 挑 tiao1 / tiao3
+    "挑选": "tiao1 xuan3", "挑战": "tiao3 zhan4",
+    # 圈 quan1 / juan4
+    "圆圈": "yuan2 quan1", "猪圈": "zhu1 juan4",
+    # 壳 ke2 / qiao4
+    "蛋壳": "dan4 ke2", "地壳": "di4 qiao4",
+    # 吓 xia4 / he4
+    "吓一跳": "xia4 yi2 tiao4", "恐吓": "kong3 he4",
+    # 埋 mai2 / man2
+    "埋伏": "mai2 fu2", "埋怨": "man2 yuan4",
+    # 泊 bo2 / po1
+    "停泊": "ting2 bo2", "湖泊": "hu2 po1",
+    # 磨 mo2 / mo4
+    "磨损": "mo2 sun3", "磨牙": "mo2 ya2", "折磨": "zhe2 mo2",
+    "磨坊": "mo4 fang2",
+    # 漂 piao1 / piao3 / piao4
+    "漂浮": "piao1 fu2", "漂白": "piao3 bai2", "漂亮": "piao4 liang5",
+    # 喷 pen1 / pen4
+    "喷嚏": "pen1 ti4", "喷雾": "pen1 wu4", "喷香": "pen4 xiang1",
+    # 屏 ping2 / bing3 (屏气/屏住呼吸: breath-hold instructions)
+    "屏幕": "ping2 mu4", "屏住": "bing3 zhu4", "屏气": "bing3 qi4",
+    # 曲 qu1 / qu3
+    "弯曲": "wan1 qu1", "曲线": "qu1 xian4", "歌曲": "ge1 qu3",
+    # 兴 xing1 / xing4
+    "兴奋": "xing1 fen4", "高兴": "gao1 xing4", "兴趣": "xing4 qu4",
+    # 宁 ning2 / ning4
+    "安宁": "an1 ning2", "宁愿": "ning4 yuan4", "宁可": "ning4 ke3",
+    # 症 zheng4 / zheng1
+    "症状": "zheng4 zhuang4", "炎症": "yan2 zheng4", "症结": "zheng1 jie2",
+    # 粘 zhan1 / nian2 (粘膜/粘稠: sputum descriptions)
+    "粘膜": "nian2 mo2", "粘稠": "nian2 chou2", "粘贴": "zhan1 tie1",
+    "粘连": "zhan1 lian2",
+    # 冠 guan1 / guan4 (冠心病/冠状动脉)
+    "冠心病": "guan1 xin1 bing4", "冠状": "guan1 zhuang4",
+    "冠军": "guan4 jun1",
+    # 龟 gui1 / jun1
+    "乌龟": "wu1 gui1", "龟裂": "jun1 lie4",
+    # 嚼 jiao2 / jue2
+    "咀嚼": "ju3 jue2", "嚼碎": "jiao2 sui4",
+    # 校 xiao4 / jiao4 (校准: device calibration)
+    "学校": "xue2 xiao4", "校对": "jiao4 dui4", "校准": "jiao4 zhun3",
+    # 禁 jin4 / jin1 (禁食/禁忌: pre-op instructions)
+    "禁忌": "jin4 ji4", "禁食": "jin4 shi2", "不禁": "bu4 jin1",
+    # 卷 juan3 / juan4 (问卷: intake questionnaires)
+    "卷起": "juan3 qi3", "试卷": "shi4 juan4", "问卷": "wen4 juan4",
+    # 抹 mo3 / ma1 (涂抹药膏)
+    "涂抹": "tu2 mo3", "抹布": "ma1 bu4",
+    # 强 qiang2 / qiang3 / jiang4 (强迫症)
+    "增强": "zeng1 qiang2", "勉强": "mian3 qiang3",
+    "强迫": "qiang3 po4", "倔强": "jue2 jiang4",
+    # 盛 sheng4 / cheng2
+    "旺盛": "wang4 sheng4", "盛饭": "cheng2 fan4",
+    # 似 si4 / shi4
+    "类似": "lei4 si4", "似的": "shi4 de5",
+    # 涨 zhang3 / zhang4 (头昏脑涨)
+    "涨价": "zhang3 jia4", "脑涨": "nao3 zhang4", "涨红": "zhang4 hong2",
+    # 折 zhe2 / zhe1 / she2 (骨折 is default zhe2)
+    "骨折": "gu3 zhe2", "折腾": "zhe1 teng5", "折本": "she2 ben3",
+    # 占 zhan4 / zhan1
+    "占卜": "zhan1 bu3",
+    # 藏 cang2 / zang4
+    "隐藏": "yin3 cang2", "西藏": "xi1 zang4",
+    # 朝 chao2 / zhao1
+    "朝向": "chao2 xiang4", "朝气": "zhao1 qi4",
+    # 都 dou1 / du1
+    "首都": "shou3 du1",
+    # 曾 ceng2
+    "曾经": "ceng2 jing1",
+    # 荨麻疹 xun2 (hives)
+    "荨麻疹": "xun2 ma2 zhen3",
+    # 疟疾 nve4 (malaria)
+    "疟疾": "nve4 ji2",
+    # 佝偻病 gou1 lou2 (rickets)
+    "佝偻": "gou1 lou2",
+    # 脑卒中 cu4 (stroke, the clinical term)
+    "脑卒中": "nao3 cu4 zhong4", "卒中": "cu4 zhong4",
+    # 模 mo2 / mu2
+    "模型": "mo2 xing2", "模样": "mu2 yang4",
+    # 哄 hong3 / hong4
+    "哄骗": "hong3 pian4", "起哄": "qi3 hong4",
+    # 横 heng2 / heng4
+    "横向": "heng2 xiang4", "蛮横": "man2 heng4",
+    # 喝 he1 / he4
+    "喝彩": "he4 cai3",
+    # 茄 qie2 / jia1
+    "茄子": "qie2 zi5", "雪茄": "xue3 jia1",
+    # 浆 jiang1 (血浆: plasma)
+    "血浆": "xue4 jiang1", "豆浆": "dou4 jiang1",
+    # 撒 sa1 / sa3
+    "撒尿": "sa1 niao4", "播撒": "bo1 sa3",
+    # 丧 sang4 / sang1 (丧失意识)
+    "丧失": "sang4 shi1", "沮丧": "ju3 sang4", "丧事": "sang1 shi4",
+    # 扫 sao3 / sao4 (扫描: CT/MRI)
+    "扫描": "sao3 miao2", "扫帚": "sao4 zhou5",
+    # 舍 she3 / she4
+    "舍得": "she3 de5", "宿舍": "su4 she4",
+    # 尽 jin3 / jin4 (尽量/尽快: dosage instructions)
+    "尽量": "jin3 liang4", "尽快": "jin3 kuai4", "用尽": "yong4 jin4",
+    # 奇 qi2 / ji1
+    "奇数": "ji1 shu4",
+    # 轧 ya4 (轧伤: crush injury)
+    "轧伤": "ya4 shang1",
+    # 载 zai4 / zai3
+    "记载": "ji4 zai3", "超载": "chao1 zai4",
+    # 佛 fo2 / fu2
+    "仿佛": "fang3 fu2",
+    # 翘 qiao2 (连翘: TCM herb)
+    "连翘": "lian2 qiao2", "翘起": "qiao4 qi3",
+    # 稍 shao1 / shao4
+    "稍等": "shao1 deng3", "稍息": "shao4 xi1",
+    # 悄 qiao1 / qiao3
+    "悄悄": "qiao1 qiao1", "悄然": "qiao3 ran2",
+    # 匙 chi2 (汤匙: dosage spoon)
+    "汤匙": "tang1 chi2",
+    # 肚 du4 / du3
+    "肚子": "du4 zi5", "猪肚": "zhu1 du3",
+    # 夹 jia1 / jia2 (主动脉夹层)
+    "夹层": "jia1 ceng2", "夹袄": "jia2 ao3",
+    # 亲 qin1 / qing4
+    "亲属": "qin1 shu3", "亲家": "qing4 jia5",
 }
 
 # lexicalized 儿化 words: the trailing 儿 rhotacizes the previous final

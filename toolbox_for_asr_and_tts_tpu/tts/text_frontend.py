@@ -144,14 +144,22 @@ class Phone:
 
 
 def split_pinyin(syllable: str) -> Tuple[str, str, int]:
-    """'zhong4' → ('zh', 'ong', 4). Tone 5 = neutral."""
+    """'zhong4' → ('zh', 'ong', 4). Tone 5 = neutral.
+
+    Orthographic normalization: after j/q/x/y a written 'u' is actually ü
+    ('v' in the phone set) — xue→(x, ve), jun→(j, vn), yuan→(y, van) —
+    standard pinyin spelling rules; without it every ü-final syllable
+    (血/觉/乐/略/全/军…) encoded as <unk>."""
     tone = 5
     if syllable and syllable[-1].isdigit():
         tone = int(syllable[-1])
         syllable = syllable[:-1]
     for ini in INITIALS:  # longest-first list
         if syllable.startswith(ini) and len(syllable) > len(ini):
-            return ini, syllable[len(ini):], tone
+            fin = syllable[len(ini):]
+            if ini in ("j", "q", "x", "y") and fin.startswith("u"):
+                fin = "v" + fin[1:]
+            return ini, fin, tone
     return "", syllable, tone
 
 
