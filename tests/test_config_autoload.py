@@ -97,6 +97,42 @@ def test_punctuator_geometry_from_dir(tmp_path):
     assert isinstance(out, str) and len(out) >= 3
 
 
+def test_streaming_factory_prefers_online_checkpoint(tmp_path, monkeypatch):
+    """The reference loads a separate chunk-trained online model
+    (paraformer-zh-streaming, voice_interface.py:629-634): with one mounted,
+    partials must use ITS weights, not the offline model's."""
+    from toolbox_for_asr_and_tts_tpu.models import paraformer as pf
+    from toolbox_for_asr_and_tts_tpu.asr.recognizer import Recognizer
+    from toolbox_for_asr_and_tts_tpu.service.engines import _streaming_factory
+    d = tmp_path / ("speech_paraformer-large_asr_nat-zh-cn-16k-common-"
+                    "vocab8404-online")
+    d.mkdir()
+    conf = {"encoder_conf": {"output_size": 16, "attention_heads": 2,
+                             "linear_units": 32, "num_blocks": 2,
+                             "kernel_size": 11, "sanm_shfit": 0},
+            "decoder_conf": {"num_blocks": 2},
+            "frontend_conf": {"n_mels": 80, "lfr_m": 7, "lfr_n": 6}}
+    (d / "config.yaml").write_text(yaml.safe_dump(conf), encoding="utf-8")
+    # vocab comes from the dir's token list (tokens.json), like real dirs
+    import json
+    toks = ["<blank>", "<s>", "</s>"] + [chr(0x4E00 + i) for i in range(45)]
+    (d / "tokens.json").write_text(json.dumps(toks), encoding="utf-8")
+    ocfg = pf.ParaformerConfig.from_funasr(conf, vocab_size=48)
+    params = pf.init_params(jax.random.PRNGKey(2), ocfg)
+    sd = ckpt.invert_to_state_dict(params, ckpt.paraformer_rules(2, 2))
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, d / "model.pt")
+    monkeypatch.setenv("VOICE_ENABLE_PARTIALS", "1")
+    offline = Recognizer.random(
+        pf.ParaformerConfig(input_dim=560, d_model=32, n_heads=2, ffn_dim=64,
+                            encoder_layers=2, decoder_layers=2,
+                            vocab_size=64), use_mesh=False)
+    factory = _streaming_factory(offline, model_dir=str(tmp_path))
+    st = factory()
+    # online dir's geometry (d_model 16 from its config.yaml), not offline's
+    assert st.cfg.d_model == 16, st.cfg
+
+
 def test_vad_from_model_dir(tmp_path):
     """fsmn_vad.from_model_dir: geometry from config.yaml, CMVN from am.mvn,
     weights through the converter; the stepper then applies CMVN."""

@@ -113,8 +113,19 @@ class Recognizer:
         absent, so one loader serves both families."""
         import os
         from ..runtime import checkpoints as ckpt
-        cfg = cfg or paraformer.ParaformerConfig.from_funasr(
-            ckpt.load_model_config(model_dir))
+        tok_path = None
+        for cand in ("tokens.json", "tokens.txt"):
+            p = os.path.join(model_dir, cand)
+            if os.path.exists(p):
+                tok_path = p
+                break
+        if cfg is None:
+            cfg = paraformer.ParaformerConfig.from_funasr(
+                ckpt.load_model_config(model_dir))
+            if tok_path:   # vocab size comes from the dir's own token list
+                n_vocab = len(CharTokenizer.load(tok_path).tokens)
+                if n_vocab and n_vocab != cfg.vocab_size:
+                    cfg = dataclasses.replace(cfg, vocab_size=n_vocab)
         try:
             bcfg = dataclasses.replace(cfg, bicif=True)
             template = paraformer.init_params(jax.random.PRNGKey(0), bcfg)
@@ -127,12 +138,6 @@ class Recognizer:
             rules = ckpt.paraformer_rules(cfg.encoder_layers,
                                           cfg.decoder_layers)
             params = ckpt.convert_or_load_cached(model_dir, template, rules)
-        tok_path = None
-        for cand in ("tokens.json", "tokens.txt"):
-            p = os.path.join(model_dir, cand)
-            if os.path.exists(p):
-                tok_path = p
-                break
         tokenizer = (CharTokenizer.load(tok_path) if tok_path
                      else CharTokenizer.dummy(cfg.vocab_size))
         cmvn = None

@@ -94,7 +94,7 @@ def _vad_factory(model_dir: Optional[str] = None):
     return factory
 
 
-def _streaming_factory(reco):
+def _streaming_factory(reco, model_dir=None):
     """Per-session streaming recognizer factory (2-pass partials), opt-in via
     VOICE_ENABLE_PARTIALS=1 (the reference keeps mid-chunk decode off).
 
@@ -104,6 +104,25 @@ def _streaming_factory(reco):
     round-1 windowed re-encode fallback."""
     if os.getenv("VOICE_ENABLE_PARTIALS", "0") not in ("1", "true"):
         return None
+
+    # The reference loads a SEPARATE chunk-trained online checkpoint
+    # (paraformer-zh-streaming, voice_interface.py:629-634); resolve it and
+    # prefer its weights for partials — the offline model's weights are the
+    # structural fallback (identical pytree).
+    from ..runtime.registry import resolve
+    d = resolve("paraformer_streaming", model_dir)
+    if d is not None:
+        try:
+            from ..asr.recognizer import Recognizer
+            online = Recognizer.from_model_dir(d, use_mesh=False)
+            logger.info("streaming partials use the ONLINE checkpoint %s", d)
+            reco = online
+        except Exception:
+            logger.exception("FAILED converting online checkpoint at %s — "
+                             "partials fall back to the OFFLINE weights", d)
+    else:
+        logger.warning("no online (paraformer-zh-streaming) checkpoint dir —"
+                       " streaming partials reuse the offline ASR weights")
 
     cmvn = None
     if reco.cmvn is not None:
@@ -190,4 +209,4 @@ def build_engines(model_dir: Optional[str] = None, use_mesh: bool = True):
     diar = Diarizer(reco, sv, punctuator=punc)
     return VoiceEngines(diarizer=diar, kws=kws, verifier=sv,
                         vad_factory=_vad_factory(model_dir),
-                        streaming_factory=_streaming_factory(reco))
+                        streaming_factory=_streaming_factory(reco, model_dir))
