@@ -211,6 +211,7 @@ class TorchCAMPPlus(torch.nn.Module):
 
 
 def test_campplus_full_model_parity():
+    torch.manual_seed(0)  # order-independent weights
     tmodel = TorchCAMPPlus(CFG).eval()
     sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()
           if "num_batches_tracked" not in k}
@@ -231,6 +232,7 @@ def test_campplus_full_model_parity():
 
 def test_campplus_masked_matches_exact_length():
     """Masked batched forward == per-utterance unpadded forward."""
+    torch.manual_seed(0)  # order-independent weights
     tmodel = TorchCAMPPlus(CFG).eval()
     sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()
           if "num_batches_tracked" not in k}

@@ -104,6 +104,7 @@ class TorchFSMN(torch.nn.Module):
 
 
 def _converted():
+    torch.manual_seed(0)  # order-independent weights
     tmodel = TorchFSMN(CFG).eval()
     sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
     template = fsmn_vad.init_params(jax.random.PRNGKey(0), CFG)

@@ -314,6 +314,7 @@ def _converted_params(tmodel, cfg):
 @pytest.fixture(scope="module")
 def setup():
     cfg = _tiny_cfg()
+    torch.manual_seed(0)  # order-independent weights
     tmodel = TorchParaformer(cfg).eval()
     params = _converted_params(tmodel, cfg)
     rng = np.random.default_rng(1)

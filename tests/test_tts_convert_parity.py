@@ -78,6 +78,7 @@ class TorchHiFiGAN(torch.nn.Module):
 def test_hifigan_full_generator_parity():
     """Weight-normed torch V1 generator → fold → convert → JAX forward must
     match the torch waveform sample-for-sample."""
+    torch.manual_seed(0)  # order-independent weights
     tmodel = TorchHiFiGAN(TINY_HIFI).eval()
     sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
     # torch stores weight_norm as parametrizations or weight_g/weight_v
