@@ -112,5 +112,5 @@ def test_kws_rules_roundtrip_and_complete():
     cfg = kws_ctc.KwsConfig(vocab_size=32, hidden_dim=16, proj_dim=8,
                             num_layers=2)
     mapped, leaves = _roundtrip(kws_ctc, kws_ctc.init_params, cfg,
-                                ckpt.kws_rules(cfg.num_layers))
+                                ckpt.kws_rules(cfg.num_layers, cfg.rorder))
     assert mapped == leaves

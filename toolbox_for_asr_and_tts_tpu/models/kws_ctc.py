@@ -6,11 +6,20 @@ the reference runs on every streaming chunk once its 1600 ms FIFO window is
 full (voice-service/app/services/voice_interface.py:404-502,1277-1486; the
 deployed keyword is "小护", voice_interface.py:424).
 
-Model: a compact DFSMN acoustic model over fbank features with a CTC output
-layer on a character vocabulary:
+Model: the FunASR FSMN acoustic model (same stack family as FSMN-VAD — two
+input affines, N FSMN units, two output affines) with a CTC output layer on
+a character vocabulary, weight-compatible with the real checkpoints:
 
-    fbank80 (LFR 3/3 by default) → linear → N × [proj → causal FSMN (+res)
-    → affine → ReLU] → linear → char logits (+ blank at 0)
+    fbank80 (LFR 3/3 by default) → affine in1 → affine in2 → ReLU
+    → N × [proj (no bias) → FSMN (lorder past + rorder future, +res)
+           → affine → ReLU]
+    → affine out1 → affine out2 → char logits (+ blank at 0)
+
+Unlike the VAD encoder, the KWS FSMN units may carry right context
+(`rorder` future frames, torch `conv_right` skipping the current frame);
+the pytree keeps the left/right kernels as separate leaves (`w`, `wr`) so
+the converter maps them 1:1, and the forward concatenates them into one
+depthwise kernel spanning [t−lorder+1, t+rorder].
 
 Detection (`kws_score`): the CTC forward algorithm scores the keyword's label
 sequence against the window's posteriors; the length-normalized log-odds vs a
@@ -34,11 +43,14 @@ from ..ops.frontend import FrontendConfig
 @dataclasses.dataclass(frozen=True)
 class KwsConfig:
     input_dim: int = 240          # 80 mel × LFR m=3
-    hidden_dim: int = 128
+    input_affine_dim: int = 140
+    hidden_dim: int = 128         # FunASR `linear_dim`
     proj_dim: int = 64
-    num_layers: int = 4
+    num_layers: int = 4           # FunASR `fsmn_layers`
     lorder: int = 10
-    vocab_size: int = 2600        # chars (+ blank at 0)
+    rorder: int = 2               # future frames (conv_right)
+    output_affine_dim: int = 140
+    vocab_size: int = 2600        # chars (+ blank at 0); FunASR `output_dim`
     blank_id: int = 0
 
     @property
@@ -53,10 +65,13 @@ class KwsConfig:
         enc = conf.get("encoder_conf", {}) or {}
         kw = {}
         for srcs, dst in ((("input_dim",), "input_dim"),
+                          (("input_affine_dim",), "input_affine_dim"),
                           (("linear_dim",), "hidden_dim"),
                           (("proj_dim",), "proj_dim"),
                           (("fsmn_layers", "fsmn_layer_num"), "num_layers"),
                           (("lorder",), "lorder"),
+                          (("rorder",), "rorder"),
+                          (("output_affine_dim",), "output_affine_dim"),
                           (("output_dim",), "vocab_size")):
             for s in srcs:
                 if s in enc:
@@ -67,32 +82,47 @@ class KwsConfig:
 
 
 def init_params(key, cfg: KwsConfig) -> nn.Params:
-    keys = jax.random.split(key, 2 + 3 * cfg.num_layers)
+    keys = jax.random.split(key, 4 + 4 * cfg.num_layers)
     p = {
-        "in": nn.linear_init(keys[0], cfg.input_dim, cfg.hidden_dim),
+        "in1": nn.linear_init(keys[0], cfg.input_dim, cfg.input_affine_dim),
+        "in2": nn.linear_init(keys[1], cfg.input_affine_dim, cfg.hidden_dim),
         "blocks": [],
-        "out": nn.linear_init(keys[1], cfg.hidden_dim, cfg.vocab_size),
+        "out1": nn.linear_init(keys[2], cfg.hidden_dim, cfg.output_affine_dim),
+        "out2": nn.linear_init(keys[3], cfg.output_affine_dim, cfg.vocab_size),
     }
-    ki = 2
+    ki = 4
     for _ in range(cfg.num_layers):
+        fsmn = nn.fsmn_block_init(keys[ki + 1], cfg.proj_dim, cfg.lorder)
+        if cfg.rorder > 0:
+            fsmn["wr"] = jax.random.normal(
+                keys[ki + 3], (cfg.proj_dim, 1, cfg.rorder)) * 0.02
         p["blocks"].append({
             "proj": nn.linear_init(keys[ki], cfg.hidden_dim, cfg.proj_dim, bias=False),
-            "fsmn": nn.fsmn_block_init(keys[ki + 1], cfg.proj_dim, cfg.lorder),
+            "fsmn": fsmn,
             "affine": nn.linear_init(keys[ki + 2], cfg.proj_dim, cfg.hidden_dim),
         })
-        ki += 3
+        ki += 4
     return p
+
+
+def _fsmn_kernel(f: nn.Params) -> nn.Params:
+    """Combine left/right depthwise kernels: taps [t−lorder+1 .. t+rorder]
+    (torch conv_right starts at t+1, i.e. right after conv_left's last tap)."""
+    if "wr" in f:
+        return {"w": jnp.concatenate([f["w"], f["wr"]], axis=-1)}
+    return f
 
 
 def forward(params: nn.Params, feats: jnp.ndarray, cfg: KwsConfig) -> jnp.ndarray:
     """feats [B, T, input_dim] → CTC log-probs [B, T, vocab]."""
-    x = jax.nn.relu(nn.linear(params["in"], feats))
-    pad = nn.fsmn_pad(cfg.lorder)
+    x = jax.nn.relu(nn.linear(params["in2"], nn.linear(params["in1"], feats)))
+    pad = nn.fsmn_pad(cfg.lorder, cfg.rorder)
     for blk in params["blocks"]:
         h = nn.linear(blk["proj"], x)
-        h = nn.fsmn_block(blk["fsmn"], h, pad)
+        h = nn.fsmn_block(_fsmn_kernel(blk["fsmn"]), h, pad)
         x = jax.nn.relu(nn.linear(blk["affine"], h))
-    return jax.nn.log_softmax(nn.linear(params["out"], x), axis=-1)
+    return jax.nn.log_softmax(
+        nn.linear(params["out2"], nn.linear(params["out1"], x)), axis=-1)
 
 
 def ctc_forward_score(logp: jnp.ndarray, labels: jnp.ndarray,
@@ -173,7 +203,7 @@ class KeywordSpotter:
         cfg = cfg or KwsConfig.from_funasr(ckpt.load_model_config(model_dir))
         template = init_params(_jax.random.PRNGKey(0), cfg)
         params = ckpt.convert_or_load_cached(
-            model_dir, template, ckpt.kws_rules(cfg.num_layers))
+            model_dir, template, ckpt.kws_rules(cfg.num_layers, cfg.rorder))
         chars: Dict[str, int] = {}
         for cand in ("tokens.json", "tokens.txt", "keywords.txt"):
             p = os.path.join(model_dir, cand)

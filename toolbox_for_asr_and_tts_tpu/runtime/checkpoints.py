@@ -454,15 +454,22 @@ def ct_transformer_rules(n_layers: int) -> List[Rule]:
     return rules
 
 
-def kws_rules(n_layers: int = 4) -> List[Rule]:
-    """charctc KWS (DFSMN-CTC) ↔ models/kws_ctc.py. PROVISIONAL names in the
-    FunASR FSMN family layout (as fsmn_vad_rules); reconcile against the
-    real `speech_charctc_kws_phone-xiaohu` state dict with --diff."""
+def kws_rules(n_layers: int = 4, rorder: int = 2) -> List[Rule]:
+    """charctc KWS ↔ models/kws_ctc.py — the full FunASR FSMN layout
+    (identical module family to fsmn_vad_rules: in_linear1/2, fsmn units,
+    out_linear1/2) plus the KWS units' right-context `conv_right` kernels,
+    kept as separate `wr` leaves so the map stays 1:1. Reconcile dims
+    against the real `speech_charctc_kws_phone-xiaohu` dir with --diff
+    (geometry itself autoloads from its config.yaml)."""
     rules: List[Rule] = [
-        ("in.w", "encoder.in_linear1.linear.weight!t"),
-        ("in.b", "encoder.in_linear1.linear.bias"),
-        ("out.w", "encoder.out_linear1.linear.weight!t"),
-        ("out.b", "encoder.out_linear1.linear.bias"),
+        ("in1.w", "encoder.in_linear1.linear.weight!t"),
+        ("in1.b", "encoder.in_linear1.linear.bias"),
+        ("in2.w", "encoder.in_linear2.linear.weight!t"),
+        ("in2.b", "encoder.in_linear2.linear.bias"),
+        ("out1.w", "encoder.out_linear1.linear.weight!t"),
+        ("out1.b", "encoder.out_linear1.linear.bias"),
+        ("out2.w", "encoder.out_linear2.linear.weight!t"),
+        ("out2.b", "encoder.out_linear2.linear.bias"),
     ]
     for i in range(n_layers):
         rules += [
@@ -472,6 +479,9 @@ def kws_rules(n_layers: int = 4) -> List[Rule]:
             (f"blocks.{i}.affine.w", f"encoder.fsmn.{i}.2.linear.weight!t"),
             (f"blocks.{i}.affine.b", f"encoder.fsmn.{i}.2.linear.bias"),
         ]
+        if rorder > 0:
+            rules.append((f"blocks.{i}.fsmn.wr",
+                          f"encoder.fsmn.{i}.1.conv_right.weight!squeeze"))
     return rules
 
 

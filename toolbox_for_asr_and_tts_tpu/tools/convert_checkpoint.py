@@ -92,7 +92,7 @@ def _family_setup(family: str, overrides=None):
         from ..models import kws_ctc
         cfg = _apply_overrides(kws_ctc.KwsConfig(), overrides)
         template = kws_ctc.init_params(jax.random.PRNGKey(0), cfg)
-        return template, ckpt.kws_rules(cfg.num_layers), {}
+        return template, ckpt.kws_rules(cfg.num_layers, cfg.rorder), {}
     raise SystemExit(f"unknown family {family}; choose from {FAMILIES}")
 
 
