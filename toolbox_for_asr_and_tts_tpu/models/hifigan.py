@@ -43,6 +43,77 @@ class HifiGanConfig:
             h *= r
         return h
 
+    @classmethod
+    def from_config(cls, conf: dict, **overrides) -> "HifiGanConfig":
+        """Config from a mounted package's own config.yaml/json. Key names
+        follow the public HiFi-GAN/KAN-TTS generator config (upsample_rates,
+        upsample_kernel_sizes, resblock_kernel_sizes, …); shape-derivable
+        fields are later re-pinned from the state dict by
+        `config_from_state_dict` — only the upsample STRIDES truly need the
+        config (strides don't appear in weight shapes)."""
+        from ..runtime.checkpoints import search_config
+        alias = {
+            "n_mels": ("num_mels", "n_mels", "in_channels"),
+            "upsample_initial_channel": ("upsample_initial_channel",),
+            "upsample_rates": ("upsample_rates",),
+            "upsample_kernels": ("upsample_kernel_sizes", "upsample_kernels"),
+            "resblock_kernels": ("resblock_kernel_sizes", "resblock_kernels"),
+            "resblock_dilations": ("resblock_dilation_sizes",
+                                   "resblock_dilations"),
+        }
+        kw = {}
+        for field, names in alias.items():
+            v = search_config(conf or {}, names)
+            if v is None:
+                continue
+            if isinstance(v, (list, tuple)):
+                v = tuple(tuple(x) if isinstance(x, (list, tuple)) else int(x)
+                          for x in v)
+            else:
+                v = int(v)
+            kw[field] = v
+        kw.update(overrides)
+        return cls(**kw)
+
+
+def config_from_state_dict(sd, base: HifiGanConfig) -> HifiGanConfig:
+    """Pin shape-derivable generator hyperparameters from a (weight-norm
+    folded) state dict. Upsample strides are NOT in the shapes: they come
+    from the config, falling back to the standard kernel//2 relation the
+    public HiFi-GAN configs all satisfy (k=16/s=8, k=11/s=5, k=4/s=2 …)."""
+    import re as _re
+
+    def count(pat_s: str):
+        pat = _re.compile(pat_s)
+        idx = {int(m.group(1)) for k in sd for m in [pat.match(k)] if m}
+        return (max(idx) + 1) if idx else None
+
+    kw = {}
+    if "conv_pre.weight" in sd:
+        w = sd["conv_pre.weight"]                       # [C, n_mels, 7]
+        kw["upsample_initial_channel"], kw["n_mels"] = w.shape[0], w.shape[1]
+    n_ups = count(r"ups\.(\d+)\.weight$")
+    if n_ups:
+        kernels = tuple(int(sd[f"ups.{i}.weight"].shape[-1])
+                        for i in range(n_ups))
+        kw["upsample_kernels"] = kernels
+        rates = base.upsample_rates
+        if len(rates) != n_ups:
+            rates = tuple(k // 2 for k in kernels)
+        kw["upsample_rates"] = rates
+        n_res_total = count(r"resblocks\.(\d+)\.")
+        if n_res_total and n_res_total % n_ups == 0:
+            n_k = n_res_total // n_ups
+            kw["resblock_kernels"] = tuple(
+                int(sd[f"resblocks.{j}.convs1.0.weight"].shape[-1])
+                for j in range(n_k))
+            n_convs = count(r"resblocks\.0\.convs1\.(\d+)\.")
+            dil = base.resblock_dilations
+            if len(dil) != n_k or (n_convs and len(dil[0]) != n_convs):
+                dil = (tuple(1 + 2 * i for i in range(n_convs or 3)),) * n_k
+            kw["resblock_dilations"] = dil
+    return dataclasses.replace(base, **kw)
+
 
 def _resblock_init(key, channels: int, k: int, dilations) -> nn.Params:
     keys = jax.random.split(key, 2 * len(dilations))

@@ -63,6 +63,91 @@ class SambertConfig:
     h_band: int = 20                # non-causal memory band (steps, ± around
                                     # the aligned position; -1 = full)
 
+    @classmethod
+    def from_kantts(cls, conf: dict, **overrides) -> "SambertConfig":
+        """Config from a mounted KAN-TTS package's own config.yaml/json
+        (reference tts_service.py:34-38 loads the dir whose config carries
+        the geometry). Alias tuples absorb KAN-TTS naming drift; anything a
+        sparse config omits is later pinned from the state dict itself by
+        `config_from_state_dict` (shapes beat config files)."""
+        from ..runtime.checkpoints import search_config
+        alias = {
+            "d_model": ("embedding_dim", "encoder_num_units", "d_model"),
+            "n_heads": ("encoder_num_heads", "num_heads", "n_heads"),
+            "ffn_dim": ("encoder_ffn_inner_dim", "ffn_inner_dim", "ffn_dim"),
+            "encoder_layers": ("encoder_num_layers",),
+            "pnca_layers": ("decoder_num_layers",),
+            "n_mels": ("num_mels", "n_mels", "num_mel_bins"),
+            "outputs_per_step": ("outputs_per_step",),
+            "prenet_units": ("decoder_prenet_units", "prenet_units"),
+            "postnet_layers": ("postnet_num_layers", "postnet_n_convs"),
+            "postnet_channels": ("postnet_num_units", "postnet_embedding_dim",
+                                 "postnet_channels"),
+            "postnet_kernel": ("postnet_kernel_size", "postnet_kernel"),
+            "var_channels": ("predictor_num_units", "predictor_filter_size",
+                             "variance_predictor_filter_size"),
+            "var_kernel": ("predictor_kernel_size",
+                           "variance_predictor_kernel_size"),
+            "n_speakers": ("speaker_units", "num_speakers", "speaker_num",
+                           "n_speakers"),
+            "vocab_size": ("num_symbols", "n_symbols", "vocab_size"),
+        }
+        kw = {}
+        for field, names in alias.items():
+            v = search_config(conf or {}, names)
+            if v is None:
+                continue
+            if isinstance(v, (list, tuple)):  # e.g. prenet_units: [256, 256]
+                v = v[-1]
+            kw[field] = int(v)
+        kw.update(overrides)
+        return cls(**kw)
+
+
+def config_from_state_dict(sd, base: SambertConfig) -> SambertConfig:
+    """Pin every shape-derivable hyperparameter from a real KAN-TTS Sambert
+    state dict (names per runtime/checkpoints.py::sambert_rules). Shapes are
+    ground truth — they override whatever the config file claimed — so a
+    package with a sparse or renamed config still converts; only n_heads and
+    the attention bands cannot be read off shapes and stay config-driven."""
+    import re as _re
+
+    def count(prefix: str):
+        pat = _re.compile(_re.escape(prefix) + r"\.(\d+)\.")
+        idx = {int(m.group(1)) for k in sd for m in [pat.match(k)] if m}
+        return (max(idx) + 1) if idx else None
+
+    kw = {}
+    if "text_encoder.embedding.weight" in sd:
+        kw["vocab_size"], kw["d_model"] = sd[
+            "text_encoder.embedding.weight"].shape
+    if "spk_tokenizer.weight" in sd:
+        kw["n_speakers"] = sd["spk_tokenizer.weight"].shape[0]
+    if "text_encoder.layer_stack.0.pos_ffn.w_1.weight" in sd:
+        kw["ffn_dim"] = sd["text_encoder.layer_stack.0.pos_ffn.w_1.weight"
+                           ].shape[0]
+    for field, prefix in (("encoder_layers", "text_encoder.layer_stack"),
+                          ("pnca_layers", "mel_decoder.layer_stack"),
+                          ("postnet_layers", "mel_postnet.conv_stack")):
+        n = count(prefix)
+        if n is not None:
+            kw[field] = n
+    if "mel_postnet.conv_stack.0.conv.weight" in sd:
+        w = sd["mel_postnet.conv_stack.0.conv.weight"]  # [C, n_mels, k]
+        kw["n_mels"] = w.shape[1]
+        kw["postnet_kernel"] = w.shape[-1]
+        if kw.get("postnet_layers", base.postnet_layers) > 1:
+            kw["postnet_channels"] = w.shape[0]
+        if "mel_decoder.mel_out.weight" in sd:
+            kw["outputs_per_step"] = max(
+                sd["mel_decoder.mel_out.weight"].shape[0] // w.shape[1], 1)
+    if "mel_decoder.prenet.fc1.weight" in sd:
+        kw["prenet_units"] = sd["mel_decoder.prenet.fc1.weight"].shape[0]
+    if "dur_predictor.conv1.weight" in sd:
+        w = sd["dur_predictor.conv1.weight"]            # [C, d, k]
+        kw["var_channels"], kw["var_kernel"] = w.shape[0], w.shape[-1]
+    return dataclasses.replace(base, **kw)
+
 
 def _var_predictor_init(key, d: int, channels: int, k: int) -> nn.Params:
     k1, k2, k3 = jax.random.split(key, 3)

@@ -63,6 +63,29 @@ def load_model_config(model_dir: str) -> Dict[str, Any]:
     return {}
 
 
+def search_config(conf: Any, names: Tuple[str, ...], default: Any = None) -> Any:
+    """Depth-first search a nested config for the first key in `names`.
+
+    KAN-TTS / ModelScope configs nest model hyperparameters at varying depths
+    (e.g. `Model: KanTtsSAMBERT: params: …`, `model: am: …`); alias tuples
+    absorb the naming drift across package revisions. Keys at the current
+    level win over deeper matches; dict-valued entries are treated as
+    sub-configs, not leaves.
+    """
+    if isinstance(conf, dict):
+        for n in names:
+            if n in conf and not isinstance(conf[n], dict):
+                return conf[n]
+        for v in conf.values():
+            found = search_config(v, names, default=_MISSING)
+            if found is not _MISSING:
+                return found
+    return default
+
+
+_MISSING = object()
+
+
 # ------------------------------------------------------------------- kaldi
 def parse_kaldi_cmvn(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """Parse a kaldi-nnet `am.mvn` file → (add_shift means, rescale istd).

@@ -36,8 +36,22 @@ def create_app(synthesizer=None, cfg: Optional[TTSConfig] = None) -> App:
         if state["manager"] is None:  # lazy load (reference tts_service.py:80-226)
             synth = synthesizer
             if synth is None:
+                from ..runtime.registry import resolve
                 from ..tts.synthesizer import Synthesizer
-                synth = Synthesizer.random(tiny=False, tts_cfg=cfg)
+                d = resolve("tts")
+                if d is not None:
+                    try:
+                        synth = Synthesizer.from_model_dir(d, tts_cfg=cfg)
+                    except Exception:
+                        logger.exception(
+                            "FAILED converting TTS checkpoint at %s — "
+                            "falling back to RANDOM weights", d)
+                if synth is None:
+                    logger.warning(
+                        "NO TTS checkpoint dir (registry key 'tts') — "
+                        "synthesizing with RANDOMLY INITIALIZED weights; "
+                        "audio will not match the reference voice")
+                    synth = Synthesizer.random(tiny=False, tts_cfg=cfg)
             state["manager"] = TTSJobManager(synth,
                                              max_workers=cfg.max_concurrent_jobs)
         return state["manager"]

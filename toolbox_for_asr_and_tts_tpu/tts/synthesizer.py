@@ -37,6 +37,77 @@ PHONE_BUCKETS = (16, 32, 48, 64, 96, 128)
 VOICES = ("zhitian_emo", "zhizhe_emo", "zhiyan_emo", "zhibei_emo")
 
 
+def scan_tts_package(model_dir: str, voice: str
+                     ) -> Tuple[Optional[str], Optional[str]]:
+    """Locate the (acoustic, vocoder) torch checkpoints in a mounted
+    ModelScope sambert-hifigan package.
+
+    KAN-TTS packages keep per-voice checkpoints under e.g.
+    `voices/<voice>/am/ckpt/checkpoint_*.pth` and `…/voc/ckpt/…`, with base
+    models under `basemodel_16k/{sambert,hifigan}` — the exact nesting
+    varies by package revision, so this scans by path tokens: a path segment
+    equal to `voc`/containing `hifigan|vocoder` marks the vocoder, one equal
+    to `am`/containing `sambert|acoustic` the acoustic model. Among
+    candidates, the requested voice's path wins, then the highest checkpoint
+    step number."""
+    import os
+    import re
+
+    am, voc = [], []
+    for root, _, files in os.walk(model_dir):
+        for f in files:
+            if f.endswith(".jax.npz"):
+                # converted cache without its source ckpt still loads: report
+                # the (possibly deleted) source path the cache sits next to
+                f = f[:-len(".jax.npz")]
+                if f in files:
+                    continue
+            elif not f.endswith((".pth", ".pt", ".bin")):
+                continue
+            p = os.path.join(root, f)
+            segs = [s.lower() for s in
+                    os.path.relpath(p, model_dir).split(os.sep)]
+            if any(s == "voc" or "hifigan" in s or "vocoder" in s
+                   for s in segs):
+                voc.append(p)
+            elif any(s == "am" or "sambert" in s or "acoustic" in s
+                     for s in segs):
+                am.append(p)
+
+    def pick(cands):
+        if not cands:
+            return None
+
+        def score(p):
+            nums = re.findall(r"(\d+)", os.path.basename(p))
+            return (voice.lower() in p.lower(),
+                    int(nums[-1]) if nums else -1)
+
+        return max(cands, key=score)
+
+    return pick(am), pick(voc)
+
+
+def _nearest_config(ckpt_path: str, model_dir: str) -> dict:
+    """The config file closest to a checkpoint, walking up to the package
+    root (KAN-TTS keeps `config.yaml` next to each ckpt dir)."""
+    import os
+
+    from ..runtime import checkpoints as ckpt
+    d = os.path.dirname(os.path.abspath(ckpt_path))
+    top = os.path.abspath(model_dir)
+    while True:
+        conf = ckpt.load_model_config(d)
+        if conf:
+            return conf
+        if d == top:
+            return {}
+        parent = os.path.dirname(d)
+        if parent == d:
+            return {}
+        d = parent
+
+
 @dataclasses.dataclass
 class SynthesisResult:
     wav: np.ndarray
@@ -88,6 +159,87 @@ class Synthesizer:
         self._fns: Dict[Tuple[int, int], object] = {}
         self.rtf = RTFMeter()
         self.sample_rate = self.cfg.sampling_rate
+
+    @classmethod
+    def from_model_dir(cls, model_dir: str, voice: str = "zhitian_emo",
+                       **kw) -> "Synthesizer":
+        """Load a mounted `speech_sambert-hifigan_tts_zh-cn_16k` package
+        (reference tts_service.py:34-38,143-177): scan the KAN-TTS layout for
+        the voice's acoustic + vocoder checkpoints, pin geometry from each
+        checkpoint's own config file AND its tensor shapes, convert through
+        runtime/checkpoints name maps (npz-cached next to each checkpoint),
+        and default to the weight-compatible PNCA decoder.
+        """
+        import dataclasses as _dc
+        import json
+        import os
+
+        from ..runtime import checkpoints as ckpt
+
+        am_path, voc_path = scan_tts_package(model_dir, voice)
+        if am_path is None or voc_path is None:
+            raise FileNotFoundError(
+                f"no acoustic/vocoder checkpoint pair under {model_dir} "
+                f"(am={am_path}, voc={voc_path})")
+
+        def load(path, cfg_cls, from_conf, pin_from_sd, build, rules_for,
+                 **conv_kw):
+            cache, cfg_f = path + ".jax.npz", path + ".jax.cfg.json"
+            if os.path.exists(cache) and os.path.exists(cfg_f):
+                with open(cfg_f, encoding="utf-8") as f:
+                    raw = json.load(f)
+                fixed = {k: tuple(tuple(x) if isinstance(x, list) else x
+                                  for x in v) if isinstance(v, list) else v
+                         for k, v in raw.items()}
+                cfg = cfg_cls(**fixed)
+                return cfg, ckpt.load_converted(cache, build(cfg))
+            sd = ckpt.load_torch_state_dict(path)
+            if conv_kw.get("pre_transform") is not None:
+                sd = conv_kw.pop("pre_transform")(sd)
+            cfg = pin_from_sd(sd, from_conf(_nearest_config(path, model_dir)))
+            params = ckpt.convert_state_dict(sd, rules_for(cfg), build(cfg),
+                                             **conv_kw)
+            try:
+                ckpt.save_converted(cache, params)
+                with open(cfg_f, "w", encoding="utf-8") as f:
+                    json.dump(_dc.asdict(cfg), f)
+            except OSError:
+                logger.warning("could not cache converted TTS params at %s",
+                               cache)
+            return cfg, params
+
+        acfg, ap = load(
+            am_path, sambert.SambertConfig, sambert.SambertConfig.from_kantts,
+            sambert.config_from_state_dict,
+            lambda c: sambert.init_params(jax.random.PRNGKey(0), c),
+            lambda c: ckpt.sambert_rules(c.encoder_layers, c.pnca_layers,
+                                         c.postnet_layers),
+            keep_missing=True)  # NAR fast-mode decoder is framework-only
+        vcfg, vp = load(
+            voc_path, hifigan.HifiGanConfig, hifigan.HifiGanConfig.from_config,
+            hifigan.config_from_state_dict,
+            lambda c: hifigan.init_params(jax.random.PRNGKey(1), c),
+            lambda c: ckpt.hifigan_rules(len(c.upsample_rates),
+                                         len(c.resblock_kernels),
+                                         len(c.resblock_dilations[0])),
+            pre_transform=ckpt.fold_weight_norm)
+        logger.info("TTS checkpoints loaded: am=%s (%d phones, %dL enc/%dL "
+                    "pnca) voc=%s (hop %d)", am_path, acfg.vocab_size,
+                    acfg.encoder_layers, acfg.pnca_layers, voc_path,
+                    vcfg.hop_length)
+        synth = cls(ap, acfg, vp, vcfg, **kw)
+        if len(synth.vocab) != acfg.vocab_size:
+            # the package's phone inventory (inside its resource bundle) and
+            # our frontend's must be reconciled symbol-by-symbol; size drift
+            # means ids would address the wrong embedding rows
+            logger.warning(
+                "frontend phone vocab (%d) != checkpoint embedding rows (%d)"
+                " — map the package's phone list onto tts/pinyin_data.py or "
+                "pass vocab= explicitly", len(synth.vocab), acfg.vocab_size)
+        if "TTS_DECODER" not in os.environ:
+            # real checkpoints only map onto the PNCA AR decoder
+            synth.decoder_mode = "pnca"
+        return synth
 
     @classmethod
     def random(cls, seed: int = 0, tiny: bool = True, **kw) -> "Synthesizer":
