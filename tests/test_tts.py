@@ -273,6 +273,64 @@ def test_g2p_golden_pinyin():
         assert g.pinyin(text) == want, (text, g.pinyin(text), want)
 
 
+def test_g2p_contextual_particles():
+    """地/得/了 window rules (round-2c, roadmap #11): adverbial de5 vs noun
+    di4, complement de5 vs modal dei3 vs attainment de2, liao3 vs le5 —
+    ttsfrd resolves these with POS context; these are the dominant
+    patterns as golden pinyin."""
+    from toolbox_for_asr_and_tts_tpu.tts.text_frontend import G2P
+    g = G2P()
+    golden = {
+        # 地: AA地 / 地+verb → de5; nominal compounds stay di4
+        "慢慢地走": ["man4", "man4", "de5", "zou3"],
+        "认真地想": ["ren4", "zhen1", "de5", "xiang3"],
+        "好好地休息": ["hao2", "hao3", "de5", "xiu1", "xi1"],
+        "土地": ["tu3", "di4"],
+        "场地打扫": ["chang3", "di4", "da2", "sao3"],  # 打扫 3-3 sandhi
+        "地球": ["di4", "qiu2"],
+        # 得: V+complement → de5, subject+V → dei3, attainment → de2
+        "他跑得很快": ["ta1", "pao3", "de5", "hen3", "kuai4"],
+        "你说得对": ["ni3", "shuo1", "de5", "dui4"],
+        "我得去医院": ["wo2", "dei3", "qu4", "yi1", "yuan4"],
+        "我们得抓紧": ["wo3", "men5", "dei3", "zhua1", "jin3"],
+        "病人得吃药": ["bing4", "ren2", "dei3", "chi1", "yao4"],
+        "得到结果": ["de2", "dao4", "jie2", "guo3"],
+        "觉得": ["jue2", "de5"],
+        # 了: 不+了 / clause-final 得了 → liao3; aspect le5 otherwise
+        "受不了": ["shou4", "bu4", "liao3"],
+        "吃不了": ["chi1", "bu4", "liao3"],
+        "来得了吗": ["lai2", "de5", "liao3", "ma5"],
+        "他得了感冒": ["ta1", "de2", "le5", "gan3", "mao4"],
+        "好了": ["hao3", "le5"],
+        # 着 default zhe5 after verbs; lexicalized zhao2/zhuo2 untouched
+        "他看着我": ["ta1", "kan4", "zhe5", "wo3"],
+        "着急": ["zhao2", "ji2"],
+        "穿着整齐": ["chuan1", "zhuo2", "zheng3", "qi2"],
+    }
+    for text, want in golden.items():
+        assert g.pinyin(text) == want, (text, g.pinyin(text), want)
+
+
+def test_g2p_open_domain_coverage():
+    """Round-2c lexicon expansion: ordinary sentences must not silently
+    drop characters to char_<cp> fallbacks (round-1 table lacked 地/着/行/
+    土/跑/受…)."""
+    from toolbox_for_asr_and_tts_tpu.tts.text_frontend import G2P
+    g = G2P()
+    sentences = [
+        "今天天气很好，我们一起去公园散步吧。",
+        "他把车停在楼下，然后坐电梯上来了。",
+        "医生建议病人多喝水，按时吃药，注意休息。",
+        "奶奶在厨房里煮汤，爸爸在客厅看电视。",
+        "这件衣服太贵了，我们换一家店看看。",
+        "火车马上就要开了，请大家抓紧时间上车。",
+    ]
+    for s in sentences:
+        cjk = [ch for ch in s if "一" <= ch <= "鿿"]
+        syls = g.pinyin(s)
+        assert len(syls) == len(cjk), (s, len(syls), len(cjk), syls)
+
+
 def test_g2p_erhua_phones_encode():
     """Rhotic finals are first-class vocab symbols (dianr3 etc.)."""
     from toolbox_for_asr_and_tts_tpu.tts.text_frontend import (G2P, PhoneVocab,

@@ -334,6 +334,17 @@ WORD_PINYIN = {
     "夹层": "jia1 ceng2", "夹袄": "jia2 ao3",
     # 亲 qin1 / qing4
     "亲属": "qin1 shu3", "亲家": "qing4 jia5",
+    # 地 di4 compounds LOCKED so the adverbial-de5 context rule can't touch
+    # them (场地打扫 must stay di4 even before a verb)
+    "土地": "tu3 di4", "场地": "chang3 di4", "基地": "ji1 di4",
+    "当地": "dang1 di4", "本地": "ben3 di4", "各地": "ge4 di4",
+    "内地": "nei4 di4", "外地": "wai4 di4", "工地": "gong1 di4",
+    "大地": "da4 di4", "地上": "di4 shang4", "地下": "di4 xia4",
+    "地面": "di4 mian4", "地区": "di4 qu1", "地址": "di4 zhi3",
+    "地铁": "di4 tie3", "地图": "di4 tu2", "地板": "di4 ban3",
+    "地位": "di4 wei4", "地球": "di4 qiu2",
+    # 得了 as "contracted (an illness)" stays de2 le5
+    "得了感冒": "de2 le5 gan3 mao4", "得病": "de2 bing4",
 }
 
 # lexicalized 儿化 words: the trailing 儿 rhotacizes the previous final

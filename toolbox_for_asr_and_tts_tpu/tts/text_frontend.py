@@ -205,9 +205,13 @@ class G2P:
         return cls(lex)
 
     # ------------------------------------------------------------ stages
-    def _segment(self, text: str) -> List[Tuple[str, Optional[str]]]:
-        """[(char, syllable-or-None)] with polyphone words resolved."""
+    def _segment(self, text: str
+                 ) -> Tuple[List[Tuple[str, Optional[str]]], set]:
+        """([(char, syllable-or-None)], locked-index set) with polyphone
+        words resolved. Indices covered by a word-lexicon match are LOCKED:
+        the contextual particle rules must not override 目的/的确/了解/…"""
         items: List[Tuple[str, Optional[str]]] = []
+        locked: set = set()
         i = 0
         n = len(text)
         while i < n:
@@ -216,6 +220,7 @@ class G2P:
                 w = text[i:i + ln]
                 if w in self.words:
                     for ch, sy in zip(w, self.words[w].split()):
+                        locked.add(len(items))
                         items.append((ch, sy))
                     i += ln
                     matched = True
@@ -224,7 +229,46 @@ class G2P:
                 ch = text[i]
                 items.append((ch, self.lexicon.get(ch)))
                 i += 1
-        return items
+        return items, locked
+
+    def _apply_context(self, items: List[Tuple[str, Optional[str]]],
+                       locked: set) -> List[Tuple[str, Optional[str]]]:
+        """Contextual particle disambiguation for 地/得/了 (ttsfrd does this
+        with a POS tagger; these window rules cover the dominant patterns —
+        roadmap item 11 tracks a learned tagger for the open-domain tail).
+
+        地: AA地 reduplication or before a verb → adverbial de5, else di4.
+        得: verb + complement → de5 (跑得快); subject + verb → modal dei3
+            (我得去); otherwise attainment de2 (测得).
+        了: after 不 → liao3 (受不了); after 得 at clause end → liao3
+            (来得了), else aspect le5.
+        """
+        out = list(items)
+        n = len(out)
+        for i, (ch, sy) in enumerate(out):
+            if i in locked or sy is None:
+                continue
+            prev = out[i - 1][0] if i else ""
+            prev2 = out[i - 2][0] if i > 1 else ""
+            nxt = out[i + 1][0] if i + 1 < n else ""
+            if ch == "地":
+                if (prev and prev == prev2) or nxt in _PARTICLE_VERBS:
+                    out[i] = (ch, "de5")
+            elif ch == "得":
+                if prev in _PARTICLE_VERBS and (nxt in _ADJ_COMPLEMENT
+                                                or nxt in _PARTICLE_VERBS
+                                                or not nxt):
+                    out[i] = (ch, "de5")
+                elif prev in _SUBJ_BEFORE_DEI and (nxt in _PARTICLE_VERBS
+                                                   or nxt in "先再把"):
+                    out[i] = (ch, "dei3")
+            elif ch == "了":
+                if prev == "不":
+                    out[i] = (ch, "liao3")
+                elif prev == "得" and (not nxt or nxt in ALL_PUNCT
+                                       or nxt in "吗呢吧！？"):
+                    out[i] = (ch, "liao3")
+        return out
 
     def _apply_erhua(self, items: List[Tuple[str, Optional[str]]]
                      ) -> List[Tuple[str, Optional[str]]]:
@@ -282,14 +326,18 @@ class G2P:
                 run = []
         return out
 
+    def _resolve(self, text: str) -> List[Tuple[str, Optional[str]]]:
+        items, locked = self._segment(text)
+        return self._apply_sandhi(self._apply_erhua(
+            self._apply_context(items, locked)))
+
     def pinyin(self, text: str) -> List[str]:
-        """Tone-numbered syllables after polyphone/erhua/sandhi — the golden
-        test surface (non-CJK and punctuation are skipped)."""
-        items = self._apply_sandhi(self._apply_erhua(self._segment(text)))
-        return [sy for _, sy in items if sy]
+        """Tone-numbered syllables after polyphone/context/erhua/sandhi —
+        the golden test surface (non-CJK and punctuation are skipped)."""
+        return [sy for _, sy in self._resolve(text) if sy]
 
     def __call__(self, text: str) -> List[Phone]:
-        items = self._apply_sandhi(self._apply_erhua(self._segment(text)))
+        items = self._resolve(text)
         phones: List[Phone] = []
         for ch, sy in items:
             if sy is not None:
@@ -310,6 +358,19 @@ class G2P:
 
 
 _NUM_NEIGHBORS = set("零一二两三四五六七八九十百千万亿0123456789")
+
+# single-char classes for the particle rules (_apply_context): verbs that
+# head 地+V / V+得 patterns, complement starters after 得, and subjects/
+# adverbs before modal 得 (dei3)
+_PARTICLE_VERBS = set(
+    "走跑跳说讲做作吃喝看听写读念画唱哭笑学玩来去飞站坐睡躺穿脱洗想开关打拿"
+    "抓拉推抱接送买卖借找换修办管教考问答帮等待留抬搬扔挂爬游流倒煮炒切剪缝"
+    "补挑选争赢逃追赶躲藏摸碰撞摔跌灌浇泡蒸烤煎砍揉捏敲铺叠卷摆移搭拼干弄搞"
+    "查治检养护救抢挤压按住记忘懂认猜盼望活动休息变长高升降用讲喊练")
+_ADJ_COMPLEMENT = set(
+    "很太好快慢多少高低早晚远近长短大小对错清准稳轻重舒难易紧松深浅香甜苦咸"
+    "厉流利整齐漂亮不了凶狠死透惨够")
+_SUBJ_BEFORE_DEI = set("我你他她它们咱谁都也还就总先可人家这那必")
 
 
 class PhoneVocab:
