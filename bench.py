@@ -73,7 +73,7 @@ def serving_main(batch: int = 8):
     os.unlink(lm_path)
 
 
-def main():
+def main(int8: bool = False):
     import jax
     import jax.numpy as jnp
     from toolbox_for_asr_and_tts_tpu.models import paraformer
@@ -87,6 +87,8 @@ def main():
 
     params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+    if int8:  # --int8: W8A8 encoder (PARAFORMER_QUANT=int8 serving mode)
+        params = paraformer.quantize_encoder_int8(params)
 
     n_samples = int(16000 * secs)
     t_fb = fe.num_fbank_frames(n_samples, fcfg)
@@ -122,7 +124,7 @@ def main():
     audio_s = batch * secs
     rtf = proc_s / audio_s
     print(json.dumps({
-        "metric": "offline_asr_rtf",
+        "metric": "offline_asr_rtf" + ("_int8" if int8 else ""),
         "value": round(rtf, 6),
         "unit": "rtf",
         "vs_baseline": round(0.05 / rtf, 3),
@@ -134,4 +136,7 @@ if __name__ == "__main__":
         sys.argv.remove("--serving")
         serving_main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
     else:
-        main()
+        int8 = "--int8" in sys.argv
+        if int8:
+            sys.argv.remove("--int8")
+        main(int8=int8)

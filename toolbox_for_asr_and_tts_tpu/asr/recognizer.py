@@ -75,6 +75,11 @@ class Recognizer:
         self.mesh = serving_mesh() if use_mesh else None
         if param_dtype is not None:
             params = jax.tree.map(lambda a: jnp.asarray(a, param_dtype), params)
+        # W8A8 encoder quantization (serving-only; PARAFORMER_QUANT=int8):
+        # ~90% of offline FLOPs on the MXU's 2×-throughput s8 path
+        if os.getenv("PARAFORMER_QUANT", "") == "int8":
+            params = paraformer.quantize_encoder_int8(params)
+            logger.info("Paraformer encoder quantized to int8 (W8A8)")
         if self.mesh is not None:
             rep = replicated_sharding(self.mesh)
             params = jax.tree.map(lambda a: jax.device_put(a, rep), params)

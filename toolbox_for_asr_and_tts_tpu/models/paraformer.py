@@ -182,6 +182,31 @@ def init_params(key, cfg: ParaformerConfig = ParaformerConfig()) -> nn.Params:
     }
 
 
+def quantize_encoder_int8(params: nn.Params) -> nn.Params:
+    """W8A8 serving quantization of the SAN-M encoder stack — the encoder
+    holds ~90% of offline-recognition FLOPs (50 layers vs the 16-layer
+    decoder running on ~6× fewer positions), and v5e's s8×s8 MXU path has
+    2× bf16 throughput. Only the attention qkv/out and FFN w1/w2 linears
+    quantize (per-output-channel weight scales + dynamic per-token
+    activation scales in ops/nn.py); layernorms, the depthwise FSMN conv,
+    predictor, and decoder stay in the float dtype, so accuracy-critical
+    CIF/decode math is untouched. Serving-only: quantized trees are not
+    trainable and not sharded parameter-wise (replicate on the mesh)."""
+    out = jax.tree.map(lambda a: a, params)  # shallow-copy containers
+    layers = []
+    for layer in params["encoder"]["layers"]:
+        q = dict(layer)
+        q["attn"] = dict(layer["attn"])
+        q["attn"]["qkv"] = nn.quantize_linear_int8(layer["attn"]["qkv"])
+        q["attn"]["out"] = nn.quantize_linear_int8(layer["attn"]["out"])
+        q["ffn"] = {"w1": nn.quantize_linear_int8(layer["ffn"]["w1"]),
+                    "w2": nn.quantize_linear_int8(layer["ffn"]["w2"])}
+        layers.append(q)
+    out["encoder"] = dict(params["encoder"])
+    out["encoder"]["layers"] = layers
+    return out
+
+
 # ----------------------------------------------------------------- encoder
 def encode(params: nn.Params, feats: jnp.ndarray, mask: jnp.ndarray,
            cfg: ParaformerConfig = ParaformerConfig()) -> jnp.ndarray:

@@ -49,10 +49,42 @@ def linear_init(key, d_in: int, d_out: int, bias: bool = True) -> Params:
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if p["w"].dtype == jnp.int8:
+        return _linear_int8(p, x)
     y = dot(x, p["w"])
     if "b" in p:
         y = y + p["b"]
     return y
+
+
+def quantize_linear_int8(p: Params) -> Params:
+    """Symmetric per-output-channel int8 weight quantization of a linear
+    param dict: {"w" int8 [in,out], "s" f32 [out], "b"?}. `linear`
+    dispatches on the int8 dtype, so call sites don't change."""
+    w = jnp.asarray(p["w"], jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-12) / 127.0   # [out]
+    q = jnp.clip(jnp.round(w / s[None, :]), -127, 127).astype(jnp.int8)
+    out = {"w": q, "s": s}
+    if "b" in p:
+        out["b"] = jnp.asarray(p["b"], jnp.float32)
+    return out
+
+
+def _linear_int8(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """W8A8 matmul on the MXU's s8×s8→s32 path (2× bf16 throughput on
+    v5e). Activations quantize dynamically with a per-token symmetric
+    scale; the product of activation and per-channel weight scales
+    dequantizes the int32 accumulator in f32."""
+    sx = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True),
+                     1e-8).astype(jnp.float32) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
+                  ).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, p["w"], (((x.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (sx * p["s"])
+    if "b" in p:
+        y = y + p["b"]
+    return y.astype(x.dtype)
 
 
 # --------------------------------------------------------------- layernorm
