@@ -287,7 +287,12 @@ class Diarizer:
 
     def diarize(self, wav: np.ndarray, sample_rate: int = 16000
                 ) -> List[Sentence]:
-        results = self.recognizer.transcribe([wav])
+        if hasattr(self.recognizer, "transcribe_long"):
+            # arbitrary-length finalize buffers: silence-aware split + merge
+            # instead of truncating at the largest audio bucket
+            results = [self.recognizer.transcribe_long(wav)]
+        else:
+            results = self.recognizer.transcribe([wav])
         sents = self._sentences_from_tokens(results[0])
         if not sents:
             return []

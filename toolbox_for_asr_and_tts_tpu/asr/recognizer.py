@@ -328,3 +328,70 @@ class Recognizer:
         x, sr = read_wav(path)
         wav = ensure_mono_16k(x, sr, self.fe_cfg.sample_rate)
         return self.transcribe([wav])[0]
+
+    # --------------------------------------------------------- long audio
+    def split_long(self, wav: np.ndarray) -> List[Tuple[int, np.ndarray]]:
+        """Silence-aware split of arbitrary-length audio into pieces that
+        fit the bucket envelope. Each cut lands on the quietest 25 ms frame
+        inside the window [½·max_bucket, max_bucket] past the previous cut,
+        so pieces are bounded on both sides and cuts prefer real pauses.
+        Returns [(start_sample, piece)]."""
+        max_piece = self.bucketer.sizes[-1]
+        if len(wav) <= max_piece:
+            return [(0, np.asarray(wav, np.float32))]
+        win = int(0.025 * self.fe_cfg.sample_rate)
+        n_fr = len(wav) // win
+        frame_rms = np.sqrt(
+            np.mean(np.square(wav[:n_fr * win].reshape(n_fr, win)
+                              .astype(np.float64)), axis=1))
+        pieces = []
+        pos = 0
+        while len(wav) - pos > max_piece:
+            lo = (pos + max_piece // 2) // win
+            hi = min((pos + max_piece) // win, n_fr) - 1
+            if hi > lo:
+                window = frame_rms[lo:hi]
+                # cut at the CENTER of the quietest run, not its first
+                # frame, so both sides of the cut sit inside the pause
+                quiet = window <= window.min() + 1e-9
+                runs = np.flatnonzero(quiet)
+                best = np.argmin(window)
+                run = runs[(runs >= best)]
+                run = run[np.r_[True, np.diff(run) == 1].cumprod().astype(
+                    bool)]
+                cut = int(lo + (run[0] + run[-1]) // 2) * win
+            else:
+                cut = pos + max_piece
+            pieces.append((pos, np.asarray(wav[pos:cut], np.float32)))
+            pos = cut
+        pieces.append((pos, np.asarray(wav[pos:], np.float32)))
+        return pieces
+
+    def transcribe_long(self, wav: np.ndarray,
+                        hotwords: Optional[dict] = None) -> TranscribeResult:
+        """Arbitrary-length audio → ONE result with absolute timestamps.
+
+        Audio beyond the largest bucket would otherwise TRUNCATE at the
+        bucket clamp; this splits at the quietest frames (the reference
+        handles long audio the same way — diarization `batch_size_s`
+        chunking, voice_interface.py:2040-2053), batch-transcribes the
+        pieces through the normal bucketed path (hotwords/LM rescoring
+        included), and merges tokens + piece-offset timestamps."""
+        pieces = self.split_long(np.asarray(wav, np.float32))
+        if len(pieces) == 1:
+            return self.transcribe([pieces[0][1]], hotwords=hotwords)[0]
+        results = self.transcribe([p for _, p in pieces], hotwords=hotwords)
+        sr = self.fe_cfg.sample_rate
+        merged = TranscribeResult(text="", tokens=[], token_ids=[],
+                                  timestamps_ms=[], timestamp=[],
+                                  audio_s=len(wav) / sr,
+                                  rtf=results[0].rtf)
+        for (start, _), r in zip(pieces, results):
+            off = int(start * 1000 / sr)
+            merged.text += r.text
+            merged.tokens += r.tokens
+            merged.token_ids += r.token_ids
+            merged.timestamps_ms += [t + off for t in r.timestamps_ms]
+            merged.timestamp += [(s + off, e + off)
+                                 for s, e in (r.timestamp or [])]
+        return merged
