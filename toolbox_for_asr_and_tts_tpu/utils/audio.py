@@ -152,12 +152,62 @@ def ensure_mono_16k(x: np.ndarray, sr: int, target_sr: int = TARGET_SR) -> np.nd
     return np.ascontiguousarray(x, dtype=np.float32)
 
 
+# ----------------------------------------------------- native ingest (C++)
+_NATIVE_AUDIO = None        # ctypes lib, False (unavailable), or None (unset)
+
+
+def _native_audio():
+    """libaudio_ingest.so (native/audio_ingest.cpp): WAV decode + downmix +
+    Kaiser polyphase resample at C++ speed for the hot ingest path — the
+    TPU-era stand-in for the reference's native ffmpeg/sox floor. Built by
+    `make -C native`; absent → numpy path (same semantics, tested equal).
+    Disable explicitly with TOOLBOX_NATIVE_AUDIO=0."""
+    global _NATIVE_AUDIO
+    if _NATIVE_AUDIO is None:
+        import ctypes
+        import os
+        _NATIVE_AUDIO = False
+        if os.getenv("TOOLBOX_NATIVE_AUDIO", "1") != "0":
+            lib_path = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "native", "libaudio_ingest.so")
+            try:
+                lib = ctypes.CDLL(lib_path)
+                lib.wav_ingest.restype = ctypes.c_longlong
+                lib.wav_ingest.argtypes = [
+                    ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float)]
+                _NATIVE_AUDIO = lib
+            except OSError:
+                pass
+    return _NATIVE_AUDIO or None
+
+
+def _ingest_native(data: bytes, target_sr: int) -> Optional[np.ndarray]:
+    lib = _native_audio()
+    if lib is None:
+        return None
+    import ctypes
+    n_out = lib.wav_ingest(data, len(data), target_sr, None)
+    if n_out < 0:
+        return None      # parse error → python/ffmpeg ladder decides
+    out = np.empty(int(n_out), np.float32)
+    got = lib.wav_ingest(data, len(data), target_sr,
+                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if got != n_out:
+        return None
+    return out
+
+
 def base64_to_audio_np(b64: str, target_sr: int = TARGET_SR) -> np.ndarray:
     """base64 WAV string → float32 mono numpy at target_sr.
 
     Port of reference `base64_to_audio_np` (voice_interface.py:983-1093).
+    Decode ladder: native C++ ingest → numpy WAV codec → ffmpeg subprocess.
     """
     data = base64.b64decode(b64)
+    native = _ingest_native(data, target_sr)
+    if native is not None:
+        return native
     try:
         x, sr = decode_wav_bytes(data)
     except ValueError:
