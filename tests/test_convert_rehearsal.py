@@ -49,7 +49,7 @@ def test_cli_convert_and_diff_rehearsal(family, tmp_path, capsys, monkeypatch):
     overrides = TINY[family]
     template, rules, kwargs = cc._family_setup(family, overrides)
     sd = ckpt.invert_to_state_dict(template, rules)
-    if kwargs.get("pre_transform") is not None:
+    if kwargs.get("pre_transform") is ckpt.fold_weight_norm:
         # hifigan: the real checkpoint is weight-normed — synthesize that
         # form so the CLI's fold_weight_norm path is exercised
         normed = {}

@@ -142,6 +142,56 @@ def test_sambert_pnca_roundtrip():
         sorted(unmapped)[:5]
 
 
+def test_sambert_postnet_bn_fold_matches_torch():
+    """Real KAN-TTS postnet is Conv1d+BatchNorm1d; fold_batch_norm turns a
+    state dict WITH running stats into the channel affine our postnet
+    applies — folded conversion must reproduce torch's eval-mode BN."""
+    c = 6
+    bn = torch.nn.BatchNorm1d(c)
+    bn.weight.data.uniform_(0.5, 1.5)
+    bn.bias.data.uniform_(-0.5, 0.5)
+    bn.running_mean.data.uniform_(-1, 1)
+    bn.running_var.data.uniform_(0.5, 2.0)
+    bn.eval()
+    sd = {f"mel_postnet.conv_stack.0.norm.{k}": v.detach().numpy()
+          for k, v in bn.state_dict().items()}
+    folded = ckpt.fold_batch_norm(sd)
+    assert set(folded) == {"mel_postnet.conv_stack.0.norm.weight",
+                           "mel_postnet.conv_stack.0.norm.bias"}
+    x = torch.randn(2, c, 10)
+    want = bn(x).detach().numpy()
+    g = folded["mel_postnet.conv_stack.0.norm.weight"]
+    b = folded["mel_postnet.conv_stack.0.norm.bias"]
+    got = x.numpy() * g[None, :, None] + b[None, :, None]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_sambert_convert_with_bn_stats_roundtrip():
+    """A synthetic checkpoint carrying BN running stats converts cleanly
+    (stats folded + dropped, zero unmapped) through the sambert family."""
+    params = sambert.init_params(jax.random.PRNGKey(0), TINY_SAM)
+    rules = ckpt.sambert_rules(TINY_SAM.encoder_layers, TINY_SAM.pnca_layers,
+                               TINY_SAM.postnet_layers)
+    sd = ckpt.invert_to_state_dict(params, rules)
+    rng = np.random.default_rng(0)
+    for i in range(TINY_SAM.postnet_layers):
+        base = f"mel_postnet.conv_stack.{i}.norm."
+        cdim = sd[base + "weight"].shape[0]
+        sd[base + "running_mean"] = rng.standard_normal(cdim).astype(
+            np.float32)
+        sd[base + "running_var"] = (0.5 + rng.random(cdim)).astype(np.float32)
+        sd[base + "num_batches_tracked"] = np.int64(1000)
+    folded = ckpt.fold_batch_norm(sd)
+    out = ckpt.convert_state_dict(folded, rules,
+                                  sambert.init_params(jax.random.PRNGKey(1),
+                                                      TINY_SAM),
+                                  strict=True, keep_missing=True)
+    g0 = np.asarray(out["postnet"][0]["norm"]["g"])
+    want = sd["mel_postnet.conv_stack.0.norm.weight"] / np.sqrt(
+        sd["mel_postnet.conv_stack.0.norm.running_var"] + 1e-5)
+    np.testing.assert_allclose(g0, want, rtol=1e-6)
+
+
 def test_sambert_ar_shapes_and_masking():
     params = sambert.init_params(jax.random.PRNGKey(0), TINY_SAM)
     ids = jnp.asarray(np.random.default_rng(0).integers(1, 32, (2, 6)),

@@ -203,9 +203,13 @@ def init_params(key, cfg: SambertConfig) -> nn.Params:
     for i in range(cfg.postnet_layers):
         c_in = cfg.n_mels if i == 0 else cfg.postnet_channels
         c_out = cfg.n_mels if i == cfg.postnet_layers - 1 else cfg.postnet_channels
+        # channel affine == inference-time BatchNorm (the real KAN-TTS
+        # postnet is Conv1d+BN1d; runtime/checkpoints.py::fold_batch_norm
+        # folds running stats into these g/b at conversion)
         postnet.append({"conv": nn.conv1d_init(keys[next(ki)], c_in, c_out,
                                                cfg.postnet_kernel),
-                        "ln": nn.layernorm_init(c_out)})
+                        "norm": {"g": jnp.ones((c_out,)),
+                                 "b": jnp.zeros((c_out,))}})
     return {
         "embed": nn.embedding_init(keys[next(ki)], cfg.vocab_size, cfg.d_model),
         "spk": nn.embedding_init(keys[next(ki)], cfg.n_speakers, cfg.d_model),
@@ -402,7 +406,7 @@ def _postnet(params: nn.Params, mel: jnp.ndarray, mel_mask: jnp.ndarray,
     pad = ((cfg.postnet_kernel - 1) // 2, cfg.postnet_kernel // 2)
     for i, pn in enumerate(params["postnet"]):
         r = nn.conv1d(pn["conv"], r, padding=pad)
-        r = nn.layernorm(pn["ln"], r)
+        r = r * pn["norm"]["g"] + pn["norm"]["b"]
         if i < len(params["postnet"]) - 1:
             r = jnp.tanh(r)
     return (mel + r) * mel_mask[..., None]

@@ -385,11 +385,13 @@ def sambert_rules(n_enc: int, n_pnca: int, n_postnet: int) -> List[Rule]:
         ("pnca.mel_out.b", "mel_decoder.mel_out.bias"),
     ]
     for i in range(n_postnet):
+        # norm.{weight,bias} are the BN affine AFTER fold_batch_norm folded
+        # the running stats in (real KAN-TTS postnet is Conv1d+BatchNorm1d)
         rules += [
             (f"postnet.{i}.conv.w", f"mel_postnet.conv_stack.{i}.conv.weight"),
             (f"postnet.{i}.conv.b", f"mel_postnet.conv_stack.{i}.conv.bias"),
-            (f"postnet.{i}.ln.g", f"mel_postnet.conv_stack.{i}.norm.weight"),
-            (f"postnet.{i}.ln.b", f"mel_postnet.conv_stack.{i}.norm.bias"),
+            (f"postnet.{i}.norm.g", f"mel_postnet.conv_stack.{i}.norm.weight"),
+            (f"postnet.{i}.norm.b", f"mel_postnet.conv_stack.{i}.norm.bias"),
         ]
     return rules
 
@@ -535,6 +537,36 @@ def hifigan_rules(n_ups: int = 4, n_res_kernels: int = 3,
                     (f"{d}.convs2.{c}.b", f"{s}.convs2.{c}.bias"),
                 ]
     return rules
+
+
+def fold_batch_norm(sd: Dict[str, np.ndarray],
+                    eps: float = 1e-5) -> Dict[str, np.ndarray]:
+    """Fold inference-time BatchNorm into its affine: for every module X
+    with `X.running_mean/X.running_var`, replace X.weight/X.bias with
+    w' = w/√(var+eps), b' = b − mean·w' and drop the stats — a BN at eval
+    is exactly this channel affine. Modules without running stats pass
+    through untouched (so invert-mode synthetic checkpoints round-trip)."""
+    out: Dict[str, np.ndarray] = {}
+    done = set()
+    for name in sd:
+        if not name.endswith("running_mean"):
+            continue
+        base = name[: -len("running_mean")]
+        mean = np.asarray(sd[name], np.float32)
+        var = np.asarray(sd[base + "running_var"], np.float32)
+        w = np.asarray(sd.get(base + "weight", np.ones_like(mean)),
+                       np.float32)
+        b = np.asarray(sd.get(base + "bias", np.zeros_like(mean)),
+                       np.float32)
+        w2 = w / np.sqrt(var + eps)
+        out[base + "weight"] = w2
+        out[base + "bias"] = b - mean * w2
+        done |= {name, base + "running_var", base + "weight", base + "bias",
+                 base + "num_batches_tracked"}
+    for name, arr in sd.items():
+        if name not in done:
+            out[name] = arr
+    return out
 
 
 def fold_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:

@@ -67,8 +67,10 @@ def _family_setup(family: str, overrides=None):
         template = sambert.init_params(jax.random.PRNGKey(0), cfg)
         rules = ckpt.sambert_rules(cfg.encoder_layers, cfg.pnca_layers,
                                    cfg.postnet_layers)
-        # NAR fast-mode decoder is framework-only → keep random init
-        return template, rules, {"keep_missing": True}
+        # NAR fast-mode decoder is framework-only → keep random init;
+        # real postnet BN folds to the channel affine at conversion
+        return template, rules, {"keep_missing": True,
+                                 "pre_transform": ckpt.fold_batch_norm}
     if family == "hifigan":
         from ..models import hifigan
         from ..runtime.checkpoints import fold_weight_norm

@@ -214,7 +214,8 @@ class Synthesizer:
             lambda c: sambert.init_params(jax.random.PRNGKey(0), c),
             lambda c: ckpt.sambert_rules(c.encoder_layers, c.pnca_layers,
                                          c.postnet_layers),
-            keep_missing=True)  # NAR fast-mode decoder is framework-only
+            keep_missing=True,  # NAR fast-mode decoder is framework-only
+            pre_transform=ckpt.fold_batch_norm)  # real postnet is BN
         vcfg, vp = load(
             voc_path, hifigan.HifiGanConfig, hifigan.HifiGanConfig.from_config,
             hifigan.config_from_state_dict,
