@@ -51,6 +51,33 @@ def bench_offline() -> None:
     _emit("offline_asr_rtf_b1", rtf, "rtf", 0.05)
 
 
+def bench_longform() -> None:
+    """Round-2c: 10 MINUTES of audio through transcribe_long (silence-aware
+    split into ≤120 s bucket pieces, batch recognition, timestamp-offset
+    merge) — the path diarization/finalize uses for arbitrary-length
+    buffers."""
+    from toolbox_for_asr_and_tts_tpu.asr.recognizer import Recognizer
+    import jax.numpy as jnp
+    reco = Recognizer.random(use_mesh=False, param_dtype=jnp.bfloat16)
+    secs = 600.0
+    rng = np.random.default_rng(0)
+    wav = (0.25 * np.sin(2 * np.pi * 280 * np.arange(int(16000 * secs))
+                         / 16000)
+           + 0.02 * rng.standard_normal(int(16000 * secs))).astype(np.float32)
+    # plant silences every ~50 s so the splitter cuts at real pauses
+    for c in range(1, 12):
+        i = int(c * 50 * 16000)
+        wav[i - 4800:i + 4800] = 0.0
+    res = reco.transcribe_long(wav)      # compile (several buckets) + upload
+    t0 = time.perf_counter()
+    iters = 2
+    for _ in range(iters):
+        res = reco.transcribe_long(wav)
+    rtf = (time.perf_counter() - t0) / iters / secs
+    assert res.timestamps_ms == sorted(res.timestamps_ms)
+    _emit("longform_asr_rtf_10min", rtf, "rtf", 0.05)
+
+
 def bench_batch() -> None:
     """Config 2: batched recognition + punctuation (REST-path compute)."""
     from toolbox_for_asr_and_tts_tpu.asr.recognizer import Recognizer
@@ -179,7 +206,8 @@ def bench_chunked_streams() -> None:
 
 ALL = {"offline": bench_offline, "batch": bench_batch,
        "streaming": bench_streaming, "tts": bench_tts,
-       "voiceloop": bench_voiceloop, "chunked": bench_chunked_streams}
+       "voiceloop": bench_voiceloop, "chunked": bench_chunked_streams,
+       "longform": bench_longform}
 
 
 def main() -> None:

@@ -324,6 +324,9 @@ def test_g2p_open_domain_coverage():
         "奶奶在厨房里煮汤，爸爸在客厅看电视。",
         "这件衣服太贵了，我们换一家店看看。",
         "火车马上就要开了，请大家抓紧时间上车。",
+        "研究人员分析了大量数据，探索疾病发生的原因，编写了详细的报告。",
+        "政府部门发布了新的通知，社区委员会组织居民参加健康讲座。",
+        "王医生建议患者多吃新鲜蔬菜，注意营养均衡，适当参加户外运动。",
     ]
     for s in sentences:
         cjk = [ch for ch in s if "一" <= ch <= "鿿"]

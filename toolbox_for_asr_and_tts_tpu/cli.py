@@ -33,9 +33,20 @@ def cmd_transcribe(args) -> None:
 
 
 def cmd_tts(args) -> None:
+    from .runtime.registry import resolve
     from .tts.synthesizer import Synthesizer
     from .utils.audio import write_wav
-    synth = Synthesizer.random(tiny=args.tiny)
+    synth = None
+    if not args.tiny:
+        d = resolve("tts", args.model_dir)
+        if d is not None:
+            try:
+                synth = Synthesizer.from_model_dir(d, voice=args.voice)
+            except Exception:
+                logging.getLogger("toolbox.cli").exception(
+                    "FAILED loading TTS checkpoint at %s — RANDOM weights", d)
+    if synth is None:
+        synth = Synthesizer.random(tiny=args.tiny)
     res = synth.synthesize(args.text, voice=args.voice)
     write_wav(args.output, res.wav, res.sample_rate)
     print(json.dumps({"output": args.output, "rtf": res.rtf,
@@ -81,6 +92,7 @@ def main() -> None:
     s.add_argument("text")
     s.add_argument("-o", "--output", default="tts_out.wav")
     s.add_argument("--voice", default="zhitian_emo")
+    s.add_argument("--model-dir", default=None)
     s.add_argument("--tiny", action="store_true")
     s.set_defaults(fn=cmd_tts)
 

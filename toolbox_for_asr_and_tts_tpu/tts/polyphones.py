@@ -334,6 +334,8 @@ WORD_PINYIN = {
     "夹层": "jia1 ceng2", "夹袄": "jia2 ao3",
     # 亲 qin1 / qing4
     "亲属": "qin1 shu3", "亲家": "qing4 jia5",
+    # 参 can1 / shen1 (TCM)
+    "人参": "ren2 shen1", "参差": "cen1 ci1",
     # 地 di4 compounds LOCKED so the adverbial-de5 context rule can't touch
     # them (场地打扫 must stay di4 even before a verb)
     "土地": "tu3 di4", "场地": "chang3 di4", "基地": "ji1 di4",
