@@ -386,12 +386,17 @@ class Recognizer:
                                   timestamps_ms=[], timestamp=[],
                                   audio_s=len(wav) / sr,
                                   rtf=results[0].rtf)
-        for (start, _), r in zip(pieces, results):
+        for (start, piece), r in zip(pieces, results):
             off = int(start * 1000 / sr)
+            # the CIF tail-threshold fire can place the LAST token's center
+            # slightly past the piece's valid frames — clamp to the piece
+            # span so merged timestamps stay monotonic across cuts
+            dur = int(len(piece) * 1000 / sr)
             merged.text += r.text
             merged.tokens += r.tokens
             merged.token_ids += r.token_ids
-            merged.timestamps_ms += [t + off for t in r.timestamps_ms]
-            merged.timestamp += [(s + off, e + off)
+            merged.timestamps_ms += [min(t, dur) + off
+                                     for t in r.timestamps_ms]
+            merged.timestamp += [(min(s, dur) + off, min(e, dur) + off)
                                  for s, e in (r.timestamp or [])]
         return merged
