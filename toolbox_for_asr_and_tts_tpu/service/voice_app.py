@@ -168,6 +168,13 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
                                     "message": "消息格式错误，需为 JSON 字符串",
                                     "code": "INVALID_JSON"})
                 continue
+            if not isinstance(data, dict):
+                # valid JSON but not an object ("42", "null", "[]") — error
+                # frame, keep the connection (found by tests/test_ws_fuzz.py)
+                await ws.send_json({"type": "error",
+                                    "message": "消息格式错误，需为 JSON 对象",
+                                    "code": "INVALID_JSON"})
+                continue
             mtype = data.get("type", "")
             if mtype == "end_conversation":
                 sess.reset()
