@@ -264,6 +264,11 @@ def test_g2p_golden_pinyin():
         "涂抹": ["tu2", "mo3"],
         "肚子": ["du4", "zi5"],
         "夹层": ["jia1", "ceng2"],
+        # V一V / V不V neutral tone (round-2c)
+        "看一看": ["kan4", "yi5", "kan4"],
+        "试一试": ["shi4", "yi5", "shi4"],
+        "好不好": ["hao3", "bu5", "hao3"],
+        "数一数": ["shu3", "yi5", "shu3"],
         # erhua
         "一点儿": ["yi4", "dianr3"],
         "这儿": ["zher4"],

@@ -48,7 +48,7 @@ WORD_PINYIN = {
     "血常规": "xue4 chang2 gui1", "流血": "liu2 xie3",
     # 数 shu4 / shu3
     "数字": "shu4 zi4", "数量": "shu4 liang4", "次数": "ci4 shu4",
-    "数值": "shu4 zhi2", "指数": "zhi3 shu4", "数一数": "shu3 yi4 shu3",
+    "数值": "shu4 zhi2", "指数": "zhi3 shu4", "数一数": "shu3 yi5 shu3",
     # 便 bian4 / pian2
     "方便": "fang1 bian4", "大便": "da4 bian4", "小便": "xiao3 bian4",
     "便秘": "bian4 mi4", "便宜": "pian2 yi5",

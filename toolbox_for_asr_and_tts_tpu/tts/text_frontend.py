@@ -301,7 +301,11 @@ class G2P:
                 continue
             nxt = out[i + 1][1] if i + 1 < n else None
             t_next = tone_of(nxt)
-            if ch == "一":
+            if ch in "一不" and 0 < i < n - 1 \
+                    and out[i - 1][0] == out[i + 1][0] \
+                    and out[i - 1][1] is not None:
+                out[i] = (ch, retone(sy, 5))  # V一V / V不V: 看一看, 好不好
+            elif ch == "一":
                 prev_ch = out[i - 1][0] if i else ""
                 next_ch = out[i + 1][0] if i + 1 < n else ""
                 in_number = (prev_ch == "第" or prev_ch in _NUM_NEIGHBORS
