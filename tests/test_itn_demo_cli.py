@@ -181,6 +181,18 @@ ITN_GOLDEN = [
     ("一两天", "一两天"),
     ("三五成群", "三五成群"),
     ("十之八九", "十之八九"),
+    # decimals before 万/亿 scale suffixes (round-2 review finding: the
+    # time lookahead used to corrupt these into 3点50000)
+    ("花了三点五万", "花了3.5万"),
+    ("三点五万块钱", "3.5万块钱"),
+    ("五点八亿", "5.8亿"),
+    # lexical 一点 ("a little") vs clock time (round-2 review finding)
+    ("吃了一点东西", "吃了一点东西"),
+    ("感觉好一点", "感觉好一点"),
+    ("疼得厉害一点都睡不着", "疼得厉害一点都睡不着"),
+    ("一点半", "1点半"),
+    ("下午一点", "下午1点"),
+    ("凌晨一点多", "凌晨1点多"),
 ]
 
 

@@ -273,6 +273,12 @@ def test_g2p_golden_pinyin():
         "一点儿": ["yi4", "dianr3"],
         "这儿": ["zher4"],
         "哪儿": ["nar3"],
+        # 的 family (round-2 review finding: 目的/的确 read as particle de5)
+        "目的": ["mu4", "di4"],
+        "目的地": ["mu4", "di4", "di4"],
+        "的确": ["di2", "que4"],
+        "的士": ["di1", "shi4"],
+        "我的书": ["wo3", "de5", "shu1"],
     }
     for text, want in golden.items():
         assert g.pinyin(text) == want, (text, g.pinyin(text), want)

@@ -102,7 +102,9 @@ _DECIMAL_RE = re.compile(
     # is a TIME, 3点20) — unless that unit starts a measure word (三点二千克
     # IS the decimal 3.2 kg)
     f"([{_NUM_CHARS}]+)点([零一二两三四五六七八九]+)"
-    "(?!(?:十|刻|[百千万亿](?![克米帕瓦升])))")   # 两点一刻 is a TIME, 2点1刻
+    # 万/亿 after the fraction are SCALE suffixes of a decimal quantity
+    # (三点五万 = 3.5万), never time minutes, so they don't block
+    "(?!(?:十|刻|[百千](?![克米帕瓦升])))")   # 两点一刻 is a TIME, 2点1刻
 _NUMBER_RE = re.compile(f"[{_NUM_CHARS}]{{2,}}|[一二两三四五六七八九]")
 # digit-string readouts: ≥5 plain digits, or ≥3 containing 幺 (幺 only ever
 # appears in phone/code readouts — 幺二零 → 120); enforced in the callback
@@ -118,6 +120,11 @@ _RANGE_NEXT = ("到", "至", "或")
 # units whose PRECEDING conversion licenses a trailing colloquial decimal
 # digit: 五块三 → 5块3, 体温38度五 → 38度5 (fst_itn money/measure tails)
 _PREV_UNIT = set("块元毛角度")
+# 一点 is usually the degree word ("a little": 好一点, 吃一点东西), not
+# 1 o'clock — converting needs explicit time evidence around the 点
+_TIME_OF_DAY = ("凌晨", "清晨", "早上", "上午", "中午", "下午", "傍晚",
+                "晚上", "夜里", "半夜")
+_TIME_CONT = set("半钟分整多过")
 
 
 def _fmt_decimal(int_part: str, frac_part: str) -> Optional[str]:
@@ -188,10 +195,17 @@ def apply_itn(text: str) -> str:
         if len(s) == 1:
             start, end = m.start(), m.end()
             prev = text[start - 1] if start else ""
+            unit_lic = bool(_UNIT_CONTEXT.match(text[end:end + 2]))
+            if unit_lic and s == "一" and text[end:end + 1] == "点":
+                # lexical 一点 ("a little") stays verbatim unless the 点 is
+                # demonstrably a clock time (一点半 / 下午一点 / 一点一刻)
+                unit_lic = (text[end + 1: end + 2] in _TIME_CONT
+                            or text[end + 1: end + 3] == "一刻"
+                            or text[max(0, start - 2): start] in _TIME_OF_DAY)
             licensed = (prev == "第"                      # ordinal 第三 → 第3
                         or prev in _RANGE_NEXT            # 三到五: the 五 side
                         or prev in _PREV_UNIT             # 五块三: the 三 side
-                        or bool(_UNIT_CONTEXT.match(text[end:end + 2])))
+                        or unit_lic)
             if not licensed and text[end:end + 1] in _RANGE_NEXT:
                 # 三到五天: the 三 side — license only when the other side
                 # looks numeric (想到五月 must not turn 想到 into a range)

@@ -323,6 +323,31 @@ class Recognizer:
             ))
         return results
 
+    def warmup_rescoring(self, batch: int, n_samples: int,
+                         k_b: Optional[int] = None) -> None:
+        """Pre-compile the phase-2 rescoring program for one bucket.
+
+        transcribe() only reaches `_logits_fn` when CIF fires tokens, so
+        silence-driven warmup (tools/warmup.py) never compiles it on real
+        checkpoints (a trained predictor fires ~0 tokens on silence) and the
+        first live hotword/LM request would pay the full JIT latency.  This
+        drives the program directly with zero tensors at the bucket shapes."""
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        batch = -(-batch // n_dev) * n_dev
+        n_samples = self.bucketer.bucket(n_samples)
+        t_fb = fe.num_fbank_frames(n_samples, self.fe_cfg)
+        t_lfr = fe.num_lfr_frames(t_fb, self.fe_cfg.lfr_n)
+        k_max = paraformer.max_tokens_for(t_lfr)
+        k_b = min(k_b or self.K_BUCKET, k_max)
+        d = self.cfg.d_model
+        lf = self._logits_fn(batch, t_lfr, k_b)
+        out = lf(self.params,
+                 jnp.zeros((batch, k_max, d)),
+                 jnp.zeros((batch,), jnp.int32),
+                 jnp.zeros((batch, t_lfr, d)),
+                 jnp.zeros((batch,), jnp.int32))
+        np.asarray(out[0, 0, 0])   # tiny fetch: wait for compile+run
+
     def transcribe_file(self, path: str) -> TranscribeResult:
         from ..utils.audio import ensure_mono_16k, read_wav
         x, sr = read_wav(path)

@@ -33,12 +33,7 @@ USE_PALLAS_FRAMING = False  # measured slower than XLA's fused gather — see
                             # benchmarks/RESULTS.md microbenchmarks
 
 
-def _on_tpu() -> bool:
-    import jax as _jax
-    try:
-        return _jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+from .nn import _on_tpu  # single backend probe shared with the FSMN dispatch
 
 EPSILON = 1.1920928955078125e-07  # torch.finfo(float32).eps — kaldi energy floor
 

@@ -221,7 +221,7 @@ class BatchedChunkedASR:
             while True:
                 rows = [s for s, a in self._audio.items() if len(a) >= a_len]
                 if not rows:
-                    return fired
+                    break
                 batch = np.zeros((self.capacity, a_len), np.float32)
                 row_active = np.zeros((self.capacity,), np.float32)
                 for s in rows:

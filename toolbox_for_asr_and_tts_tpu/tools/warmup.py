@@ -23,15 +23,15 @@ logger = logging.getLogger("toolbox.warmup")
 def warmup_asr(engines, seconds, batch_sizes=(1,)) -> dict:
     reco = engines.diarizer.recognizer
     timings = {}
-    # a dummy 2-char hotword also compiles the two-phase rescoring pass
-    # (asr/recognizer._logits_fn) for each bucket
-    hw = {"你好": 20}
     for s in seconds:
         for b in batch_sizes:
             wavs = [np.zeros(int(16000 * s), np.float32)] * b
             t0 = time.perf_counter()
             reco.transcribe(wavs)
-            reco.transcribe(wavs, hotwords=hw)
+            # the two-phase rescoring program (hotwords / LM fusion) is
+            # compiled explicitly: real checkpoints fire ~0 CIF tokens on
+            # silence, so a dummy-hotword transcribe would never reach it
+            reco.warmup_rescoring(b, int(16000 * s))
             timings[f"asr_{s}s_b{b}"] = round(time.perf_counter() - t0, 2)
     return timings
 

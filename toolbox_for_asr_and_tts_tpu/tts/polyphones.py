@@ -268,6 +268,9 @@ WORD_PINYIN = {
     "旺盛": "wang4 sheng4", "盛饭": "cheng2 fan4",
     # 似 si4 / shi4
     "类似": "lei4 si4", "似的": "shi4 de5",
+    # 的 de5 / di4 / di2 / di1 (default is the particle de5)
+    "目的地": "mu4 di4 di4", "目的": "mu4 di4", "的确": "di2 que4",
+    "的士": "di1 shi4", "打的": "da3 di1", "有的放矢": "you3 di4 fang4 shi3",
     # 涨 zhang3 / zhang4 (头昏脑涨)
     "涨价": "zhang3 jia4", "脑涨": "nao3 zhang4", "涨红": "zhang4 hong2",
     # 折 zhe2 / zhe1 / she2 (骨折 is default zhe2)
