@@ -162,6 +162,35 @@ def test_chunked_hub_reset_restarts_cleanly(chunked_hub):
     assert reco.slot is None
 
 
+def test_chunked_hub_finalize(chunked_hub):
+    """finalize() (what the native WS bridge calls on is_speaking:false)
+    drains the slot's remainder + lookahead + CIF tail, returns the final
+    text extending the partials, and leaves the slot clean for the next
+    utterance (round-2 review finding: HubStreamingRecognizer had no
+    finalize, so batched online-mode finals were always empty)."""
+    hub = chunked_hub
+    rng = np.random.default_rng(13)
+    audio = (rng.standard_normal(17600) * 0.1).astype(np.float32)
+    reco = HubStreamingRecognizer(hub)
+    for s in range(0, len(audio), 3200):   # last push is a 1600 remainder
+        reco.push_audio(audio[s:s + 3200])
+    partial = reco.partial_text()
+    assert len(partial) > 0
+    final = reco.finalize()
+    # incremental decode only appends: the final must extend the partials
+    # (the drain encodes the remainder + lookahead the partials hadn't seen)
+    assert final.startswith(partial)
+    assert len(final) > len(partial)
+    # slot is clean: replaying yields fresh-session-identical partials
+    assert reco.partial_text() == ""
+    for s in range(0, len(audio), 3200):
+        reco.push_audio(audio[s:s + 3200])
+    assert reco.partial_text() == partial
+    second = reco.finalize()
+    assert second == final    # finalize is deterministic on a clean slot
+    reco.close()
+
+
 def test_streaming_factory_batch_env(monkeypatch):
     """VOICE_BATCH_SERVING=1 + VOICE_ENABLE_PARTIALS=1 wires sessions'
     partials through the shared ChunkedHub."""

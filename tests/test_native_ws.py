@@ -57,6 +57,21 @@ def test_funasr_protocol_roundtrip(server):
     assert "心衰" in json.loads(hw)  # \uXXXX escapes preserved → valid JSON
 
 
+def test_end_without_audio_still_answers(server):
+    """{"is_speaking": false} with no buffered PCM must still produce the
+    is_final frame — offline FunASR clients block forever otherwise
+    (round-2 review finding)."""
+    url = f"ws://127.0.0.1:{server.port}"
+    with websockets_sync.connect(url, open_timeout=20) as ws:
+        ws.send(json.dumps({"mode": "offline", "wav_name": "empty",
+                            "is_speaking": True}))
+        ws.send(json.dumps({"is_speaking": False}))
+        msg = json.loads(ws.recv(timeout=10))
+    assert msg["is_final"] is True
+    assert msg["text"] == ""
+    assert msg["wav_name"] == "empty"
+
+
 def test_two_utterances_per_connection(server):
     url = f"ws://127.0.0.1:{server.port}"
     with websockets_sync.connect(url, open_timeout=20) as ws:

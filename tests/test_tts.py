@@ -184,6 +184,25 @@ def test_job_manager_lifecycle(synth):
     assert mgr.get_result(job_id) is None
 
 
+def test_job_ttl_sweep(synth):
+    """Finished jobs older than the TTL are evicted on the next start/poll —
+    clients that never DELETE must not grow memory without bound (round-2
+    review finding; each finished job holds a multi-MB base64 WAV)."""
+    mgr = TTSJobManager(synth, max_workers=1, job_ttl_s=0.2)
+    job_id = mgr.start_task("你好。")
+    for _ in range(300):
+        r = mgr.get_result(job_id)
+        if r["status"] in ("completed", "error"):
+            break
+        time.sleep(0.1)
+    assert r["status"] == "completed"
+    time.sleep(0.3)
+    mgr.start_task("第二个任务。")     # triggers the sweep
+    assert mgr.get_result(job_id) is None
+    # pending/processing jobs are never swept
+    assert mgr.active_jobs >= 0
+
+
 def test_job_cancel(synth):
     mgr = TTSJobManager(synth, max_workers=1)
     a = mgr.start_task("一" * 200)

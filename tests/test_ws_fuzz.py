@@ -95,6 +95,82 @@ def test_fuzz_then_normal_session(server):
     assert httpx.get(f"{server.base}/health").json()["status"] == "healthy"
 
 
+def test_invalid_utf8_text_frame():
+    """A TEXT frame whose payload is not valid UTF-8 must get the
+    INVALID_JSON error frame and keep the connection alive (round-2 review
+    finding: UnicodeDecodeError tore the connection down). The websockets
+    client refuses to send invalid UTF-8, so speak raw RFC6455.
+
+    Own server: the module fixture's event loop can stay blocked for minutes
+    by the previous test's post-close finalize work on the CPU backend."""
+    import socket as _socket
+    from toolbox_for_asr_and_tts_tpu.runtime.config import VoiceConfig
+    from toolbox_for_asr_and_tts_tpu.service.engines import build_test_engines
+    from toolbox_for_asr_and_tts_tpu.service.voice_app import create_app
+    app = create_app(engines=build_test_engines(),
+                     cfg=VoiceConfig(disable_llm=True))
+    server = ServerThread(app).start()
+
+    def rd(sock, n):
+        b = b""
+        while len(b) < n:
+            c = sock.recv(n - len(b))
+            if not c:
+                raise ConnectionError("closed")
+            b += c
+        return b
+
+    def send_frame(sock, opcode, payload: bytes):
+        mask = b"\x12\x34\x56\x78"
+        hdr = bytes([0x80 | opcode])
+        n = len(payload)
+        if n < 126:
+            hdr += bytes([0x80 | n])
+        else:
+            hdr += bytes([0x80 | 126]) + n.to_bytes(2, "big")
+        sock.sendall(hdr + mask
+                     + bytes(b ^ mask[i % 4] for i, b in enumerate(payload)))
+
+    def recv_frame(sock):
+        h = rd(sock, 2)
+        ln = h[1] & 0x7F
+        if ln == 126:
+            ln = int.from_bytes(rd(sock, 2), "big")
+        elif ln == 127:
+            ln = int.from_bytes(rd(sock, 8), "big")
+        if h[1] & 0x80:
+            rd(sock, 4)
+        return h[0] & 0xF, rd(sock, ln)
+
+    # generous timeout: on the CPU test backend the module server may still
+    # be draining the previous test's fuzz load when this connects
+    s = _socket.create_connection(("127.0.0.1", server.app.port), timeout=180)
+    try:
+        key = base64.b64encode(b"0123456789abcdef").decode()
+        s.sendall((f"GET /api/v1/voice/asr/ws HTTP/1.1\r\n"
+                   f"Host: 127.0.0.1\r\nUpgrade: websocket\r\n"
+                   f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+                   f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            buf += s.recv(4096)
+        assert b"101" in buf.split(b"\r\n", 1)[0]
+        op, payload = recv_frame(s)
+        assert json.loads(payload)["type"] == "welcome"
+        send_frame(s, 0x1, b"\xff\xfe not utf8 \x80")   # invalid UTF-8 TEXT
+        op, payload = recv_frame(s)
+        msg = json.loads(payload)
+        assert msg["type"] == "error" and msg["code"] == "INVALID_JSON"
+        # connection still alive: the next frame round-trips too
+        send_frame(s, 0x1, b"{{{not json")
+        op, payload = recv_frame(s)
+        msg = json.loads(payload)
+        assert msg["type"] == "error" and msg["code"] == "INVALID_JSON"
+    finally:
+        s.close()
+    assert httpx.get(f"{server.base}/health").json()["status"] == "healthy"
+
+
 def test_binary_frame_handling(server):
     """A binary frame mid-session must not kill the server (either an error
     frame or a clean close is acceptable; crash/hang is not)."""

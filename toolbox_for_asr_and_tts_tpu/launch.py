@@ -122,4 +122,7 @@ def launch_tts() -> None:
     cfg = load_tts_config()
     app = create_app(cfg=cfg)
     signal.signal(signal.SIGTERM, lambda s, f: (_ for _ in ()).throw(SystemExit(0)))
-    app.run(cfg.server.host, cfg.server.port)
+    from .service.http import ssl_context_from
+    ssl_ctx = (ssl_context_from(cfg.ssl.certfile, cfg.ssl.keyfile)
+               if cfg.ssl.enabled else None)
+    app.run(cfg.server.host, cfg.server.port, ssl_context=ssl_ctx)

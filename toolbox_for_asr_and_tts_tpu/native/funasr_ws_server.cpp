@@ -29,8 +29,11 @@
 #include <unistd.h>
 
 #include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
+#include <set>
 #include <string>
 #include <thread>
 #include <vector>
@@ -66,6 +69,29 @@ recognize_cb g_recognize = nullptr;
 partial_cb g_partial = nullptr;
 free_cb g_free = nullptr;
 std::thread g_accept_thread;
+
+// live connection tracking: ws_server_stop() must not return while any
+// detached handler thread could still invoke the Python-owned callbacks
+// (use-after-free once the host drops its ctypes trampolines)
+std::mutex g_conn_mu;
+std::set<int> g_conn_fds;
+std::atomic<int> g_conn_count{0};
+
+struct ConnGuard {
+  int fd;
+  explicit ConnGuard(int f) : fd(f) {
+    g_conn_count.fetch_add(1);
+    std::lock_guard<std::mutex> lk(g_conn_mu);
+    g_conn_fds.insert(fd);
+  }
+  ~ConnGuard() {
+    {
+      std::lock_guard<std::mutex> lk(g_conn_mu);
+      g_conn_fds.erase(fd);
+    }
+    g_conn_count.fetch_sub(1);
+  }
+};
 
 // ------------------------------------------------------------- SHA-1
 struct Sha1 {
@@ -251,6 +277,7 @@ bool ws_recv(int fd, uint8_t* opcode_out, std::string* payload_out) {
 
 // -------------------------------------------------------------- session
 void handle_connection(int fd) {
+  ConnGuard guard(fd);   // stop() drains these before returning
   int one = 1;
   setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
   // HTTP upgrade
@@ -306,12 +333,18 @@ void handle_connection(int fd) {
       if (!md.empty()) mode = md;
       bool speaking = json_bool_field(payload, "is_speaking", true);
       if (!speaking) {
-        if (mode != "online" && g_recognize && !pcm.empty()) {
-          char* r = g_recognize(pcm.data(), (int)pcm.size(), hotwords.c_str());
+        if (mode != "online") {
+          // ALWAYS answer the end-of-utterance marker — an empty buffer
+          // (no audio sent, or the runaway guard cleared it) must still
+          // produce the is_final frame or FunASR clients block forever
           std::string text;
-          if (r) {
-            text = r;
-            if (g_free) g_free(r);
+          if (g_recognize && !pcm.empty()) {
+            char* r =
+                g_recognize(pcm.data(), (int)pcm.size(), hotwords.c_str());
+            if (r) {
+              text = r;
+              if (g_free) g_free(r);
+            }
           }
           send_result(mode == "2pass" ? "2pass-offline" : mode, text, true);
         }
@@ -404,6 +437,18 @@ void ws_server_stop() {
     close(fd);
   }
   if (g_accept_thread.joinable()) g_accept_thread.join();
+  // unblock detached handler threads stuck in recv() and wait for them to
+  // finish: after stop() returns, the host may free the callback
+  // trampolines, so no handler may still be running
+  {
+    std::lock_guard<std::mutex> lk(g_conn_mu);
+    for (int cfd : g_conn_fds) shutdown(cfd, SHUT_RDWR);
+  }
+  auto deadline = std::chrono::steady_clock::now() + std::chrono::seconds(5);
+  while (g_conn_count.load() > 0 &&
+         std::chrono::steady_clock::now() < deadline) {
+    std::this_thread::sleep_for(std::chrono::milliseconds(5));
+  }
 }
 
 int ws_server_port() { return g_port; }

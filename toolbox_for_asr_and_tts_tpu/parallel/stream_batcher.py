@@ -204,6 +204,48 @@ class BatchedChunkedASR:
                 fe.reset()
             self._queues[slot] = np.zeros((0, self.cfg.input_dim), np.float32)
 
+    # ------------------------------------------------------------ finalize
+    def finalize_slot(self, slot: int) -> Dict[int, list]:
+        """Drain a fused slot for its FINAL result (FunASR is_final
+        semantics): pad the slot's audio remainder to whole chunks plus two
+        trailing silence chunks (2·c1 ≥ c2, so every real frame passes
+        through the encoder lookahead into the CIF active region), run the
+        ticks, then apply the host-side tail-threshold fire
+        (models/paraformer_online.flush_tail). Returns slot → new ids (or
+        embeddings when partials=False) for EVERY row the drain advanced —
+        the caller must route the other rows' results too. The slot's state
+        is NOT reset here; callers follow up with reset_slot/leave."""
+        import jax
+        import jax.numpy as jnp
+        assert self.fused, "finalize_slot requires the fused ticker"
+        a_len = self.chunk_samples
+        rem = len(self._audio.get(slot, ()))
+        pad = (-rem) % a_len + 2 * a_len
+        fired = self.tick({slot: np.zeros(pad, np.float32)})
+        mass = float(np.asarray(self.state["cif_mass"][slot]))
+        frac = mass - np.floor(mass)
+        if frac > 0 and frac + self.cfg.predictor_tail_threshold >= 1.0:
+            acc = np.asarray(self.state["cif_acc"][slot])
+            if self.partials:
+                if "tail" not in self._fbank_fns:
+                    c = self.cfg
+
+                    def tail_fn(p, dstate, embed):
+                        return self._po.decode_chunk(
+                            p, dstate, embed,
+                            jnp.ones((1,), jnp.int32), c)[1]
+
+                    self._fbank_fns["tail"] = jax.jit(tail_fn)
+                dstate = {k: jax.tree.map(lambda a: a[slot:slot + 1],
+                                          self.state[k])
+                          for k in ("fsmn", "hist_len", "mem", "mem_len")}
+                ids = self._fbank_fns["tail"](self.params, dstate,
+                                              jnp.asarray(acc)[None, None, :])
+                fired.setdefault(slot, []).append(int(np.asarray(ids)[0, 0]))
+            else:
+                fired.setdefault(slot, []).append(acc.astype(np.float32))
+        return fired
+
     # ------------------------------------------------------------ tick
     def tick(self, chunks: Dict[int, np.ndarray]
              ) -> Dict[int, List[np.ndarray]]:

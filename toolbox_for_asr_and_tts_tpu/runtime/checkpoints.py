@@ -109,7 +109,7 @@ def flatten_params(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
-            out.update(flatten_params(v, f"{prefix}{k}." if prefix or True else k))
+            out.update(flatten_params(v, f"{prefix}{k}."))
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
             out.update(flatten_params(v, f"{prefix}{i}."))

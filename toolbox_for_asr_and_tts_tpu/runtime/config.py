@@ -89,6 +89,7 @@ class TTSConfig(BaseModel):
     """TTS-service configuration (reference tts_service.py:51-76 env knobs)."""
 
     server: ServerConfig = Field(default_factory=lambda: ServerConfig(port=7001))
+    ssl: SSLConfig = Field(default_factory=SSLConfig)
 
     seg_target: int = 18
     seg_first: int = 14
@@ -137,6 +138,11 @@ def load_tts_config() -> TTSConfig:
         server=ServerConfig(
             host=os.getenv("TTS_HOST", "0.0.0.0"),
             port=_env_int("TTS_PORT", 7001),
+        ),
+        ssl=SSLConfig(
+            enabled=_env_bool("SSL_ENABLED", False),
+            certfile=os.getenv("SSL_CERTFILE"),
+            keyfile=os.getenv("SSL_KEYFILE"),
         ),
         seg_target=_env_int("TTS_SEG_TARGET", 18),
         seg_first=_env_int("TTS_SEG_FIRST", 14),

@@ -33,7 +33,9 @@ class VadHub:
         self.ticker = BatchedVadTicker(params, cfg, capacity, threshold,
                                        cmvn=cmvn)
         self.tick_ms = tick_ms
-        self._pending: Dict[int, Tuple[np.ndarray, threading.Event, list]] = {}
+        # slot → (chunk, event, result-holder, generation-at-queue-time)
+        self._pending: Dict[int, Tuple[np.ndarray, threading.Event, list,
+                                       int]] = {}
         self._lock = threading.Lock()
         self._ticker_lock = threading.Lock()  # tick vs join/leave/reset
         self._stop = threading.Event()
@@ -42,19 +44,36 @@ class VadHub:
         self._thread.start()
         self.ticks = 0            # telemetry: device steps taken
         self.submissions = 0      # telemetry: chunks served
+        # per-slot generation: bumped on join/leave/reset so a chunk already
+        # swapped into a tick batch is dropped instead of polluting a freed
+        # (possibly re-joined) slot's stream (round-2 review finding)
+        self._gen: Dict[int, int] = {}
 
     # ------------------------------------------------------------- rows
     def join(self) -> int:
         with self._ticker_lock:
-            return self.ticker.join()
+            slot = self.ticker.join()
+        with self._lock:
+            self._gen[slot] = self._gen.get(slot, 0) + 1
+        return slot
 
     def leave(self, slot: int) -> None:
         with self._lock:
-            self._pending.pop(slot, None)
+            self._gen[slot] = self._gen.get(slot, 0) + 1
+            dropped = self._pending.pop(slot, None)
+        if dropped is not None:
+            dropped[2].append(False)
+            dropped[1].set()
         with self._ticker_lock:
             self.ticker.leave(slot)
 
     def reset(self, slot: int) -> None:
+        with self._lock:
+            self._gen[slot] = self._gen.get(slot, 0) + 1
+            dropped = self._pending.pop(slot, None)
+        if dropped is not None:
+            dropped[2].append(False)
+            dropped[1].set()
         with self._ticker_lock:
             self.ticker.reset_slot(slot)
 
@@ -64,7 +83,14 @@ class VadHub:
         ev = threading.Event()
         holder: list = []
         with self._lock:
-            self._pending[slot] = (np.asarray(chunk, np.float32), ev, holder)
+            gen = self._gen.get(slot, 0)
+            if slot in self._pending:  # coalesce back-to-back submits
+                prev, prev_ev, prev_holder, _ = self._pending[slot]
+                chunk = np.concatenate([prev, np.asarray(chunk, np.float32)])
+                prev_holder.append(False)
+                prev_ev.set()
+            self._pending[slot] = (np.asarray(chunk, np.float32), ev, holder,
+                                   gen)
         if not ev.wait(timeout):
             raise TimeoutError("VAD hub tick timed out")
         return bool(holder[0])
@@ -79,14 +105,18 @@ class VadHub:
                 continue
             try:
                 with self._ticker_lock:
+                    # drop entries whose slot was freed/reset after queueing
+                    with self._lock:
+                        live = {s: v for s, v in batch.items()
+                                if self._gen.get(s, 0) == v[3]}
                     results = self.ticker.tick(
-                        {s: c for s, (c, _, _) in batch.items()})
+                        {s: c for s, (c, _, _, _) in live.items()})
             except Exception:
                 logger.exception("VAD hub tick failed")
                 results = {s: False for s in batch}
             self.ticks += 1
             self.submissions += len(batch)
-            for s, (_, ev, holder) in batch.items():
+            for s, (_, ev, holder, _) in batch.items():
                 holder.append(results.get(s, False))
                 ev.set()
 
@@ -117,7 +147,9 @@ class ChunkedHub:
         self.tokenizer = tokenizer
         self.tick_ms = tick_ms
         self._ids: Dict[int, list] = {}
-        self._pending: Dict[int, Tuple[np.ndarray, threading.Event]] = {}
+        # slot → (chunk, event, generation-at-queue-time)
+        self._pending: Dict[int, Tuple[np.ndarray, threading.Event, int]] = {}
+        self._gen: Dict[int, int] = {}   # see VadHub._gen
         self._lock = threading.Lock()
         # serializes ticker state mutations (tick vs join/leave/reset): the
         # fused tick also drains OTHER slots' leftover audio, so a reset
@@ -135,11 +167,13 @@ class ChunkedHub:
         with self._ticker_lock:
             slot = self.ticker.join()
         with self._lock:
+            self._gen[slot] = self._gen.get(slot, 0) + 1
             self._ids[slot] = []
         return slot
 
     def leave(self, slot: int) -> None:
         with self._lock:
+            self._gen[slot] = self._gen.get(slot, 0) + 1
             dropped = self._pending.pop(slot, None)
             self._ids.pop(slot, None)
         if dropped is not None:
@@ -149,6 +183,7 @@ class ChunkedHub:
 
     def reset(self, slot: int) -> None:
         with self._lock:
+            self._gen[slot] = self._gen.get(slot, 0) + 1
             dropped = self._pending.pop(slot, None)
             self._ids[slot] = []
         if dropped is not None:
@@ -163,11 +198,12 @@ class ChunkedHub:
         tick that includes it resolves; return the partial text so far."""
         ev = threading.Event()
         with self._lock:
+            gen = self._gen.get(slot, 0)
             if slot in self._pending:  # coalesce back-to-back submits
-                prev, prev_ev = self._pending[slot]
+                prev, prev_ev, _ = self._pending[slot]
                 chunk = np.concatenate([prev, np.asarray(chunk, np.float32)])
                 prev_ev.set()
-            self._pending[slot] = (np.asarray(chunk, np.float32), ev)
+            self._pending[slot] = (np.asarray(chunk, np.float32), ev, gen)
         if not ev.wait(timeout):
             raise TimeoutError("chunked-ASR hub tick timed out")
         with self._lock:
@@ -176,6 +212,28 @@ class ChunkedHub:
     def partial_text(self, slot: int) -> str:
         with self._lock:
             return self.tokenizer.ids_to_text(self._ids.get(slot, []))
+
+    def finalize(self, slot: int) -> str:
+        """Drain the slot (remainder + lookahead + CIF tail fire — FunASR
+        is_final semantics, parallel/stream_batcher.finalize_slot), return
+        the utterance's FINAL text, and reset the slot for the next
+        utterance. This is what the native WS bridge calls on
+        {\"is_speaking\": false} in online/2pass mode (native/bridge.py)."""
+        with self._ticker_lock:
+            fired = self.ticker.finalize_slot(slot)
+        with self._lock:
+            # the drain may have advanced OTHER rows' queued audio too —
+            # route every row's new ids before reading this slot's text
+            for s, ids in fired.items():
+                if ids and s in self._ids:
+                    self._ids[s].extend(int(i) for i in ids)
+            text = self.tokenizer.ids_to_text(self._ids.get(slot, []))
+            self._gen[slot] = self._gen.get(slot, 0) + 1
+            self._pending.pop(slot, None)
+            self._ids[slot] = []
+        with self._ticker_lock:
+            self.ticker.reset_slot(slot)
+        return text
 
     def _loop(self) -> None:
         while not self._stop.is_set():
@@ -187,8 +245,12 @@ class ChunkedHub:
                 continue
             try:
                 with self._ticker_lock:
+                    # drop entries whose slot was freed/reset after queueing
+                    with self._lock:
+                        live = {s: v for s, v in batch.items()
+                                if self._gen.get(s, 0) == v[2]}
                     fired = self.ticker.tick(
-                        {s: c for s, (c, _) in batch.items()})
+                        {s: c for s, (c, _, _) in live.items()})
             except Exception:
                 logger.exception("chunked hub tick failed")
                 fired = {}
@@ -198,7 +260,7 @@ class ChunkedHub:
                 for s, ids in fired.items():
                     if ids and s in self._ids:
                         self._ids[s].extend(int(i) for i in ids)
-            for _, (_, ev) in batch.items():
+            for _, (_, ev, _) in batch.items():
                 ev.set()
 
     def close(self) -> None:
@@ -224,6 +286,14 @@ class HubStreamingRecognizer:
         if self.slot is None:
             return ""
         return self.hub.partial_text(self.slot)
+
+    def finalize(self) -> str:
+        """Final text for the utterance (drain + tail fire) — the native WS
+        bridge requires this of every streaming_factory product
+        (native/bridge.py calls sr.finalize() on is_speaking:false)."""
+        if self.slot is None:
+            return ""
+        return self.hub.finalize(self.slot)
 
     def reset(self) -> None:
         if self.slot is None:

@@ -121,7 +121,11 @@ def create_app(synthesizer=None, cfg: Optional[TTSConfig] = None) -> App:
 def main() -> None:
     logging.basicConfig(level=logging.INFO, force=True)
     cfg = load_tts_config()
-    create_app(cfg=cfg).run(cfg.server.host, cfg.server.port)
+    from .http import ssl_context_from
+    ssl_ctx = (ssl_context_from(cfg.ssl.certfile, cfg.ssl.keyfile)
+               if cfg.ssl.enabled else None)
+    create_app(cfg=cfg).run(cfg.server.host, cfg.server.port,
+                            ssl_context=ssl_ctx)
 
 
 if __name__ == "__main__":

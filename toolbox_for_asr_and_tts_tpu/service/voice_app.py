@@ -163,7 +163,9 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
         while True:
             try:
                 data = await ws.receive_json()
-            except json.JSONDecodeError:
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                # UnicodeDecodeError: text frame with invalid UTF-8 — same
+                # error-frame-keep-connection contract as malformed JSON
                 await ws.send_json({"type": "error",
                                     "message": "消息格式错误，需为 JSON 字符串",
                                     "code": "INVALID_JSON"})
@@ -300,7 +302,12 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
 def main() -> None:
     logging.basicConfig(level=logging.INFO, force=True)
     cfg = load_voice_config()
-    create_app(cfg=cfg).run(cfg.server.host, cfg.server.port)
+    from .http import ssl_context_from
+    ssl_ctx = (ssl_context_from(cfg.ssl.certfile, cfg.ssl.keyfile)
+               if cfg.ssl.enabled else None)   # SSL_ENABLED must not
+    # silently serve plaintext (round-2 review finding; launch.py had this)
+    create_app(cfg=cfg).run(cfg.server.host, cfg.server.port,
+                            ssl_context=ssl_ctx)
 
 
 if __name__ == "__main__":

@@ -25,17 +25,41 @@ logger = logging.getLogger("toolbox.tts.jobs")
 
 
 class TTSJobManager:
-    def __init__(self, synthesizer, max_workers: int = 2):
+    def __init__(self, synthesizer, max_workers: int = 2,
+                 job_ttl_s: Optional[float] = None):
+        """job_ttl_s: terminal jobs (completed/error/cancelled) older than
+        this are evicted on the next start/poll — clients that never DELETE
+        /jobs/{id} must not grow memory without bound (each finished job
+        holds a multi-MB base64 WAV). Env override: TTS_JOB_TTL_S."""
+        import os
         self.synth = synthesizer
         self.jobs: Dict[str, Dict[str, Any]] = {}
+        self.job_ttl_s = (job_ttl_s if job_ttl_s is not None
+                          else float(os.getenv("TTS_JOB_TTL_S", "900")))
         self._lock = threading.Lock()
         self._pool = ThreadPoolExecutor(max_workers=max_workers,
                                         thread_name_prefix="tts-job")
+
+    def _sweep_locked(self) -> None:
+        """Evict terminal jobs whose completion is older than the TTL.
+        Caller holds self._lock."""
+        if self.job_ttl_s <= 0:
+            return
+        cutoff = time.time() - self.job_ttl_s
+        dead = [jid for jid, j in self.jobs.items()
+                if j["status"] in ("completed", "error", "cancelled")
+                and j.get("finished_at", j["created_at"]) < cutoff]
+        for jid in dead:
+            del self.jobs[jid]
+        if dead:
+            logger.info("TTS job TTL sweep evicted %d finished job(s)",
+                        len(dead))
 
     # ------------------------------------------------------------- API
     def start_task(self, text: str, voice: str = "zhitian_emo") -> str:
         job_id = uuid.uuid4().hex
         with self._lock:
+            self._sweep_locked()
             self.jobs[job_id] = {
                 "status": "pending",
                 "text": text,
@@ -54,11 +78,15 @@ class TTSJobManager:
             if job is None or job["status"] in ("completed", "error"):
                 return False
             job["status"] = "cancelled"
+            job["finished_at"] = time.time()
         return True
 
     def get_result(self, job_id: str) -> Optional[Dict[str, Any]]:
         with self._lock:
+            # fetch BEFORE sweeping: the polled job must survive this poll
+            # even when its own TTL just expired
             job = self.jobs.get(job_id)
+            self._sweep_locked()
             if job is None:
                 return None
             return {
@@ -114,6 +142,7 @@ class TTSJobManager:
                 if job is None or job["status"] == "cancelled":
                     return
                 job["status"] = "completed"
+                job["finished_at"] = time.time()
                 job["audio_base64"] = b64
                 job["_detailed_timing"] = timing
         except Exception as e:  # job errors recorded, worker survives
@@ -122,4 +151,5 @@ class TTSJobManager:
                 job = self.jobs.get(job_id)
                 if job is not None:
                     job["status"] = "error"
+                    job["finished_at"] = time.time()
                     job["error"] = str(e)
