@@ -298,6 +298,26 @@ def test_g2p_golden_pinyin():
         "的确": ["di2", "que4"],
         "的士": ["di1", "shi4"],
         "我的书": ["wo3", "de5", "shu1"],
+        # round-2d POS-dependent tail (roadmap #11)
+        "孩子长得高": ["hai2", "zi5", "zhang3", "de5", "gao1"],
+        "很长": ["hen3", "chang2"],
+        "把钱还给我": ["ba3", "qian2", "huan2", "gei2", "wo3"],
+        "还没好": ["hai2", "mei2", "hao3"],
+        "首都": ["shou3", "du1"],
+        "都很好": ["dou1", "hen2", "hao3"],
+        "空调": ["kong1", "tiao2"],
+        "调整音调": ["tiao2", "zheng3", "yin1", "diao4"],
+        "相处": ["xiang1", "chu3"],
+        "到处": ["dao4", "chu4"],
+        "作为医生": ["zuo4", "wei2", "yi1", "sheng1"],
+        "为了健康": ["wei4", "le5", "jian4", "kang1"],
+        "一只手": ["yi4", "zhi1", "shou3"],
+        "两只眼睛": ["liang3", "zhi1", "yan3", "jing1"],
+        "只有": ["zhi2", "you3"],   # 3-3 sandhi on zhi3 you3
+        "数了数": ["shu3", "le5", "shu3"],
+        "薄荷": ["bo4", "he5"],
+        "弹钢琴": ["tan2", "gang1", "qin2"],
+        "子弹": ["zi3", "dan4"],
     }
     for text, want in golden.items():
         assert g.pinyin(text) == want, (text, g.pinyin(text), want)

@@ -271,6 +271,24 @@ WORD_PINYIN = {
     # 的 de5 / di4 / di2 / di1 (default is the particle de5)
     "目的地": "mu4 di4 di4", "目的": "mu4 di4", "的确": "di2 que4",
     "的士": "di1 shi4", "打的": "da3 di1", "有的放矢": "you3 di4 fang4 shi3",
+    # round-2d POS-dependent tail: readings ttsfrd resolves with a POS
+    # tagger, closed here as high-frequency lexical units
+    "长得": "zhang3 de5", "还给": "huan2 gei3", "将军": "jiang1 jun1",
+    "数数": "shu3 shu4", "数了数": "shu3 le5 shu3",
+    "着手": "zhuo2 shou3", "着想": "zhuo2 xiang3",
+    "种地": "zhong4 di4", "耕种": "geng1 zhong4", "空调": "kong1 tiao2",
+    "相处": "xiang1 chu3", "骨干": "gu3 gan4", "计划": "ji4 hua4",
+    "薄荷": "bo4 he5", "单薄": "dan1 bo2", "朝阳": "chao2 yang2",
+    "孩子": "hai2 zi5", "眼睛": "yan3 jing1", "弹钢琴": "tan2 gang1 qin2",
+    "咯血": "ka3 xie3",
+    "朝代": "chao2 dai4", "首都": "shou3 du1", "为了": "wei4 le5",
+    "作为": "zuo4 wei2", "成为": "cheng2 wei2", "行为": "xing2 wei2",
+    "以为": "yi3 wei2", "为主": "wei2 zhu3", "为期": "wei2 qi1",
+    "难民": "nan4 min2", "灾难": "zai1 nan4", "磨难": "mo2 nan4",
+    "困难": "kun4 nan5", "曲子": "qu3 zi5", "歌曲": "ge1 qu3",
+    "戏曲": "xi4 qu3", "弹性": "tan2 xing4", "弹琴": "tan2 qin2",
+    "反弹": "fan3 tan2", "露面": "lou4 mian4", "露馅": "lou4 xian4",
+    "占卜": "zhan1 bu3",
     # 涨 zhang3 / zhang4 (头昏脑涨)
     "涨价": "zhang3 jia4", "脑涨": "nao3 zhang4", "涨红": "zhang4 hong2",
     # 折 zhe2 / zhe1 / she2 (骨折 is default zhe2)

@@ -242,6 +242,10 @@ class G2P:
             (我得去); otherwise attainment de2 (测得).
         了: after 不 → liao3 (受不了); after 得 at clause end → liao3
             (来得了), else aspect le5.
+        只: after a numeral/determiner → measure word zhi1 (一只/这只),
+            else the adverb zhi3 ("only").
+        数: before the aspect particles 了/过/着 → the verb shu3
+            (数了数), else the noun shu4.
         """
         out = list(items)
         n = len(out)
@@ -268,6 +272,12 @@ class G2P:
                 elif prev == "得" and (not nxt or nxt in ALL_PUNCT
                                        or nxt in "吗呢吧！？"):
                     out[i] = (ch, "liao3")
+            elif ch == "只":
+                if prev in _DETERMINERS:
+                    out[i] = (ch, "zhi1")      # measure word: 一只/这只
+            elif ch == "数":
+                if nxt in "了过着":
+                    out[i] = (ch, "shu3")      # verb: 数了数/数过
         return out
 
     def _apply_erhua(self, items: List[Tuple[str, Optional[str]]]
@@ -375,6 +385,8 @@ _ADJ_COMPLEMENT = set(
     "很太好快慢多少高低早晚远近长短大小对错清准稳轻重舒难易紧松深浅香甜苦咸"
     "厉流利整齐漂亮不了凶狠死透惨够")
 _SUBJ_BEFORE_DEI = set("我你他她它们咱谁都也还就总先可人家这那必")
+# numerals/determiners that turn a following 只 into the measure word zhi1
+_DETERMINERS = set("一二两三四五六七八九十几每这那哪0123456789")
 
 
 class PhoneVocab:
