@@ -149,3 +149,36 @@ def test_cif_token_center_timestamps():
     # token k spans frames [4k, 4k+4) → center ≈ middle of the window
     want = np.array([4 * k + 1.5 for k in range(n)])
     np.testing.assert_allclose(c, want, atol=0.6)
+
+
+def test_predictor_asymmetric_orders_match_torch_padding():
+    """FunASR CifPredictorV2 pads ConstantPad1d((l_order, r_order)); a
+    checkpoint with l_order != r_order must not be given symmetric padding
+    (round-2d review finding: alphas shifted one frame for such configs)."""
+    import torch
+    from toolbox_for_asr_and_tts_tpu.models import paraformer as pf
+    from toolbox_for_asr_and_tts_tpu.ops import nn
+
+    cfg = pf.ParaformerConfig(
+        input_dim=20, d_model=16, n_heads=2, ffn_dim=32, encoder_layers=1,
+        decoder_layers=1, vocab_size=32, predictor_kernel=3,
+        predictor_l_order=2)
+    params = pf.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    enc = rng.standard_normal((1, 12, 16)).astype(np.float32)
+    mask = np.ones((1, 12), np.float32)
+    got = np.asarray(pf.predictor_alphas(params, jnp.asarray(enc),
+                                         jnp.asarray(mask), cfg))
+
+    w = np.asarray(params["predictor"]["conv"]["w"])   # (O, I, K)
+    b = np.asarray(params["predictor"]["conv"]["b"])
+    tconv = torch.nn.Conv1d(16, 16, 3)
+    tconv.weight.data = torch.from_numpy(w.copy())
+    tconv.bias.data = torch.from_numpy(b.copy())
+    x = torch.from_numpy(enc.transpose(0, 2, 1).copy())
+    h = tconv(torch.nn.functional.pad(x, (2, 0)))       # (l_order, r_order)
+    h = torch.relu(h.transpose(1, 2) + torch.from_numpy(enc))
+    ow = torch.from_numpy(np.asarray(params["predictor"]["out"]["w"]))
+    ob = torch.from_numpy(np.asarray(params["predictor"]["out"]["b"]))
+    want = torch.sigmoid(h @ ow + ob)[..., 0].detach().numpy()  # w: [in,out]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

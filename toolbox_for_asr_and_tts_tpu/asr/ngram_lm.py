@@ -75,52 +75,75 @@ class ArpaLM:
         return lm
 
     def score(self, context: Sequence[str], word: str) -> float:
-        """log P(word | context) with back-off (natural log)."""
+        """log P(word | context), Katz back-off (natural log):
+
+            P(w | c_1..c_n) = logp[(c_1..c_n, w)]            if present
+                            = bo(c_1..c_n) + P(w | c_2..c_n)  otherwise
+
+        Backoff weights ACCUMULATE across every skipped order (round-2
+        review finding: only one level's weight was applied, so a
+        trigram→unigram backoff dropped bo(c_2))."""
         ctx = tuple(context[-(self.order - 1):]) if self.order > 1 else ()
-        for n in range(min(len(ctx), self.order - 1), -1, -1):
-            key = ctx[len(ctx) - n:] + (word,)
+        bo_acc = 0.0
+        for n in range(len(ctx), 0, -1):
+            key = ctx[len(ctx) - n:] + (word,)          # (n+1)-gram
             if key in self.logp[n]:
-                bo = 0.0
-                if n < len(ctx):
-                    bo_key = ctx[len(ctx) - n - 1:]
-                    bo = self.backoff[n].get(bo_key, 0.0) if n < 2 else 0.0
-                return self.logp[n][key] + bo
-            # accumulate? standard backoff: alpha(ctx) + P(word | shorter ctx)
-        return self.logp[0].get((word,), math.log(1e-7))
+                return bo_acc + self.logp[n][key]
+            bo_acc += self.backoff[n - 1].get(ctx[len(ctx) - n:], 0.0)
+        return bo_acc + self.logp[0].get((word,), math.log(1e-7))
 
 
 def lm_rescore(token_ids: List[int], logprobs: np.ndarray, lm: ArpaLM,
                id_to_token: Sequence[str], lm_weight: float = 0.3,
                top_k: int = 4) -> List[int]:
-    """Viterbi fusion over top-k acoustic candidates per position."""
+    """Exact second-order Viterbi fusion over top-k acoustic candidates:
+    the DP state is the (y_{t-1}, y_t) candidate PAIR, so the trigram
+    context in the module docstring's objective is honored (round-2 review
+    finding: the previous first-order DP only ever scored bigrams and a
+    loaded 3-gram table was dead weight). Cost n·k³ with k≈4 — host-side
+    microseconds."""
     n = len(token_ids)
     if n == 0:
         return token_ids
     cands = np.argsort(-logprobs[:n], axis=-1)[:, :top_k]  # [n, k]
     k = cands.shape[1]
-    # dp[j] = best score ending with candidate j at position t
-    dp = np.full((k,), -np.inf)
-    bp = np.zeros((n, k), np.int32)
-    for j in range(k):
-        tok = id_to_token[cands[0, j]] if cands[0, j] < len(id_to_token) else ""
-        dp[j] = logprobs[0, cands[0, j]] + lm_weight * lm.score([], tok)
-    for t in range(1, n):
-        ndp = np.full((k,), -np.inf)
+
+    def tok(t: int, j: int) -> str:
+        tid = int(cands[t, j])
+        return id_to_token[tid] if tid < len(id_to_token) else ""
+
+    if n == 1:
+        scores = [logprobs[0, cands[0, j]] + lm_weight * lm.score([], tok(0, j))
+                  for j in range(k)]
+        return [int(cands[0, int(np.argmax(scores))])]
+
+    dp = np.full((k, k), -np.inf)      # dp[i, j]: y_{t-1}=cand i, y_t=cand j
+    bp = np.zeros((n, k, k), np.int32)
+    for i in range(k):
+        si = logprobs[0, cands[0, i]] + lm_weight * lm.score([], tok(0, i))
         for j in range(k):
-            tid = cands[t, j]
-            tok = id_to_token[tid] if tid < len(id_to_token) else ""
-            ac = logprobs[t, tid]
-            for i in range(k):
-                prev_tok = id_to_token[cands[t - 1, i]] \
-                    if cands[t - 1, i] < len(id_to_token) else ""
-                s = dp[i] + ac + lm_weight * lm.score([prev_tok], tok)
-                if s > ndp[j]:
-                    ndp[j] = s
-                    bp[t, j] = i
+            dp[i, j] = (si + logprobs[1, cands[1, j]]
+                        + lm_weight * lm.score([tok(0, i)], tok(1, j)))
+    for t in range(2, n):
+        ndp = np.full((k, k), -np.inf)
+        for j in range(k):           # candidate at t-1
+            for l in range(k):       # candidate at t
+                ac = logprobs[t, cands[t, l]]
+                lmw = lm_weight * np.array(
+                    [lm.score([tok(t - 2, i), tok(t - 1, j)], tok(t, l))
+                     for i in range(k)])
+                s = dp[:, j] + ac + lmw
+                bi = int(np.argmax(s))
+                ndp[j, l] = s[bi]
+                bp[t, j, l] = bi
         dp = ndp
-    j = int(np.argmax(dp))
+    flat = int(np.argmax(dp))
+    j, l = divmod(flat, k)
     out = [0] * n
-    for t in range(n - 1, -1, -1):
-        out[t] = int(cands[t, j])
-        j = int(bp[t, j])
+    out[n - 1] = int(cands[n - 1, l])
+    out[n - 2] = int(cands[n - 2, j])
+    for t in range(n - 1, 1, -1):
+        i = int(bp[t, j, l])
+        out[t - 2] = int(cands[t - 2, i])
+        j, l = i, j
     return out

@@ -182,14 +182,10 @@ class StreamingASRSession:
         return detected
 
     def _run_kws(self, window: np.ndarray) -> bool:
-        from ..ops import frontend as fe
-        import jax.numpy as jnp
-        kws = self.engines.kws
-        fcfg = kws.cfg.frontend
-        feats = fe.fbank(jnp.asarray(window[None]), fcfg)
-        feats = fe.apply_lfr(feats, fcfg.lfr_m, fcfg.lfr_n)
-        feats = np.asarray(feats)[0]
-        detected, score = kws.detect_feats(feats, feats.shape[0])
+        # one fused jitted program per window length (fbank→LFR→DFSMN→CTC);
+        # the previous eager frontend dispatched dozens of device ops per
+        # 400 ms chunk in WAITING_FOR_WAKEUP (round-2d review finding)
+        detected, score = self.engines.kws.detect_audio(window)
         logger.debug("KWS score %.3f detected=%s", score, detected)
         return detected
 
@@ -302,14 +298,18 @@ class StreamingASRSession:
         from ..ops.vad_energy import dump_clipped_audio
         dump_clipped_audio(wav)  # QC telemetry (voice_interface.py:942-980)
         self._save_generated("asr_final_audio", wav)
+        # activation gate BEFORE the expensive diarization pass — a
+        # non-activated session's result is discarded unconditionally, so
+        # transcribing/clustering the whole buffer first was pure waste
+        # (round-2d review finding; sentinel unchanged, :2187)
+        if self.use_speaker_verification and not self.is_activated \
+                and self.use_wake:
+            return SV_NOT_ACTIVATED  # :2187
         sents = self.engines.diarizer.diarize(wav)
         if not sents:
             return ASR_RESULT_EMPTY
         use_sv = (self.use_speaker_verification and self.is_enrolled
                   and self.engines.verifier is not None)
-        if self.use_speaker_verification and not self.is_activated \
-                and self.use_wake:
-            return SV_NOT_ACTIVATED  # :2187
         if use_sv:
             groups = group_by_speaker(sents)
             best_spk, best_score = None, -1.0

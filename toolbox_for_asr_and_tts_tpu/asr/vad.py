@@ -65,7 +65,6 @@ class VadStateMachine:
         o = self.opts
         closed: List[Tuple[int, int]] = []
         up = o.sil_to_speech_ms // o.frame_ms
-        down = o.speech_to_sil_ms // o.frame_ms
         end_sil = o.max_end_silence_ms // o.frame_ms
         max_len = o.max_single_segment_ms // o.frame_ms
         for p in np.asarray(probs).reshape(-1):
@@ -89,7 +88,12 @@ class VadStateMachine:
             else:
                 self.run_len = 0 if is_sp else self.run_len + 1
                 too_long = self.frame_idx - self.seg_start >= max_len
-                if self.run_len >= max(down, end_sil) or too_long:
+                # FunASR semantics: speech_to_sil_ms flips the FRAME state
+                # (surfaced via in_speech); the SEGMENT only closes after
+                # max_end_silence_ms — `down` must not gate closing
+                # (round-2 review finding: max(down, end_sil) made the
+                # speech_to_sil option dead)
+                if self.run_len >= end_sil or too_long:
                     end = self.frame_idx - self.run_len + 1
                     closed.append(self._emit(self.seg_start, max(end, self.seg_start + 1)))
                     self.state = self.SIL
@@ -109,7 +113,11 @@ class VadStateMachine:
 
     @property
     def in_speech(self) -> bool:
-        return self.state == self.SPEECH
+        """Frame-level state with speech→sil hysteresis: flips false after
+        speech_to_sil_ms of silence (FunASR kSpeech→kSil) while the segment
+        itself stays open until max_end_silence_ms."""
+        down = max(1, self.opts.speech_to_sil_ms // self.opts.frame_ms)
+        return self.state == self.SPEECH and self.run_len < down
 
 
 def segments_from_probs(probs: np.ndarray,

@@ -262,8 +262,18 @@ class Punctuator:
             out.append(w)
             if c > 1 and int(c) < len(self.cfg.punc_list):
                 out.append(self.cfg.punc_list[int(c)])
+        out.extend(words[n:])
+        # rejoin with latin-aware spacing (split_words discarded whitespace;
+        # plain "".join fused English words — round-2 review finding)
+        s = ""
+        prev_latin = False
+        for p in out:
+            latin = p[:1].isascii() and p[:1].isalnum()
+            if s and prev_latin and latin:
+                s += " "
+            s += p
+            prev_latin = latin
         # sentence-final normalization: ensure terminal punctuation
-        s = "".join(out) + "".join(words[n:])
         if s and s[-1] not in "。？！，、":
             s += "。"
         return s

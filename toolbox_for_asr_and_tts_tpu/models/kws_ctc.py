@@ -229,7 +229,16 @@ class KeywordSpotter:
         return cls(params, cfg, chars, keyword=keyword, **kw)
 
     def set_keyword(self, keyword: str) -> None:
-        ids = [self.char_to_id.get(c, 0) for c in keyword]
+        missing = [c for c in keyword if c not in self.char_to_id]
+        if missing:
+            # id 0 is the CTC blank — aliasing unknown chars to it collapses
+            # the keyword score to the blank path and the wake word can
+            # never trigger (round-2 review finding); fail loudly instead
+            raise ValueError(
+                f"keyword {keyword!r} has characters outside the KWS "
+                f"vocabulary: {missing} — choose in-vocab characters or "
+                f"retrain/extend tokens.txt")
+        ids = [self.char_to_id[c] for c in keyword]
         arr = np.zeros((self.max_label_len,), np.int32)
         arr[: len(ids)] = ids[: self.max_label_len]
         self.keyword = keyword
@@ -253,4 +262,30 @@ class KeywordSpotter:
         fn = self._fn(feats.shape[0])
         score = float(fn(self.params, jnp.asarray(feats[None]), self._labels,
                          self._label_len, jnp.asarray(valid_frames, np.int32)))
+        return score > self.threshold, score
+
+    def detect_audio(self, window: np.ndarray) -> Tuple[bool, float]:
+        """Raw 16 kHz window → (detected, score) as ONE jitted program
+        (fbank → LFR → DFSMN → CTC keyword score), cached per window
+        length. The wake-word hot path runs this every 400 ms on a 1600 ms
+        window; dispatching the frontend eagerly op-by-op (round-2d review
+        finding) cost dozens of device round trips per chunk."""
+        key = ("audio", len(window))
+        if key not in self._fns:
+            from ..ops import frontend as fe
+            cfg, fcfg = self.cfg, self.cfg.frontend
+            t_fb = fe.num_fbank_frames(len(window), fcfg)
+            t_lfr = fe.num_lfr_frames(t_fb, fcfg.lfr_n)
+
+            def run(params, wav, labels, label_len):
+                feats = fe.fbank(wav[None], fcfg, t_frames=t_fb)
+                feats = fe.apply_lfr(feats, fcfg.lfr_m, fcfg.lfr_n,
+                                     t_out=t_lfr)
+                logp = forward(params, feats, cfg)
+                return kws_score(logp[0], labels, label_len,
+                                 jnp.asarray(t_lfr, np.int32), cfg.blank_id)
+
+            self._fns[key] = jax.jit(run)
+        score = float(self._fns[key](self.params, jnp.asarray(window),
+                                     self._labels, self._label_len))
         return score > self.threshold, score

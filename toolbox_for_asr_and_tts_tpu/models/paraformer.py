@@ -48,7 +48,9 @@ class ParaformerConfig:
     kernel_size: int = 11
     sanm_shift: int = 0
     vocab_size: int = 8404
-    predictor_kernel: int = 3      # l_order=1, r_order=1
+    predictor_kernel: int = 3      # l_order + r_order + 1
+    predictor_l_order: int = -1    # CIF conv left context; -1 = symmetric
+                                   # (k-1)//2 — FunASR pads (l_order, r_order)
     predictor_tail_threshold: float = 0.45
     bicif: bool = False            # BiCifParaformer: upsampled second CIF
                                    # (timestamp predictor of the spk model,
@@ -92,6 +94,7 @@ class ParaformerConfig:
             kw["predictor_tail_threshold"] = pred["tail_threshold"]
         if "l_order" in pred and "r_order" in pred:
             kw["predictor_kernel"] = pred["l_order"] + pred["r_order"] + 1
+            kw["predictor_l_order"] = pred["l_order"]
         fr = conf.get("frontend_conf", {}) or {}
         lfr_m = fr.get("lfr_m", 7)
         lfr_n = fr.get("lfr_n", 6)
@@ -234,14 +237,23 @@ def encode(params: nn.Params, feats: jnp.ndarray, mask: jnp.ndarray,
 
 
 # --------------------------------------------------------------- predictor
+def predictor_lpad(cfg: "ParaformerConfig") -> int:
+    """Left padding of the CIF predictor conv (FunASR ConstantPad1d
+    (l_order, r_order)); -1 config default = symmetric kernel."""
+    return (cfg.predictor_l_order if cfg.predictor_l_order >= 0
+            else (cfg.predictor_kernel - 1) // 2)
+
+
 def predictor_alphas(params: nn.Params, enc: jnp.ndarray, mask: jnp.ndarray,
                      cfg: ParaformerConfig = ParaformerConfig()) -> jnp.ndarray:
     """CIF v2 α weights: [B, T] in [0, 1), masked."""
     p = params["predictor"]
-    pad = (cfg.predictor_kernel - 1) // 2
+    lpad = predictor_lpad(cfg)
     # FunASR CifPredictorV2: conv output adds onto its input (residual) BEFORE
-    # the relu — `output = memory + context` in predictor.py
-    h = nn.conv1d(p["conv"], enc, padding=(pad, pad)) + enc
+    # the relu — `output = memory + context` in predictor.py; padding is
+    # (l_order, r_order), NOT symmetric, for checkpoints with l≠r
+    h = nn.conv1d(p["conv"], enc,
+                  padding=(lpad, cfg.predictor_kernel - 1 - lpad)) + enc
     h = jax.nn.relu(h)
     alphas = jax.nn.sigmoid(nn.linear(p["out"], h))[..., 0]
     return alphas * mask

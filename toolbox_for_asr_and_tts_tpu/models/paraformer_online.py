@@ -124,10 +124,12 @@ def _layer_chunk(layer: nn.Params, x: jnp.ndarray, kv: Dict,
     x = att if first else residual + att
     residual = x
     x = residual + nn.ffn(layer["ffn"], nn.layernorm(layer["norm2"], x))
-    # cache update: append the window's strided (non-lookahead) keys, keep
-    # the newest L entries — strided slices of consecutive windows tile the
-    # frame timeline exactly once
-    strided = slice(0, W - ocfg.c2)
+    # cache update: append c1 strided keys per step — the window advances by
+    # c1 frames, so slicing exactly [c0, c0+c1) tiles the frame timeline
+    # once (round-2 review finding: slice(0, W−c2) has length c0+c1 and
+    # duplicated the c0 left-margin frames whenever c0 > 0; identical for
+    # the reference's chunk_size [0,4,5])
+    strided = slice(ocfg.c0, ocfg.c0 + ocfg.c1)
     new_k = jnp.concatenate([kv["k"], kh[:, :, strided]], axis=2)[:, :, -L:]
     new_v = jnp.concatenate([kv["v"], vh[:, :, strided]], axis=2)[:, :, -L:]
     return x, {"k": new_k, "v": new_v}
@@ -168,7 +170,7 @@ def encode_chunk(params: nn.Params, state: Dict, new_feats: jnp.ndarray,
     new_state["start_idx"] = state["start_idx"] + c1
     new_state["kv"] = new_kv
     new_state["kv_len"] = jnp.minimum(
-        state["kv_len"] + (window.shape[1] - ocfg.c2), ocfg.kv_frames)
+        state["kv_len"] + ocfg.c1, ocfg.kv_frames)
     return new_state, h
 
 
@@ -182,8 +184,9 @@ def predictor_chunk(params: nn.Params, enc_win: jnp.ndarray,
     Returns (state', fired embeds [B, k_cap, d], n_fired [B]).
     """
     p = params["predictor"]
-    pad = (cfg.predictor_kernel - 1) // 2
-    h = nn.conv1d(p["conv"], enc_win, padding=(pad, pad)) + enc_win
+    lpad = paraformer.predictor_lpad(cfg)
+    h = nn.conv1d(p["conv"], enc_win,
+                  padding=(lpad, cfg.predictor_kernel - 1 - lpad)) + enc_win
     alphas = jax.nn.sigmoid(nn.linear(p["out"], jax.nn.relu(h)))[..., 0]
     alphas = alphas * active
     embeds, n_fired, mass, acc = jax.vmap(

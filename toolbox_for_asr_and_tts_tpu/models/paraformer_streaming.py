@@ -271,22 +271,31 @@ class StreamingRecognizer:
         return self.partial_text()
 
     def _process_chunk(self, chunk: np.ndarray, n_valid: int = -1) -> None:
-        """n_valid: valid rows of `chunk` (rest is finalize zero-padding and
-        must not contribute CIF mass — round-2 review finding)."""
+        """n_valid: valid rows of `chunk` (rest is finalize zero-padding;
+        pad rows must neither contribute CIF mass NOR enter the window as
+        valid encoder keys — round-2/2d review findings: they previously
+        joined self._window, so the final chunk's attention/FSMN saw
+        raw-zero rows as real frames and deviated from offline)."""
         cf, lb = self.scfg.chunk_frames, self.scfg.encoder_lookback
         if n_valid < 0:
             n_valid = len(chunk)
-        self._window = np.concatenate([self._window, chunk])[-cf * (lb + 1):]
+        if n_valid == 0:
+            return
+        self._window = np.concatenate(
+            [self._window, chunk[:n_valid]])[-cf * (lb + 1):]
         t_win = cf * (lb + 1)
         padded = np.zeros((t_win, self.cfg.input_dim), np.float32)
         padded[-len(self._window):] = self._window  # left-pad with zeros
         enc, alphas = self._encode_fn(t_win)(
             self.params, jnp.asarray(padded[None]),
             jnp.asarray(len(self._window), np.int32))
+        # CIF over the last cf encoder rows; with a partial final chunk the
+        # first cf − n_valid of those are OLDER frames already integrated in
+        # previous chunks, so only the trailing n_valid alphas count
         enc_new = enc[-cf:]
         alpha_new = alphas[-cf:]
-        if n_valid < cf:  # zero the padded tail's alphas
-            alpha_new = alpha_new * (jnp.arange(cf) < n_valid)
+        if n_valid < cf:
+            alpha_new = alpha_new * (jnp.arange(cf) >= cf - n_valid)
         embeds, n_fired, self._mass, self._acc = self._cif_fn()(
             enc_new, alpha_new, self._mass, self._acc)
         n = int(n_fired)
@@ -294,7 +303,7 @@ class StreamingRecognizer:
             self._embeds.extend(np.asarray(embeds[:n]))
             self._embeds = self._embeds[: self.scfg.max_tokens]
         self._memory = np.concatenate(
-            [self._memory, np.asarray(enc_new)[:n_valid]]
+            [self._memory, np.asarray(enc)[-n_valid:]]
         )[-self.scfg.max_memory_frames:]
 
     def _decode_current(self) -> List[int]:

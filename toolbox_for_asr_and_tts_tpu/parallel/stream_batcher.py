@@ -336,6 +336,8 @@ class BatchedVadTicker:
         self.capacity = capacity
         self.cache = fsmn_vad.init_cache(capacity, self.cfg)
         self._frontends: Dict[int, object] = {}
+        self._audio: Dict[int, np.ndarray] = {}   # per-slot raw-sample tails
+        self._fbank_fns: Dict[Tuple, object] = {}
         self._free = list(range(capacity))
         self._lock = threading.Lock()
         cfg_ = self.cfg
@@ -352,12 +354,14 @@ class BatchedVadTicker:
             slot = self._free.pop()
         self._frontends[slot] = StreamingFrontend(self.cfg.frontend,
                                                   self.cmvn)
+        self._audio[slot] = np.zeros(0, np.float32)
         self._reset_slot(slot)
         return slot
 
     def leave(self, slot: int) -> None:
         with self._lock:
             self._frontends.pop(slot, None)
+            self._audio.pop(slot, None)
             self._reset_slot(slot)
             self._free.append(slot)
 
@@ -369,21 +373,59 @@ class BatchedVadTicker:
         """Session reset (reference clears vad_cache, voice_interface.py:
         1257-1275): conv caches AND the incremental frontend."""
         self._reset_slot(slot)
+        self._audio[slot] = np.zeros(0, np.float32)
         fe = self._frontends.get(slot)
         if fe is not None:
             fe.reset()
 
+    def _batched_feats(self, slots) -> Dict[int, np.ndarray]:
+        """ONE device fbank call per distinct buffered length (uniform chunk
+        cadence ⇒ exactly one in steady state) instead of one dispatch —
+        and one jit entry — per session (round-2d review finding). Grouping
+        by exact length keeps per-session frame timing identical to the
+        per-session StreamingVadStepper path."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops import frontend as fe
+        fcfg = self.cfg.frontend
+        feats: Dict[int, np.ndarray] = {}
+        by_len: Dict[int, list] = {}
+        for s in slots:
+            by_len.setdefault(len(self._audio[s]), []).append(s)
+        empty = np.zeros((0, fcfg.n_mels), np.float32)
+        for length, rows in by_len.items():
+            n_frames = fe.num_fbank_frames(length, fcfg)
+            if n_frames <= 0:
+                for s in rows:
+                    feats[s] = self._frontends[s].push_fbank(empty)
+                continue
+            key = ("fb", length)
+            if key not in self._fbank_fns:
+                self._fbank_fns[key] = jax.jit(
+                    lambda a, _t=n_frames: fe.fbank(a, fcfg, t_frames=_t))
+            batch = np.zeros((self.capacity, length), np.float32)
+            for s in rows:
+                batch[s] = self._audio[s]
+            fb = np.asarray(self._fbank_fns[key](jnp.asarray(batch)))
+            consumed = n_frames * fcfg.frame_shift
+            for s in rows:
+                self._audio[s] = self._audio[s][consumed:]
+                feats[s] = self._frontends[s].push_fbank(fb[s, :n_frames])
+        return feats
+
     # ------------------------------------------------------------ tick
     def tick(self, chunks: Dict[int, np.ndarray]) -> Dict[int, bool]:
-        """chunks: slot → audio chunk. One batched device step per distinct
-        frame count (steady state with uniform chunk sizes: exactly one)."""
+        """chunks: slot → audio chunk. One batched fbank + one batched FSMN
+        step per distinct size (steady state with uniform chunk sizes:
+        exactly one of each)."""
         if not chunks:
             return {}
         import jax.numpy as jnp
-        feats: Dict[int, np.ndarray] = {}
         for slot, audio in chunks.items():
-            feats[slot] = self._frontends[slot].push(
-                np.asarray(audio, np.float32))
+            self._audio[slot] = np.concatenate(
+                [self._audio.get(slot, np.zeros(0, np.float32)),
+                 np.asarray(audio, np.float32)])
+        feats = self._batched_feats(list(chunks))
         out = {slot: False for slot in chunks}
         # group rows by emitted frame count; rows outside a group keep their
         # cache via a masked merge (their zero inputs must not pollute it)

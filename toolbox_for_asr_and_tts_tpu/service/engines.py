@@ -203,9 +203,22 @@ def build_engines(model_dir: Optional[str] = None, use_mesh: bool = True):
                 "punctuation (CT-Transformer)")
     kws_kw = dict(keyword=os.getenv("VOICE_KWS_KEYWORD", "小护"),
                   threshold=float(os.getenv("VOICE_KWS_THRESHOLD", "1e9")))
-    kws = load("kws", lambda d: KeywordSpotter.from_model_dir(d, **kws_kw),
-               lambda: KeywordSpotter.random(**kws_kw),
-               "keyword spotting (charctc)")
+    try:
+        kws = load("kws",
+                   lambda d: KeywordSpotter.from_model_dir(d, **kws_kw),
+                   lambda: KeywordSpotter.random(**kws_kw),
+                   "keyword spotting (charctc)")
+    except ValueError:
+        # out-of-vocab VOICE_KWS_KEYWORD (set_keyword refuses to alias
+        # unknown chars to the CTC blank) — degrade to the default keyword
+        # rather than failing the whole service boot
+        logger.exception("invalid VOICE_KWS_KEYWORD %r — falling back to "
+                         "the default keyword 小护", kws_kw["keyword"])
+        kws_kw["keyword"] = "小护"
+        kws = load("kws",
+                   lambda d: KeywordSpotter.from_model_dir(d, **kws_kw),
+                   lambda: KeywordSpotter.random(**kws_kw),
+                   "keyword spotting (charctc)")
     diar = Diarizer(reco, sv, punctuator=punc)
     return VoiceEngines(diarizer=diar, kws=kws, verifier=sv,
                         vad_factory=_vad_factory(model_dir),
