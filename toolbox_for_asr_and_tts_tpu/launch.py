@@ -104,10 +104,9 @@ def launch_voice() -> None:
     signal.signal(signal.SIGTERM, _stop)
     signal.signal(signal.SIGINT, _stop)
     try:
-        from .service.http import ssl_context_from
-        ssl_ctx = (ssl_context_from(cfg.ssl.certfile, cfg.ssl.keyfile)
-                   if cfg.ssl.enabled else None)
-        app.run(cfg.server.host, cfg.server.port, ssl_context=ssl_ctx)
+        from .service.http import ssl_context_for
+        app.run(cfg.server.host, cfg.server.port,
+                ssl_context=ssl_context_for(cfg.ssl))
     finally:
         if ws_server is not None:
             ws_server.stop()
@@ -122,7 +121,6 @@ def launch_tts() -> None:
     cfg = load_tts_config()
     app = create_app(cfg=cfg)
     signal.signal(signal.SIGTERM, lambda s, f: (_ for _ in ()).throw(SystemExit(0)))
-    from .service.http import ssl_context_from
-    ssl_ctx = (ssl_context_from(cfg.ssl.certfile, cfg.ssl.keyfile)
-               if cfg.ssl.enabled else None)
-    app.run(cfg.server.host, cfg.server.port, ssl_context=ssl_ctx)
+    from .service.http import ssl_context_for
+    app.run(cfg.server.host, cfg.server.port,
+            ssl_context=ssl_context_for(cfg.ssl))

@@ -377,6 +377,21 @@ class App:
         asyncio.run(self.serve(host, port, ssl_context=ssl_context))
 
 
+def ssl_context_for(ssl_cfg):
+    """TLS context from a runtime.config.SSLConfig; None when disabled.
+
+    enabled=True with a missing cert/key is a HARD error: silently serving
+    plaintext after the operator asked for TLS is the worst outcome
+    (round-2 review finding). One helper so the four entry points
+    (launch_voice/launch_tts/voice_app.main/tts_app.main) cannot diverge."""
+    if ssl_cfg is None or not getattr(ssl_cfg, "enabled", False):
+        return None
+    if not ssl_cfg.certfile or not ssl_cfg.keyfile:
+        raise ValueError(
+            "SSL_ENABLED=1 requires SSL_CERTFILE and SSL_KEYFILE to be set")
+    return ssl_context_from(ssl_cfg.certfile, ssl_cfg.keyfile)
+
+
 def ssl_context_from(certfile: Optional[str],
                      keyfile: Optional[str]):
     """TLS context from cert/key paths (reference SSLConfig / uvicorn TLS

@@ -121,11 +121,9 @@ def create_app(synthesizer=None, cfg: Optional[TTSConfig] = None) -> App:
 def main() -> None:
     logging.basicConfig(level=logging.INFO, force=True)
     cfg = load_tts_config()
-    from .http import ssl_context_from
-    ssl_ctx = (ssl_context_from(cfg.ssl.certfile, cfg.ssl.keyfile)
-               if cfg.ssl.enabled else None)
+    from .http import ssl_context_for
     create_app(cfg=cfg).run(cfg.server.host, cfg.server.port,
-                            ssl_context=ssl_ctx)
+                            ssl_context=ssl_context_for(cfg.ssl))
 
 
 if __name__ == "__main__":

@@ -302,12 +302,9 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
 def main() -> None:
     logging.basicConfig(level=logging.INFO, force=True)
     cfg = load_voice_config()
-    from .http import ssl_context_from
-    ssl_ctx = (ssl_context_from(cfg.ssl.certfile, cfg.ssl.keyfile)
-               if cfg.ssl.enabled else None)   # SSL_ENABLED must not
-    # silently serve plaintext (round-2 review finding; launch.py had this)
+    from .http import ssl_context_for
     create_app(cfg=cfg).run(cfg.server.host, cfg.server.port,
-                            ssl_context=ssl_ctx)
+                            ssl_context=ssl_context_for(cfg.ssl))
 
 
 if __name__ == "__main__":
