@@ -101,8 +101,9 @@ def test_invalid_utf8_text_frame():
     finding: UnicodeDecodeError tore the connection down). The websockets
     client refuses to send invalid UTF-8, so speak raw RFC6455.
 
-    Own server: the module fixture's event loop can stay blocked for minutes
-    by the previous test's post-close finalize work on the CPU backend."""
+    Own server (stopped on exit): the module fixture's event loop can stay
+    blocked for minutes by the previous test's post-close finalize work on
+    the CPU backend."""
     import socket as _socket
     from toolbox_for_asr_and_tts_tpu.runtime.config import VoiceConfig
     from toolbox_for_asr_and_tts_tpu.service.engines import build_test_engines
@@ -110,6 +111,14 @@ def test_invalid_utf8_text_frame():
     app = create_app(engines=build_test_engines(),
                      cfg=VoiceConfig(disable_llm=True))
     server = ServerThread(app).start()
+    try:
+        _run_invalid_utf8_drive(server)
+    finally:
+        server.loop.call_soon_threadsafe(server.loop.stop)
+
+
+def _run_invalid_utf8_drive(server):
+    import socket as _socket
 
     def rd(sock, n):
         b = b""

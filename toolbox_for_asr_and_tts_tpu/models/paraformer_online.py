@@ -124,12 +124,13 @@ def _layer_chunk(layer: nn.Params, x: jnp.ndarray, kv: Dict,
     x = att if first else residual + att
     residual = x
     x = residual + nn.ffn(layer["ffn"], nn.layernorm(layer["norm2"], x))
-    # cache update: append c1 strided keys per step — the window advances by
-    # c1 frames, so slicing exactly [c0, c0+c1) tiles the frame timeline
-    # once (round-2 review finding: slice(0, W−c2) has length c0+c1 and
-    # duplicated the c0 left-margin frames whenever c0 > 0; identical for
-    # the reference's chunk_size [0,4,5])
-    strided = slice(ocfg.c0, ocfg.c0 + ocfg.c1)
+    # cache update: the window advances c1 frames per step, so exactly
+    # window[0:c1] DEPARTS each step — appending those keeps the cache equal
+    # to the L frames immediately preceding the next window: exactly-once
+    # tiling, no gap (round-2d review: slice(0, W−c2) duplicated c0 frames,
+    # and slice(c0, c0+c1) dropped the first c0 departing frames, whenever
+    # c0 > 0; all three agree for the reference's chunk_size [0,4,5])
+    strided = slice(0, ocfg.c1)
     new_k = jnp.concatenate([kv["k"], kh[:, :, strided]], axis=2)[:, :, -L:]
     new_v = jnp.concatenate([kv["v"], vh[:, :, strided]], axis=2)[:, :, -L:]
     return x, {"k": new_k, "v": new_v}

@@ -110,7 +110,16 @@ class NativeWSServer:
                             else ctypes.cast(None, _PARTIAL_CB))
         self._free = _FREE_CB(_free)
 
+    # ctypes trampolines ever handed to the C++ side, kept alive for the
+    # PROCESS lifetime: ws_server_stop drains handler threads with a bounded
+    # wait, so in a pathological hang a detached thread could still call a
+    # callback after this object is garbage-collected — a few leaked
+    # function pointers are cheaper than a use-after-free interpreter crash
+    _LIVE_CALLBACKS: list = []
+
     def start(self) -> int:
+        NativeWSServer._LIVE_CALLBACKS.extend(
+            [self._cb, self._partial_cb, self._free])
         rc = self.lib.ws_server_start2(self._port_arg, self._cb,
                                        self._partial_cb, self._free)
         if rc != 0:

@@ -77,13 +77,18 @@ std::mutex g_conn_mu;
 std::set<int> g_conn_fds;
 std::atomic<int> g_conn_count{0};
 
+// registration happens in accept_loop BEFORE the thread is spawned, so
+// ws_server_stop can never observe a handler that exists but is not yet
+// counted; ConnGuard only ever releases.
+void register_conn(int fd) {
+  g_conn_count.fetch_add(1);
+  std::lock_guard<std::mutex> lk(g_conn_mu);
+  g_conn_fds.insert(fd);
+}
+
 struct ConnGuard {
   int fd;
-  explicit ConnGuard(int f) : fd(f) {
-    g_conn_count.fetch_add(1);
-    std::lock_guard<std::mutex> lk(g_conn_mu);
-    g_conn_fds.insert(fd);
-  }
+  explicit ConnGuard(int f) : fd(f) {}
   ~ConnGuard() {
     {
       std::lock_guard<std::mutex> lk(g_conn_mu);
@@ -333,7 +338,10 @@ void handle_connection(int fd) {
       if (!md.empty()) mode = md;
       bool speaking = json_bool_field(payload, "is_speaking", true);
       if (!speaking) {
-        if (mode != "online") {
+        // a server started without a partial callback answers "online"
+        // clients through the offline path too — EVERY end-of-utterance
+        // marker must produce an is_final frame
+        if (mode != "online" || !g_partial) {
           // ALWAYS answer the end-of-utterance marker — an empty buffer
           // (no audio sent, or the runaway guard cleared it) must still
           // produce the is_final frame or FunASR clients block forever
@@ -392,6 +400,7 @@ void accept_loop() {
       if (!g_running) break;
       continue;
     }
+    register_conn(fd);
     std::thread(handle_connection, fd).detach();
   }
 }
@@ -444,7 +453,10 @@ void ws_server_stop() {
     std::lock_guard<std::mutex> lk(g_conn_mu);
     for (int cfd : g_conn_fds) shutdown(cfd, SHUT_RDWR);
   }
-  auto deadline = std::chrono::steady_clock::now() + std::chrono::seconds(5);
+  // generous: a handler may be inside a long recognition callback (minutes
+  // of audio over a slow link); abandoning it would let the host free the
+  // ctypes trampolines under a live C++ caller
+  auto deadline = std::chrono::steady_clock::now() + std::chrono::seconds(120);
   while (g_conn_count.load() > 0 &&
          std::chrono::steady_clock::now() < deadline) {
     std::this_thread::sleep_for(std::chrono::milliseconds(5));

@@ -378,40 +378,56 @@ class BatchedVadTicker:
         if fe is not None:
             fe.reset()
 
+    LEN_QUANTUM = 1600       # 0.1 s compile-key bucket for buffered length
+    MAX_PASS = 1600 * 64     # 6.4 s per device pass; longer buffers loop
+
     def _batched_feats(self, slots) -> Dict[int, np.ndarray]:
-        """ONE device fbank call per distinct buffered length (uniform chunk
-        cadence ⇒ exactly one in steady state) instead of one dispatch —
-        and one jit entry — per session (round-2d review finding). Grouping
-        by exact length keeps per-session frame timing identical to the
-        per-session StreamingVadStepper path."""
+        """ONE device fbank call per LENGTH BUCKET (uniform chunk cadence ⇒
+        exactly one in steady state) instead of one dispatch — and one jit
+        entry — per session (round-2d review finding). Buffered lengths are
+        padded up to LEN_QUANTUM buckets so the program cache is bounded
+        (≤ MAX_PASS/LEN_QUANTUM programs) even against clients that vary
+        their chunk sizes; each row's output is host-truncated to the
+        frames its REAL samples cover, so numerics match the per-session
+        StreamingVadStepper path exactly (zero padding only extends past
+        the last complete frame)."""
         import jax
         import jax.numpy as jnp
         from ..ops import frontend as fe
         fcfg = self.cfg.frontend
-        feats: Dict[int, np.ndarray] = {}
-        by_len: Dict[int, list] = {}
-        for s in slots:
-            by_len.setdefault(len(self._audio[s]), []).append(s)
+        q, max_pass = self.LEN_QUANTUM, self.MAX_PASS
+        parts: Dict[int, list] = {s: [] for s in slots}
+        pending = list(slots)
+        while True:
+            todo = []
+            for s in pending:
+                length = min(len(self._audio[s]), max_pass)
+                if fe.num_fbank_frames(length, fcfg) > 0:
+                    todo.append((s, length))
+            if not todo:
+                break
+            by_bucket: Dict[int, list] = {}
+            for s, length in todo:
+                lb = min(-(-length // q) * q, max_pass)
+                by_bucket.setdefault(lb, []).append((s, length))
+            for lb, rows in by_bucket.items():
+                t_max = fe.num_fbank_frames(lb, fcfg)
+                key = ("fb", lb)
+                if key not in self._fbank_fns:
+                    self._fbank_fns[key] = jax.jit(
+                        lambda a, _t=t_max: fe.fbank(a, fcfg, t_frames=_t))
+                batch = np.zeros((self.capacity, lb), np.float32)
+                for s, length in rows:
+                    batch[s, :length] = self._audio[s][:length]
+                fb = np.asarray(self._fbank_fns[key](jnp.asarray(batch)))
+                for s, length in rows:
+                    n = fe.num_fbank_frames(length, fcfg)
+                    self._audio[s] = self._audio[s][n * fcfg.frame_shift:]
+                    parts[s].append(fb[s, :n])
         empty = np.zeros((0, fcfg.n_mels), np.float32)
-        for length, rows in by_len.items():
-            n_frames = fe.num_fbank_frames(length, fcfg)
-            if n_frames <= 0:
-                for s in rows:
-                    feats[s] = self._frontends[s].push_fbank(empty)
-                continue
-            key = ("fb", length)
-            if key not in self._fbank_fns:
-                self._fbank_fns[key] = jax.jit(
-                    lambda a, _t=n_frames: fe.fbank(a, fcfg, t_frames=_t))
-            batch = np.zeros((self.capacity, length), np.float32)
-            for s in rows:
-                batch[s] = self._audio[s]
-            fb = np.asarray(self._fbank_fns[key](jnp.asarray(batch)))
-            consumed = n_frames * fcfg.frame_shift
-            for s in rows:
-                self._audio[s] = self._audio[s][consumed:]
-                feats[s] = self._frontends[s].push_fbank(fb[s, :n_frames])
-        return feats
+        return {s: self._frontends[s].push_fbank(
+                    np.concatenate(p) if p else empty)
+                for s, p in parts.items()}
 
     # ------------------------------------------------------------ tick
     def tick(self, chunks: Dict[int, np.ndarray]) -> Dict[int, bool]:

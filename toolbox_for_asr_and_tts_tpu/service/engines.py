@@ -201,24 +201,24 @@ def build_engines(model_dir: Optional[str] = None, use_mesh: bool = True):
               "speaker verification (CAM++)")
     punc = load("punc", Punctuator.from_model_dir, Punctuator.random,
                 "punctuation (CT-Transformer)")
-    kws_kw = dict(keyword=os.getenv("VOICE_KWS_KEYWORD", "小护"),
-                  threshold=float(os.getenv("VOICE_KWS_THRESHOLD", "1e9")))
-    try:
-        kws = load("kws",
-                   lambda d: KeywordSpotter.from_model_dir(d, **kws_kw),
-                   lambda: KeywordSpotter.random(**kws_kw),
-                   "keyword spotting (charctc)")
-    except ValueError:
-        # out-of-vocab VOICE_KWS_KEYWORD (set_keyword refuses to alias
-        # unknown chars to the CTC blank) — degrade to the default keyword
-        # rather than failing the whole service boot
-        logger.exception("invalid VOICE_KWS_KEYWORD %r — falling back to "
-                         "the default keyword 小护", kws_kw["keyword"])
-        kws_kw["keyword"] = "小护"
-        kws = load("kws",
-                   lambda d: KeywordSpotter.from_model_dir(d, **kws_kw),
-                   lambda: KeywordSpotter.random(**kws_kw),
-                   "keyword spotting (charctc)")
+    # load with the default keyword, then apply the env keyword AFTER — a
+    # ValueError raised inside the loader would be swallowed by load()'s
+    # random fallback, discarding a perfectly good real checkpoint just
+    # because VOICE_KWS_KEYWORD was out-of-vocab (round-2d review finding)
+    kws_thr = dict(threshold=float(os.getenv("VOICE_KWS_THRESHOLD", "1e9")))
+    kws = load("kws", lambda d: KeywordSpotter.from_model_dir(d, **kws_thr),
+               lambda: KeywordSpotter.random(**kws_thr),
+               "keyword spotting (charctc)")
+    want_kw = os.getenv("VOICE_KWS_KEYWORD", "小护")
+    if kws is not None and want_kw != kws.keyword:
+        try:
+            kws.set_keyword(want_kw)
+        except ValueError:
+            # out-of-vocab keyword (set_keyword refuses to alias unknown
+            # chars to the CTC blank): keep the loaded weights and the
+            # default keyword instead of failing boot
+            logger.exception("invalid VOICE_KWS_KEYWORD %r — keeping the "
+                             "default keyword %r", want_kw, kws.keyword)
     diar = Diarizer(reco, sv, punctuator=punc)
     return VoiceEngines(diarizer=diar, kws=kws, verifier=sv,
                         vad_factory=_vad_factory(model_dir),

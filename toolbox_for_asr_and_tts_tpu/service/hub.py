@@ -33,9 +33,8 @@ class VadHub:
         self.ticker = BatchedVadTicker(params, cfg, capacity, threshold,
                                        cmvn=cmvn)
         self.tick_ms = tick_ms
-        # slot → (chunk, event, result-holder, generation-at-queue-time)
-        self._pending: Dict[int, Tuple[np.ndarray, threading.Event, list,
-                                       int]] = {}
+        # slot → (chunk, [(event, result-holder), …], generation-at-queue)
+        self._pending: Dict[int, Tuple[np.ndarray, list, int]] = {}
         self._lock = threading.Lock()
         self._ticker_lock = threading.Lock()  # tick vs join/leave/reset
         self._stop = threading.Event()
@@ -57,23 +56,24 @@ class VadHub:
             self._gen[slot] = self._gen.get(slot, 0) + 1
         return slot
 
-    def leave(self, slot: int) -> None:
+    def _drop_pending(self, slot: int) -> None:
+        """Invalidate + release any queued waiters for the slot (the slot's
+        stream is being discarded, so False is the honest answer)."""
         with self._lock:
             self._gen[slot] = self._gen.get(slot, 0) + 1
             dropped = self._pending.pop(slot, None)
         if dropped is not None:
-            dropped[2].append(False)
-            dropped[1].set()
+            for ev, holder in dropped[1]:
+                holder.append(False)
+                ev.set()
+
+    def leave(self, slot: int) -> None:
+        self._drop_pending(slot)
         with self._ticker_lock:
             self.ticker.leave(slot)
 
     def reset(self, slot: int) -> None:
-        with self._lock:
-            self._gen[slot] = self._gen.get(slot, 0) + 1
-            dropped = self._pending.pop(slot, None)
-        if dropped is not None:
-            dropped[2].append(False)
-            dropped[1].set()
+        self._drop_pending(slot)
         with self._ticker_lock:
             self.ticker.reset_slot(slot)
 
@@ -84,12 +84,17 @@ class VadHub:
         holder: list = []
         with self._lock:
             gen = self._gen.get(slot, 0)
-            if slot in self._pending:  # coalesce back-to-back submits
-                prev, prev_ev, prev_holder, _ = self._pending[slot]
+            if slot in self._pending:
+                # coalesce back-to-back submits; the EARLIER waiter stays
+                # blocked and receives the same tick's real decision
+                # (round-2d review finding: it used to get a fabricated
+                # False before any device step ran)
+                prev, waiters, _ = self._pending[slot]
                 chunk = np.concatenate([prev, np.asarray(chunk, np.float32)])
-                prev_holder.append(False)
-                prev_ev.set()
-            self._pending[slot] = (np.asarray(chunk, np.float32), ev, holder,
+                waiters = waiters + [(ev, holder)]
+            else:
+                waiters = [(ev, holder)]
+            self._pending[slot] = (np.asarray(chunk, np.float32), waiters,
                                    gen)
         if not ev.wait(timeout):
             raise TimeoutError("VAD hub tick timed out")
@@ -108,17 +113,18 @@ class VadHub:
                     # drop entries whose slot was freed/reset after queueing
                     with self._lock:
                         live = {s: v for s, v in batch.items()
-                                if self._gen.get(s, 0) == v[3]}
+                                if self._gen.get(s, 0) == v[2]}
                     results = self.ticker.tick(
-                        {s: c for s, (c, _, _, _) in live.items()})
+                        {s: c for s, (c, _, _) in live.items()})
             except Exception:
                 logger.exception("VAD hub tick failed")
                 results = {s: False for s in batch}
             self.ticks += 1
             self.submissions += len(batch)
-            for s, (_, ev, holder, _) in batch.items():
-                holder.append(results.get(s, False))
-                ev.set()
+            for s, (_, waiters, _) in batch.items():
+                for ev, holder in waiters:
+                    holder.append(results.get(s, False))
+                    ev.set()
 
     def close(self) -> None:
         self._stop.set()
@@ -219,6 +225,15 @@ class ChunkedHub:
         the utterance's FINAL text, and reset the slot for the next
         utterance. This is what the native WS bridge calls on
         {\"is_speaking\": false} in online/2pass mode (native/bridge.py)."""
+        # invalidate + release any queued submit FIRST (like reset): a
+        # blocked submitter must not hang out its timeout, and an already-
+        # swapped batch entry must not tick into the slot mid-drain
+        # (round-2d review finding)
+        with self._lock:
+            self._gen[slot] = self._gen.get(slot, 0) + 1
+            dropped = self._pending.pop(slot, None)
+        if dropped is not None:
+            dropped[1].set()
         with self._ticker_lock:
             fired = self.ticker.finalize_slot(slot)
         with self._lock:
@@ -228,8 +243,6 @@ class ChunkedHub:
                 if ids and s in self._ids:
                     self._ids[s].extend(int(i) for i in ids)
             text = self.tokenizer.ids_to_text(self._ids.get(slot, []))
-            self._gen[slot] = self._gen.get(slot, 0) + 1
-            self._pending.pop(slot, None)
             self._ids[slot] = []
         with self._ticker_lock:
             self.ticker.reset_slot(slot)
