@@ -58,12 +58,15 @@ def test_degenerate_single_chunk_equals_offline():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_incremental_kv_cache_matches_list_replay():
+@pytest.mark.parametrize("c0", [0, 2])
+def test_incremental_kv_cache_matches_list_replay(c0):
     """The fixed-size ring k/v cache == an unbounded-list replay of FunASR's
-    strided-key semantics (keys = all prior non-lookahead window keys,
-    truncated to look_back*c1, plus the current window)."""
+    strided-key semantics (keys = all prior DEPARTED window keys — exactly
+    window[0:c1] leaves per step — truncated to look_back*c1, plus the
+    current window). c0=2 locks the left-margin case the round-2d review
+    flip-flopped on (slice(0, W−c2) vs slice(c0, c0+c1) vs slice(0, c1))."""
     cfg = _tiny_cfg()
-    ocfg = po.OnlineConfig(c0=0, c1=4, c2=3, encoder_look_back=2)
+    ocfg = po.OnlineConfig(c0=c0, c1=4, c2=3, encoder_look_back=2)
     params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(2)
     n_chunks = 6
@@ -113,9 +116,8 @@ def test_incremental_kv_cache_matches_list_replay():
             residual = h
             h = residual + nn.ffn(layer["ffn"],
                                   nn.layernorm(layer["norm2"], h))
-            w = window.shape[1]
-            ks.append(kh[:, :, : w - ocfg.c2])
-            vs.append(vh[:, :, : w - ocfg.c2])
+            ks.append(kh[:, :, : ocfg.c1])   # the departing frames
+            vs.append(vh[:, :, : ocfg.c1])
         h = nn.layernorm(params["encoder"]["after_norm"], h)
         np.testing.assert_allclose(enc_inc[ci], np.asarray(h),
                                    rtol=1e-4, atol=1e-5,
