@@ -24,10 +24,21 @@ MEAN_THRESHOLD = 0.03  # voice_interface.py:655
 PEAK_THRESHOLD = 0.17  # voice_interface.py:657
 
 
+def _is_host(x) -> bool:
+    """True when x should take the numpy path: plain arrays/sequences, or
+    anything when jax is absent (the guarded import's whole point — the jnp
+    branch used to NameError in a jax-free host process, round-2 finding)."""
+    return isinstance(x, np.ndarray) or not _HAS_JAX \
+        or not isinstance(x, jnp.ndarray)
+
+
 def energy_stats(x) -> Tuple[float, float]:
-    """(mean_abs, peak_abs) of a chunk."""
-    if isinstance(x, np.ndarray):
-        a = np.abs(x)
+    """(mean_abs, peak_abs) of a chunk; (0, 0) for an empty chunk (a
+    zero-byte WS frame must not emit NaN telemetry)."""
+    if _is_host(x):
+        a = np.abs(np.asarray(x))
+        if a.size == 0:
+            return 0.0, 0.0
         return float(a.mean()), float(a.max(initial=0.0))
     a = jnp.abs(x)
     return jnp.mean(a), jnp.max(a)
@@ -37,14 +48,17 @@ def is_speech_energy(x, mean_threshold: float = MEAN_THRESHOLD,
                      peak_threshold: float = PEAK_THRESHOLD) -> Union[bool, "jnp.ndarray"]:
     """AND-logic energy gate (voice_interface.py:1573-1578,1606)."""
     mean_abs, peak = energy_stats(x)
-    if isinstance(x, np.ndarray):
+    if not _HAS_JAX or not isinstance(mean_abs, jnp.ndarray):
         return bool(mean_abs > mean_threshold and peak > peak_threshold)
     return (mean_abs > mean_threshold) & (peak > peak_threshold)
 
 
 def rms(x) -> float:
-    if isinstance(x, np.ndarray):
-        return float(np.sqrt(np.mean(np.square(x)) + 1e-12))
+    if _is_host(x):
+        a = np.asarray(x)
+        if a.size == 0:
+            return 0.0
+        return float(np.sqrt(np.mean(np.square(a)) + 1e-12))
     return jnp.sqrt(jnp.mean(jnp.square(x)) + 1e-12)
 
 

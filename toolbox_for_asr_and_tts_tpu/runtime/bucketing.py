@@ -48,11 +48,23 @@ class Bucketer:
             return self.sizes[-1]
         return self.sizes[i]
 
+    def _warn_truncate(self, n: int, b: int) -> None:
+        import logging
+        logging.getLogger("toolbox.bucketing").warning(
+            "input length %d exceeds the largest bucket %d — TRUNCATING "
+            "%d elements; long audio should go through "
+            "asr/transcribe_long.py's silence-aware splitter instead",
+            n, b, n - b)
+
     def pad_1d(self, x: np.ndarray) -> Tuple[np.ndarray, int]:
-        """Pad a 1-D array up to its bucket. Returns (padded, valid_len)."""
+        """Pad a 1-D array up to its bucket. Returns (padded, valid_len).
+        Inputs beyond the LARGEST bucket are truncated with a loud warning
+        (round-2 review finding: the clamp used to be silent)."""
         n = x.shape[0]
         b = self.bucket(n)
         if n >= b:
+            if n > b:
+                self._warn_truncate(n, b)
             return np.asarray(x[:b]), min(n, b)
         out = np.zeros((b,) + x.shape[1:], dtype=x.dtype)
         out[:n] = x
@@ -73,6 +85,8 @@ class Bucketer:
         lens = np.zeros((b,), dtype=np.int32)
         for i, x in enumerate(xs):
             n = min(x.shape[0], t)
+            if x.shape[0] > t:
+                self._warn_truncate(x.shape[0], t)
             out[i, :n] = x[:n]
             lens[i] = n
         return out, lens

@@ -486,25 +486,11 @@ def kws_rules(n_layers: int = 4, rorder: int = 2) -> List[Rule]:
     kept as separate `wr` leaves so the map stays 1:1. Reconcile dims
     against the real `speech_charctc_kws_phone-xiaohu` dir with --diff
     (geometry itself autoloads from its config.yaml)."""
-    rules: List[Rule] = [
-        ("in1.w", "encoder.in_linear1.linear.weight!t"),
-        ("in1.b", "encoder.in_linear1.linear.bias"),
-        ("in2.w", "encoder.in_linear2.linear.weight!t"),
-        ("in2.b", "encoder.in_linear2.linear.bias"),
-        ("out1.w", "encoder.out_linear1.linear.weight!t"),
-        ("out1.b", "encoder.out_linear1.linear.bias"),
-        ("out2.w", "encoder.out_linear2.linear.weight!t"),
-        ("out2.b", "encoder.out_linear2.linear.bias"),
-    ]
-    for i in range(n_layers):
-        rules += [
-            (f"blocks.{i}.proj.w", f"encoder.fsmn.{i}.0.linear.weight!t"),
-            (f"blocks.{i}.fsmn.w",
-             f"encoder.fsmn.{i}.1.conv_left.weight!squeeze"),
-            (f"blocks.{i}.affine.w", f"encoder.fsmn.{i}.2.linear.weight!t"),
-            (f"blocks.{i}.affine.b", f"encoder.fsmn.{i}.2.linear.bias"),
-        ]
-        if rorder > 0:
+    rules = fsmn_vad_rules(n_layers)   # same FunASR FSMN module family —
+    # one source of truth so transform fixes (e.g. the round-1 conv_left
+    # orientation fix) can never diverge between the two families
+    if rorder > 0:
+        for i in range(n_layers):
             rules.append((f"blocks.{i}.fsmn.wr",
                           f"encoder.fsmn.{i}.1.conv_right.weight!squeeze"))
     return rules
@@ -673,8 +659,21 @@ def convert_or_load_cached(model_dir: str, template: Any, rules: List[Rule],
     pre_transform: state-dict preprocessing (e.g. fold_weight_norm for
     HiFi-GAN's weight-normed generators)."""
     cache = os.path.join(model_dir, cache_name)
+    src_path = next((p for p in (os.path.join(model_dir, f) for f in
+                                 ("model.pt", "model.pb",
+                                  "pytorch_model.bin"))
+                     if os.path.exists(p)), None)
     if os.path.exists(cache):
-        return load_converted(cache, template)
+        # stale-cache guard: a model.pt newer than its converted npz means
+        # the checkpoint was swapped (fine-tune, revision bump) — reconvert
+        # instead of silently serving the OLD weights (round-2 review
+        # finding; same shapes, so no shape check would catch it)
+        if src_path is not None \
+                and os.path.getmtime(src_path) > os.path.getmtime(cache):
+            logger.warning("%s is newer than its converted cache %s — "
+                           "reconverting", src_path, cache)
+        else:
+            return load_converted(cache, template)
     for fname in ("model.pt", "model.pb", "pytorch_model.bin"):
         src = os.path.join(model_dir, fname)
         if os.path.exists(src):

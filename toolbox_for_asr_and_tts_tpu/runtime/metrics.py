@@ -25,6 +25,19 @@ def timing_log(step: str, ms: float) -> None:
     logger.info("%s %s: %.2f ms", TIMING_PREFIX, step, ms)
 
 
+def _wait_device(x: Any) -> None:
+    """Force completion of a device computation by fetching one element of
+    each array leaf (works under axon, where block_until_ready is a no-op)."""
+    try:
+        import jax
+        import numpy as _np
+        for leaf in jax.tree.leaves(x):
+            if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+                _np.asarray(leaf.ravel()[:1])
+    except Exception:  # timing must never break the serving path
+        logger.debug("stage wait failed", exc_info=True)
+
+
 @dataclass
 class StageTimer:
     """Collects named stage durations into a structured timing dict."""
@@ -34,13 +47,20 @@ class StageTimer:
 
     @contextmanager
     def stage(self, name: str, block_on: Any = None):
+        """Time a stage. Yields a LIST the body can append device arrays to
+        (outputs that don't exist at context entry — round-2 review finding:
+        a parameter evaluated at entry can never name them); at exit, one
+        element of each pending array is fetched to host so device time is
+        attributed to the stage that spent it. A tiny fetch is used rather
+        than jax.block_until_ready because the latter does not synchronize
+        on this project's axon runtime (CLAUDE.md env rules)."""
         t = time.perf_counter()
+        pending: list = [] if block_on is None else [block_on]
         try:
-            yield
+            yield pending
         finally:
-            if block_on is not None:
-                import jax
-                jax.block_until_ready(block_on)
+            for x in pending:
+                _wait_device(x)
             ms = (time.perf_counter() - t) * 1000.0
             self.stages[name] = self.stages.get(name, 0.0) + ms
             timing_log(name, ms)

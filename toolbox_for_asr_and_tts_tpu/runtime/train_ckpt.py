@@ -38,11 +38,21 @@ def save_train_state(ckpt_dir: str, step: int, params: Any,
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:
+    """Newest step whose save is COMPLETE (both params and opt_state —
+    save_train_state writes them sequentially, so a crash in between leaves
+    a half step dir that must not be selected for resume)."""
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = [int(d) for d in os.listdir(ckpt_dir)
-             if re.fullmatch(r"\d+", d)
-             and os.path.isdir(os.path.join(ckpt_dir, d, "params"))]
+    steps = []
+    for d in os.listdir(ckpt_dir):
+        if not re.fullmatch(r"\d+", d):
+            continue
+        if os.path.isdir(os.path.join(ckpt_dir, d, "params")) \
+                and os.path.isdir(os.path.join(ckpt_dir, d, "opt_state")):
+            steps.append(int(d))
+        elif os.path.isdir(os.path.join(ckpt_dir, d)):
+            logger.warning("ignoring incomplete checkpoint step dir %s "
+                           "(interrupted save)", os.path.join(ckpt_dir, d))
     return max(steps) if steps else None
 
 
