@@ -69,7 +69,7 @@ def asr_wake(audio, use_wake: bool = True, use_llm: bool = True,
     from .corrections import apply_hard_corrections
     text = apply_hard_corrections(text)
     if use_llm and text:
-        from ..llm.correction import correct_text_only, load_hotwords_list
-        words = (list(hotwords) if hotwords else load_hotwords_list())
+        from ..llm.correction import correct_text_only, load_hotword_options
+        words = (list(hotwords) if hotwords else load_hotword_options())
         text = correct_text_only(latest_options=words, text=text)
     return text

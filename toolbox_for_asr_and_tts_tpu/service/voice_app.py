@@ -93,8 +93,8 @@ class VoiceService:
         text = "".join(s.text for s in sents)
         text = apply_hard_corrections(text)
         if use_llm and text:
-            from ..llm.correction import correct_text_only, load_hotwords_list
-            text = correct_text_only(latest_options=load_hotwords_list(),
+            from ..llm.correction import correct_text_only, load_hotword_options
+            text = correct_text_only(latest_options=load_hotword_options(),
                                      text=text)
         if req.save_sample or self.cfg.always_save_sample:
             os.makedirs(self.samples_dir, exist_ok=True)
@@ -287,9 +287,11 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
                 if use_llm and text:
                     try:
                         from ..llm.correction import (correct_text_only,
-                                                      load_hotwords_list)
+                                                      load_hotword_options)
+                        # weighted "word weight" lines so rule 4 (priority /
+                        # banned words) has data to act on
                         text = correct_text_only(
-                            latest_options=load_hotwords_list(), text=text)
+                            latest_options=load_hotword_options(), text=text)
                     except Exception:
                         logger.exception("LLM correction failed")
                 await ws.send_json({"type": "result", "status": "completed",
