@@ -117,8 +117,8 @@ def test_from_model_dir_loads_converts_and_synthesizes(package, monkeypatch):
     assert synth.decoder_mode == "pnca"
     # weights: converted == source (spot-check one tensor per model,
     # including a weight-norm folded vocoder conv)
-    np.testing.assert_allclose(np.asarray(synth.ap["embed"]["table"]),
-                               np.asarray(am_params["embed"]["table"]),
+    np.testing.assert_allclose(np.asarray(synth.ap["ling"]["sy"]["table"]),
+                               np.asarray(am_params["ling"]["sy"]["table"]),
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(synth.vp["conv_pre"]["w"]),
                                np.asarray(voc_params["conv_pre"]["w"]),
@@ -141,8 +141,8 @@ def test_from_model_dir_cache_roundtrip(package, monkeypatch):
     os.unlink(voc)
     again = Synthesizer.from_model_dir(root)
     assert dataclasses.asdict(again.acfg) == dataclasses.asdict(first.acfg)
-    np.testing.assert_array_equal(np.asarray(again.ap["embed"]["table"]),
-                                  np.asarray(first.ap["embed"]["table"]))
+    np.testing.assert_array_equal(np.asarray(again.ap["ling"]["sy"]["table"]),
+                                  np.asarray(first.ap["ling"]["sy"]["table"]))
     np.testing.assert_array_equal(np.asarray(again.vp["conv_pre"]["w"]),
                                   np.asarray(first.vp["conv_pre"]["w"]))
 

@@ -39,8 +39,12 @@ from ..ops import nn
 
 @dataclasses.dataclass(frozen=True)
 class SambertConfig:
-    vocab_size: int = 4608          # phoneme inventory (tts/text_frontend.py)
+    vocab_size: int = 4608          # `sy` stream inventory (text_frontend)
+    tone_size: int = 8              # tone stream (0 none + 1–5)
+    sylfl_size: int = 8             # syllable_flag stream
+    wseg_size: int = 8              # word_segment stream
     n_speakers: int = 8
+    n_emotions: int = 8             # emo_tokenizer rows (zhitian_emo etc.)
     d_model: int = 256
     n_heads: int = 4
     ffn_dim: int = 1024
@@ -90,6 +94,8 @@ class SambertConfig:
                            "variance_predictor_kernel_size"),
             "n_speakers": ("speaker_units", "num_speakers", "speaker_num",
                            "n_speakers"),
+            "n_emotions": ("emotion_units", "num_emotions", "emotion_num",
+                           "n_emotions"),
             "vocab_size": ("num_symbols", "n_symbols", "vocab_size"),
         }
         kw = {}
@@ -118,9 +124,14 @@ def config_from_state_dict(sd, base: SambertConfig) -> SambertConfig:
         return (max(idx) + 1) if idx else None
 
     kw = {}
-    if "text_encoder.embedding.weight" in sd:
-        kw["vocab_size"], kw["d_model"] = sd[
-            "text_encoder.embedding.weight"].shape
+    if "text_encoder.sy_emb.weight" in sd:
+        kw["vocab_size"], kw["d_model"] = sd["text_encoder.sy_emb.weight"].shape
+    for field, key in (("tone_size", "text_encoder.tone_emb.weight"),
+                       ("sylfl_size", "text_encoder.syllable_flag_emb.weight"),
+                       ("wseg_size", "text_encoder.word_segment_emb.weight"),
+                       ("n_emotions", "emo_tokenizer.weight")):
+        if key in sd:
+            kw[field] = sd[key].shape[0]
     if "spk_tokenizer.weight" in sd:
         kw["n_speakers"] = sd["spk_tokenizer.weight"].shape[0]
     if "text_encoder.layer_stack.0.pos_ffn.w_1.weight" in sd:
@@ -192,7 +203,7 @@ def _transformer_layer(p: nn.Params, x, heads: int, mask) -> jnp.ndarray:
 
 
 def init_params(key, cfg: SambertConfig) -> nn.Params:
-    n = cfg.encoder_layers + cfg.decoder_layers + cfg.postnet_layers + 10
+    n = cfg.encoder_layers + cfg.decoder_layers + cfg.postnet_layers + 16
     keys = jax.random.split(key, n)
     ki = iter(range(n))
     enc = [_transformer_layer_init(keys[next(ki)], cfg.d_model, cfg.n_heads,
@@ -211,8 +222,20 @@ def init_params(key, cfg: SambertConfig) -> nn.Params:
                         "norm": {"g": jnp.ones((c_out,)),
                                  "b": jnp.zeros((c_out,))}})
     return {
-        "embed": nn.embedding_init(keys[next(ki)], cfg.vocab_size, cfg.d_model),
+        # KAN-TTS 4-stream linguistic embedding (sy/tone/syllable_flag/
+        # word_segment summed, BERT-style), plus speaker + emotion tokens
+        "ling": {
+            "sy": nn.embedding_init(keys[next(ki)], cfg.vocab_size,
+                                    cfg.d_model),
+            "tone": nn.embedding_init(keys[next(ki)], cfg.tone_size,
+                                      cfg.d_model),
+            "syllable_flag": nn.embedding_init(keys[next(ki)], cfg.sylfl_size,
+                                               cfg.d_model),
+            "word_segment": nn.embedding_init(keys[next(ki)], cfg.wseg_size,
+                                              cfg.d_model),
+        },
         "spk": nn.embedding_init(keys[next(ki)], cfg.n_speakers, cfg.d_model),
+        "emo": nn.embedding_init(keys[next(ki)], cfg.n_emotions, cfg.d_model),
         "encoder": enc,
         # duration output bias at log(6) → ~5 frames/phone at init:
         # random-weight models then produce realistic Mandarin pacing
@@ -364,19 +387,43 @@ def length_regulate(x: jnp.ndarray, durations: jnp.ndarray, t_mel: int
     return expanded * mel_mask[..., None], mel_mask
 
 
+def _embed_inputs(params: nn.Params, ling_ids: jnp.ndarray,
+                  speaker_ids: jnp.ndarray,
+                  emotion_ids: Optional[jnp.ndarray],
+                  cfg: SambertConfig) -> jnp.ndarray:
+    """KAN-TTS input composition: the four linguistic streams' embeddings
+    summed (BERT-style), plus sinusoidal position, speaker and emotion
+    tokens. A 2-D `ling_ids` [B, L] is the sy-only legacy/benchmark path —
+    identical to 3-D input with the other streams at id 0."""
+    if ling_ids.ndim == 2:
+        zeros = jnp.zeros_like(ling_ids)
+        ling_ids = jnp.stack([ling_ids, zeros, zeros, zeros], -1)
+    lp = params["ling"]
+    x = (nn.embedding(lp["sy"], ling_ids[..., 0])
+         + nn.embedding(lp["tone"], ling_ids[..., 1])
+         + nn.embedding(lp["syllable_flag"], ling_ids[..., 2])
+         + nn.embedding(lp["word_segment"], ling_ids[..., 3]))
+    l = ling_ids.shape[1]
+    x = x + nn.sinusoidal_posenc(l, cfg.d_model, dtype=x.dtype)[None]
+    x = x + nn.embedding(params["spk"], speaker_ids)[:, None, :]
+    if emotion_ids is None:
+        emotion_ids = jnp.zeros_like(speaker_ids)
+    x = x + nn.embedding(params["emo"], emotion_ids)[:, None, :]
+    return x
+
+
 def _encode_regulate(params: nn.Params, phone_ids: jnp.ndarray,
                      phone_lens: jnp.ndarray, speaker_ids: jnp.ndarray,
                      cfg: SambertConfig, t_mel: int,
-                     duration_override: Optional[jnp.ndarray]
+                     duration_override: Optional[jnp.ndarray],
+                     emotion_ids: Optional[jnp.ndarray] = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Shared front half: encoder → variance adaptors → length regulation.
 
     Returns (frame-aligned memory [B, t_mel, D], mel_mask [B, t_mel], aux)."""
-    b, l = phone_ids.shape
+    b, l = phone_ids.shape[:2]
     pmask = nn.length_mask(phone_lens, l)
-    x = nn.embedding(params["embed"], phone_ids)
-    x = x + nn.sinusoidal_posenc(l, cfg.d_model, dtype=x.dtype)[None]
-    x = x + nn.embedding(params["spk"], speaker_ids)[:, None, :]
+    x = _embed_inputs(params, phone_ids, speaker_ids, emotion_ids, cfg)
     for layer in params["encoder"]:
         x = _transformer_layer(layer, x, cfg.n_heads, pmask)
     x = x * pmask[..., None]
@@ -414,18 +461,17 @@ def _postnet(params: nn.Params, mel: jnp.ndarray, mel_mask: jnp.ndarray,
 
 def predict_mel_lens(params: nn.Params, phone_ids: jnp.ndarray,
                      phone_lens: jnp.ndarray, speaker_ids: jnp.ndarray,
-                     cfg: SambertConfig) -> jnp.ndarray:
+                     cfg: SambertConfig,
+                     emotion_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Duration probe: encoder + duration predictor only → mel frame counts.
 
     Cheap first phase of two-phase synthesis: the caller picks a tight
     static t_mel bucket from these lengths, so the (much larger) decoder +
     vocoder never compute — or transfer — the ~2× padding that the
     L·frames_per_phone worst case implies."""
-    b, l = phone_ids.shape
+    b, l = phone_ids.shape[:2]
     pmask = nn.length_mask(phone_lens, l)
-    x = nn.embedding(params["embed"], phone_ids)
-    x = x + nn.sinusoidal_posenc(l, cfg.d_model, dtype=x.dtype)[None]
-    x = x + nn.embedding(params["spk"], speaker_ids)[:, None, :]
+    x = _embed_inputs(params, phone_ids, speaker_ids, emotion_ids, cfg)
     for layer in params["encoder"]:
         x = _transformer_layer(layer, x, cfg.n_heads, pmask)
     x = x * pmask[..., None]
@@ -438,14 +484,16 @@ def predict_mel_lens(params: nn.Params, phone_ids: jnp.ndarray,
 def forward(params: nn.Params, phone_ids: jnp.ndarray, phone_lens: jnp.ndarray,
             speaker_ids: jnp.ndarray, cfg: SambertConfig,
             duration_override: Optional[jnp.ndarray] = None,
-            t_mel: Optional[int] = None) -> Dict[str, jnp.ndarray]:
-    """NAR fast mode: phone_ids [B, L] → mel [B, T_mel, n_mels],
-    T_mel = t_mel (static) or the L·frames_per_phone worst case."""
-    b, l = phone_ids.shape
+            t_mel: Optional[int] = None,
+            emotion_ids: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+    """NAR fast mode: phone_ids [B, L] (sy-only) or [B, L, 4] (full ling
+    streams) → mel [B, T_mel, n_mels], T_mel = t_mel (static) or the
+    L·frames_per_phone worst case."""
+    b, l = phone_ids.shape[:2]
     t_mel = t_mel or l * cfg.frames_per_phone
     h, mel_mask, aux = _encode_regulate(params, phone_ids, phone_lens,
                                         speaker_ids, cfg, t_mel,
-                                        duration_override)
+                                        duration_override, emotion_ids)
     h = h + nn.sinusoidal_posenc(t_mel, cfg.d_model, dtype=h.dtype)[None]
     for layer in params["decoder"]:
         h = _transformer_layer(layer, h, cfg.n_heads, mel_mask)
@@ -458,16 +506,18 @@ def forward_ar(params: nn.Params, phone_ids: jnp.ndarray,
                phone_lens: jnp.ndarray, speaker_ids: jnp.ndarray,
                cfg: SambertConfig,
                duration_override: Optional[jnp.ndarray] = None,
-               t_mel: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+               t_mel: Optional[int] = None,
+               emotion_ids: Optional[jnp.ndarray] = None
+               ) -> Dict[str, jnp.ndarray]:
     """PNCA AR mode (KAN-TTS Sambert): same front half, autoregressive mel
     decode in groups of `outputs_per_step` frames via lax.scan."""
-    b, l = phone_ids.shape
+    b, l = phone_ids.shape[:2]
     r = cfg.outputs_per_step
     s = -(-(t_mel or l * cfg.frames_per_phone) // r)   # steps, ceil
     t_mel = s * r
     h, mel_mask, aux = _encode_regulate(params, phone_ids, phone_lens,
                                         speaker_ids, cfg, t_mel,
-                                        duration_override)
+                                        duration_override, emotion_ids)
     memory = h.reshape(b, s, r, cfg.d_model)
     mel = _pnca_scan(params["pnca"], memory, mel_mask, cfg)
     mel = _postnet(params, mel, mel_mask, cfg)

@@ -306,8 +306,14 @@ def sambert_rules(n_enc: int, n_pnca: int, n_postnet: int) -> List[Rule]:
     intentionally unmapped — convert with keep_missing=True.
     """
     rules: List[Rule] = [
-        ("embed.table", "text_encoder.embedding.weight"),
+        # 4-stream linguistic unit (kantts lfeat_type_list: sy, tone,
+        # syllable_flag, word_segment) + speaker/emotion token tables
+        ("ling.sy.table", "text_encoder.sy_emb.weight"),
+        ("ling.tone.table", "text_encoder.tone_emb.weight"),
+        ("ling.syllable_flag.table", "text_encoder.syllable_flag_emb.weight"),
+        ("ling.word_segment.table", "text_encoder.word_segment_emb.weight"),
         ("spk.table", "spk_tokenizer.weight"),
+        ("emo.table", "emo_tokenizer.weight"),
     ]
     for i in range(n_enc):
         s, d = f"text_encoder.layer_stack.{i}", f"encoder.{i}"

@@ -41,6 +41,23 @@ def all_symbols():
     return syms
 
 
+def all_sy_symbols():
+    """Toneless phone inventory — the `sy` stream of the KAN-TTS 4-stream
+    linguistic unit (sy/tone/syllable_flag/word_segment); tone lives in its
+    own stream, so finals appear once (plus the erhua rhotic variant)."""
+    syms = list(SPECIALS) + list(INITIALS)
+    seen = set(syms)
+    for f in FINALS:
+        for s in (f, f + "r"):
+            if s not in seen:
+                seen.add(s)
+                syms.append(s)
+    syms += [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    syms += [str(d) for d in range(10)]
+    syms += [f"char_{i}" for i in range(4096)]
+    return syms
+
+
 # char → pinyin (tone-numbered). Seed vocabulary: high-frequency characters
 # plus the reference's medical/voice-assistant domain.
 PINYIN_TABLE = {

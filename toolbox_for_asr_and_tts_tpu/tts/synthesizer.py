@@ -27,8 +27,8 @@ from ..runtime.bucketing import Bucketer
 from ..runtime.config import TTSConfig
 from ..runtime.metrics import RTFMeter, timing_log
 from .concat import concat_segments
-from .text_frontend import (G2P, PhoneVocab, pause_after, split_text_for_tts,
-                            text_to_phone_ids)
+from .text_frontend import (G2P, LingVocab, pause_after, split_text_for_tts,
+                            text_to_ling_ids)
 
 logger = logging.getLogger("toolbox.tts")
 
@@ -122,7 +122,7 @@ class Synthesizer:
     def __init__(self, acoustic_params, acoustic_cfg: sambert.SambertConfig,
                  vocoder_params, vocoder_cfg: hifigan.HifiGanConfig,
                  g2p: Optional[G2P] = None,
-                 vocab: Optional[PhoneVocab] = None,
+                 vocab: Optional[LingVocab] = None,
                  tts_cfg: Optional[TTSConfig] = None,
                  voices: Sequence[str] = VOICES,
                  param_dtype=None,
@@ -143,7 +143,7 @@ class Synthesizer:
         self.ap, self.acfg = acoustic_params, acoustic_cfg
         self.vp, self.vcfg = vocoder_params, vocoder_cfg
         self.g2p = g2p or G2P()
-        self.vocab = vocab or PhoneVocab.default()
+        self.vocab = vocab or LingVocab.default()
         self.cfg = tts_cfg or TTSConfig()
         self.voice_to_id = {v: i % acoustic_cfg.n_speakers
                             for i, v in enumerate(voices)}
@@ -244,7 +244,7 @@ class Synthesizer:
 
     @classmethod
     def random(cls, seed: int = 0, tiny: bool = True, **kw) -> "Synthesizer":
-        vocab = PhoneVocab.default()
+        vocab = LingVocab.default()
         if tiny:
             acfg = sambert.SambertConfig(
                 vocab_size=len(vocab), d_model=32, n_heads=2, ffn_dim=64,
@@ -308,7 +308,7 @@ class Synthesizer:
         pad (and transfer) at the longest segment's mel length; original
         order is restored on return."""
         spk_id = self.voice_to_id.get(voice, 0)
-        ids_list = [text_to_phone_ids(s, self.g2p, self.vocab)
+        ids_list = [text_to_ling_ids(s, self.g2p, self.vocab)
                     for s in segments]
         groups: Dict[int, List[int]] = {}
         if self.group_by_length:
@@ -335,12 +335,13 @@ class Synthesizer:
             # (padded rows would synthesize full-length garbage mels); on a
             # mesh, rows pad up to the device count so the batch axis shards
             b = -(-len(idxs) // n_dev) * n_dev
-            ids = np.zeros((b, l), np.int32)
+            ids = np.zeros((b, l, 4), np.int32)
             lens = np.ones((b,), np.int32)
             for row, idx in enumerate(idxs):
                 seq = ids_list[idx]
                 n = min(len(seq), l)
-                ids[row, :n] = seq[:n]
+                if n:
+                    ids[row, :n] = np.asarray(seq[:n], np.int32)
                 lens[row] = max(n, 1)
             spk = np.full((b,), spk_id, np.int32)
             # two-phase: a cheap duration probe picks tight static t_mel

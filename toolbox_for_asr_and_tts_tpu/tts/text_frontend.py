@@ -141,6 +141,10 @@ class Phone:
     symbol: str
     tone: int = 0          # 0 = none/neutral context (punct etc.)
     is_punct: bool = False
+    # KAN-TTS linguistic streams (kantts ling-unit lfeat_type_list:
+    # sy,tone,syllable_flag,word_segment):
+    syl_pos: int = 0       # 0 none · 1 s_begin · 2 s_end · 3 s_both
+    word_pos: int = 0      # 0 none · 1 begin · 2 middle · 3 end · 4 single
 
 
 def split_pinyin(syllable: str) -> Tuple[str, str, int]:
@@ -350,24 +354,66 @@ class G2P:
         the golden test surface (non-CJK and punctuation are skipped)."""
         return [sy for _, sy in self._resolve(text) if sy]
 
+    def _word_spans(self, items: List[Tuple[str, Optional[str]]]) -> List[int]:
+        """Word length (in items) at each starting item, 0 inside a word —
+        greedy longest-match against the word lexicon over the resolved
+        items (erhua-merged items contribute their full char run, so 一点儿
+        still matches). Single out-of-lexicon syllables count as their own
+        word; ttsfrd's statistical segmenter does better on open text, but
+        the stream format is identical."""
+        n = len(items)
+        span = [1] * n
+        i = 0
+        while i < n:
+            best = 1
+            acc = items[i][0]
+            j = i + 1
+            while j < n and len(acc) <= self._max_word:
+                acc += items[j][0]
+                j += 1
+                if acc in self.words:
+                    best = j - i
+            for k in range(i + 1, i + best):
+                span[k] = 0
+            span[i] = best
+            i += best
+        return span
+
     def __call__(self, text: str) -> List[Phone]:
         items = self._resolve(text)
+        spans = self._word_spans(items)
+        # word-segment position per item (syllable)
+        wpos = [0] * len(items)
+        i = 0
+        while i < len(items):
+            ln = max(spans[i], 1)
+            if ln == 1:
+                wpos[i] = 4 if items[i][1] is not None else 0
+            else:
+                for k in range(ln):
+                    wpos[i + k] = 1 if k == 0 else (3 if k == ln - 1 else 2)
+            i += ln
         phones: List[Phone] = []
-        for ch, sy in items:
+        for idx, (ch, sy) in enumerate(items):
+            wp = wpos[idx]
             if sy is not None:
                 ini, fin, tone = split_pinyin(sy)
                 if ini:
-                    phones.append(Phone(ini, 0))  # initials carry no tone
-                phones.append(Phone(fin, tone))
+                    # initials carry no tone (legacy folded vocab relies on
+                    # this); the tone stream rides on the final
+                    phones.append(Phone(ini, 0, syl_pos=1, word_pos=wp))
+                    phones.append(Phone(fin, tone, syl_pos=2, word_pos=wp))
+                else:
+                    phones.append(Phone(fin, tone, syl_pos=3, word_pos=wp))
             elif ch in ALL_PUNCT or ch in "！？":
                 phones.append(Phone("#sil" if ch in STRONG_PUNCT else "#br",
                                     is_punct=True))
             elif ch.isascii() and ch.isalnum():
-                phones.append(Phone(ch.lower()))
+                phones.append(Phone(ch.lower(), word_pos=4))
             elif ch.isspace():
                 continue
             else:
-                phones.append(Phone(f"char_{ord(ch) % 4096}"))
+                phones.append(Phone(f"char_{ord(ch) % 4096}", word_pos=4))
         return phones
 
 
@@ -416,4 +462,46 @@ class PhoneVocab:
 
 
 def text_to_phone_ids(text: str, g2p: G2P, vocab: PhoneVocab) -> List[int]:
+    return vocab.encode(g2p(text))
+
+
+class LingVocab:
+    """KAN-TTS 4-stream linguistic encoding: each phone row is
+    (sy, tone, syllable_flag, word_segment) ids — the ling-unit format the
+    real Sambert checkpoint embeds with four separate tables
+    (kantts lfeat_type_list: sy,tone,syllable_flag,word_segment,…). The sy
+    sub-vocabulary is TONELESS (tone rides its own stream), unlike the
+    legacy folded `PhoneVocab`."""
+
+    PAD, UNK = "<pad>", "<unk>"
+    TONE_SIZE = 8       # 0 none + tones 1–5 (+ headroom)
+    SYLFL_SIZE = 8      # 0 none · 1 s_begin · 2 s_end · 3 s_both
+    WSEG_SIZE = 8       # 0 none · 1 begin · 2 middle · 3 end · 4 single
+
+    def __init__(self, symbols: Sequence[str]):
+        self.symbols = [self.PAD, self.UNK] + [s for s in symbols
+                                               if s not in (self.PAD, self.UNK)]
+        self.to_id = {s: i for i, s in enumerate(self.symbols)}
+
+    def __len__(self):
+        return len(self.symbols)
+
+    @classmethod
+    def default(cls) -> "LingVocab":
+        from .pinyin_data import all_sy_symbols
+        return cls(all_sy_symbols())
+
+    def encode(self, phones: Sequence[Phone]) -> List[List[int]]:
+        rows = []
+        for p in phones:
+            rows.append([
+                self.to_id.get(p.symbol, self.to_id[self.UNK]),
+                0 if p.is_punct else min(max(p.tone, 0), self.TONE_SIZE - 1),
+                min(max(p.syl_pos, 0), self.SYLFL_SIZE - 1),
+                min(max(p.word_pos, 0), self.WSEG_SIZE - 1),
+            ])
+        return rows
+
+
+def text_to_ling_ids(text: str, g2p: G2P, vocab: LingVocab) -> List[List[int]]:
     return vocab.encode(g2p(text))
