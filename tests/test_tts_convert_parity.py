@@ -232,3 +232,117 @@ def test_pnca_scan_causality_and_band():
                                out_b[:, : safe_steps * r], atol=1e-6)
     # ...and at least one later step DOES change (the band is effective)
     assert np.abs(out_a[:, safe_steps * r:] - out_b[:, safe_steps * r:]).max() > 1e-6
+
+
+# --------------------------------------------- full-model torch parity lock
+def test_sambert_full_model_torch_parity():
+    """The HiFi-GAN-equivalent lock for Sambert (VERDICT round-2 #1): a
+    torch KanTtsSAMBERT carrying the real kantts state-dict names
+    (tests/ref_kantts_sambert.py) is converted through sambert_rules —
+    BN postnet folded — and the JAX forward_ar must reproduce its mel
+    output bit-closely, teacher-forced durations. Also proves the rule set
+    covers the WHOLE checkpoint tree (zero unmapped torch tensors)."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from ref_kantts_sambert import RefKanTtsSambert
+
+    import dataclasses
+    cfg = dataclasses.replace(
+        TINY_SAM, pnca_layers=2, postnet_layers=3, outputs_per_step=3,
+        prenet_units=12, n_mels=8, h_band=2, x_band=-1,
+        tone_size=6, sylfl_size=4, wseg_size=5, n_emotions=3)
+    torch.manual_seed(7)
+    ref = RefKanTtsSambert(cfg).eval()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    rules = ckpt.sambert_rules(cfg.encoder_layers, cfg.pnca_layers,
+                               cfg.postnet_layers)
+    folded = ckpt.fold_batch_norm(sd)
+    # the rule set consumes the ENTIRE torch tree — nothing unmapped
+    consumed = {ckpt._parse(spec)[0] for _, spec in rules}
+    leftover = {k for k in folded if k not in consumed
+                and not k.endswith("num_batches_tracked")}
+    assert not leftover, sorted(leftover)[:8]
+
+    template = sambert.init_params(jax.random.PRNGKey(3), cfg)
+    params = ckpt.convert_state_dict(folded, rules, template, strict=True,
+                                     keep_missing=True)
+
+    rng = np.random.default_rng(5)
+    b, l = 2, 7
+    ling = np.stack([
+        rng.integers(1, cfg.vocab_size, (b, l)),
+        rng.integers(0, cfg.tone_size, (b, l)),
+        rng.integers(0, cfg.sylfl_size, (b, l)),
+        rng.integers(0, cfg.wseg_size, (b, l)),
+    ], axis=-1).astype(np.int64)
+    lens = np.array([7, 5], np.int64)
+    spk = np.array([1, 0], np.int64)
+    emo = np.array([2, 1], np.int64)
+    dur = rng.integers(1, 4, (b, l)).astype(np.int64)
+    t_mel = 18  # multiple of outputs_per_step, > max total duration
+
+    with torch.no_grad():
+        tout = ref(torch.from_numpy(ling), torch.from_numpy(lens),
+                   torch.from_numpy(spk), torch.from_numpy(emo),
+                   torch.from_numpy(dur), t_mel)
+    jout = sambert.forward_ar(
+        params, jnp.asarray(ling, jnp.int32), jnp.asarray(lens, jnp.int32),
+        jnp.asarray(spk, jnp.int32), cfg,
+        duration_override=jnp.asarray(dur, jnp.int32), t_mel=t_mel,
+        emotion_ids=jnp.asarray(emo, jnp.int32))
+
+    np.testing.assert_allclose(np.asarray(jout["mel"]),
+                               tout["mel"].numpy(), atol=2e-4, rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(jout["mel_lens"]),
+                                  tout["mel_lens"].numpy())
+
+
+def test_sambert_full_model_parity_sensitivity():
+    """The lock actually bites: perturbing ONE converted tensor (a PNCA
+    memory projection) must break mel parity."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from ref_kantts_sambert import RefKanTtsSambert
+
+    import dataclasses
+    cfg = dataclasses.replace(
+        TINY_SAM, pnca_layers=1, postnet_layers=2, outputs_per_step=2,
+        prenet_units=12, n_mels=8, h_band=2, tone_size=6, sylfl_size=4,
+        wseg_size=5, n_emotions=3)
+    torch.manual_seed(11)
+    ref = RefKanTtsSambert(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    sd["mel_decoder.layer_stack.0.pnca_attn.w_vs_h.weight"] = (
+        sd["mel_decoder.layer_stack.0.pnca_attn.w_vs_h.weight"] + 0.05)
+    rules = ckpt.sambert_rules(cfg.encoder_layers, cfg.pnca_layers,
+                               cfg.postnet_layers)
+    params = ckpt.convert_state_dict(
+        ckpt.fold_batch_norm(sd), rules,
+        sambert.init_params(jax.random.PRNGKey(3), cfg), strict=True,
+        keep_missing=True)
+    rng = np.random.default_rng(2)
+    b, l = 1, 5
+    ling = np.stack([rng.integers(1, cfg.vocab_size, (b, l)),
+                     np.zeros((b, l)), np.zeros((b, l)),
+                     np.zeros((b, l))], -1).astype(np.int64)
+    lens = np.array([5], np.int64)
+    dur = np.full((b, l), 2, np.int64)
+    with torch.no_grad():
+        tout = ref(torch.from_numpy(ling), torch.from_numpy(lens),
+                   torch.zeros(1, dtype=torch.long),
+                   torch.zeros(1, dtype=torch.long),
+                   torch.from_numpy(dur), 10)
+    jout = sambert.forward_ar(
+        params, jnp.asarray(ling, jnp.int32), jnp.asarray(lens, jnp.int32),
+        jnp.zeros((1,), jnp.int32), cfg,
+        duration_override=jnp.asarray(dur, jnp.int32), t_mel=10)
+    assert not np.allclose(np.asarray(jout["mel"]), tout["mel"].numpy(),
+                           atol=2e-4)

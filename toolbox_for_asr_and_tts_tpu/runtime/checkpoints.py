@@ -293,14 +293,18 @@ def fsmn_vad_rules(n_layers: int = 4) -> List[Rule]:
 def sambert_rules(n_enc: int, n_pnca: int, n_postnet: int) -> List[Rule]:
     """KAN-TTS Sambert state_dict ↔ models/sambert.py pytree (PNCA decoder).
 
-    PROVISIONAL: torch names follow the public KAN-TTS module layout
-    (text_encoder FFT stack, dur/pitch/energy predictors, mel_decoder PNCA
-    layers with dual X/H attention, mel postnet); exact names must be
-    reconciled against a mounted `speech_sambert-hifigan_tts_zh-cn_16k`
-    checkpoint with `tools/convert_checkpoint --family sambert --diff`,
-    which reports every unmapped tensor. Known gap: the real postnet uses
-    BatchNorm (fold to per-channel affine at conversion); ours uses
-    LayerNorm until a real state dict pins the geometry.
+    Torch names follow the public KAN-TTS module layout: 4-stream linguistic
+    embeddings (`text_encoder.{sy,tone,syllable_flag,word_segment}_emb`),
+    FFT encoder stack, `spk_tokenizer`/`emo_tokenizer`, dur/pitch/energy
+    predictors, `mel_decoder` PNCA layers with dual X/H attention, and the
+    BatchNorm `mel_postnet` (folded to a channel affine at conversion).
+    The full tree is locked by a hand-built torch KanTtsSAMBERT carrying
+    these names (tests/ref_kantts_sambert.py +
+    tests/test_tts_convert_parity.py::test_sambert_full_model_torch_parity —
+    converted mel == torch mel, zero unmapped tensors, like the other six
+    families). Residual risk is naming drift in the real package, which
+    `tools/convert_checkpoint --family sambert --diff` reports tensor by
+    tensor at mount time.
 
     The NAR fast-mode decoder (`decoder`, `mel_out`) is framework-only and
     intentionally unmapped — convert with keep_missing=True.
