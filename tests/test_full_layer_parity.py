@@ -498,3 +498,93 @@ def test_ct_transformer_full_model_parity():
     valid = np.asarray(nn.length_mask(jnp.asarray(lens), 12))[..., None]
     np.testing.assert_allclose(got * valid, want * valid,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ct_transformer_real_large_geometry_parity():
+    """CT-Transformer at the REAL `punc_ct-transformer_cn-en-common-
+    vocab471067-large` geometry (VERDICT round-2 #5): the full 471067-row
+    embedding at embed_dim 256 feeding d_model 512 / 8-head / ffn 2048
+    SAN-M layers (2 of the 12 — full width, fewer layers for test runtime).
+    Locks the embedding + width-changing encoders0 path at size, including
+    the LAST vocab row, and memory-sanity (≈0.5 GB embedding converts and
+    runs on host)."""
+    from toolbox_for_asr_and_tts_tpu.models import ct_transformer as ctm
+
+    pcfg = ctm.CTTransformerConfig(num_layers=2)  # real defaults otherwise
+    assert (pcfg.vocab_size, pcfg.embed_dim, pcfg.d_model, pcfg.n_heads,
+            pcfg.ffn_dim) == (471067, 256, 512, 8, 2048)
+
+    class TorchCT(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embed = torch.nn.Embedding(pcfg.vocab_size, pcfg.embed_dim)
+            enc = torch.nn.Module()
+            enc.encoders0 = torch.nn.ModuleList([
+                EncoderLayerSANM(pcfg.embed_dim, pcfg.d_model, pcfg.n_heads,
+                                 pcfg.ffn_dim, pcfg.kernel_size)])
+            enc.encoders = torch.nn.ModuleList([
+                EncoderLayerSANM(pcfg.d_model, pcfg.d_model, pcfg.n_heads,
+                                 pcfg.ffn_dim, pcfg.kernel_size)
+                for _ in range(pcfg.num_layers - 1)])
+            enc.after_norm = LayerNorm(pcfg.d_model)
+            self.encoder = enc
+            self.decoder = torch.nn.Linear(pcfg.d_model, pcfg.punc_size)
+
+        def forward(self, ids, mask):
+            x = self.embed(ids) * pcfg.d_model ** 0.5
+            t, d = x.shape[1], x.shape[2]
+            pos = torch.arange(1, t + 1, dtype=torch.float32)[:, None]
+            half = d // 2
+            inv = torch.exp(torch.arange(half, dtype=torch.float32)
+                            * -(np.log(10000.0) / (half - 1)))
+            ang = pos * inv[None]
+            x = x + torch.cat([torch.sin(ang), torch.cos(ang)], -1)[None]
+            for layer in self.encoder.encoders0:
+                x = layer(x, mask)
+            for layer in self.encoder.encoders:
+                x = layer(x, mask)
+            return self.decoder(self.encoder.after_norm(x))
+
+    torch.manual_seed(6)
+    tmodel = TorchCT().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    template = ctm.init_params(jax.random.PRNGKey(0), pcfg)
+    params = ckpt.convert_state_dict(
+        sd, ckpt.ct_transformer_rules(pcfg.num_layers), template, strict=True)
+    assert params["embed"]["table"].shape == (471067, 256)
+
+    rng = np.random.default_rng(9)
+    t = 16
+    ids = rng.integers(1, pcfg.vocab_size, (2, t)).astype(np.int32)
+    ids[0, 0] = pcfg.vocab_size - 1          # exercise the LAST vocab row
+    ids[1, 1] = 0
+    lens = np.array([t, t - 5], np.int32)
+    mask_t = torch.from_numpy(
+        (np.arange(t)[None] < lens[:, None]).astype(np.float32))
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(ids.astype(np.int64)), mask_t).numpy()
+    got = np.asarray(ctm.forward(params, jnp.asarray(ids), jnp.asarray(lens),
+                                 pcfg))
+    valid = np.asarray(nn.length_mask(jnp.asarray(lens), t))[..., None]
+    np.testing.assert_allclose(got * valid, want * valid,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_ct_transformer_cn_en_config_pins_punc_list():
+    """A mounted cn-en large dir's config.yaml pins geometry AND the
+    punc_list (the service inserts punc_list[c] verbatim, so an extended
+    cn-en list must flow through unchanged)."""
+    from toolbox_for_asr_and_tts_tpu.models import ct_transformer as ctm
+    conf = {
+        "encoder_conf": {"attention_heads": 8, "linear_units": 2048,
+                         "num_blocks": 12, "output_size": 512,
+                         "input_size": 256, "kernel_size": 11,
+                         "sanm_shift": 0},
+        "model_conf": {"punc_list": ["<unk>", "_", "，", "。", "？", "、",
+                                     "；", "："],
+                       "vocab_size": 471067},
+    }
+    cfg = ctm.CTTransformerConfig.from_funasr(conf)
+    assert (cfg.vocab_size, cfg.embed_dim, cfg.d_model, cfg.num_layers) == \
+        (471067, 256, 512, 12)
+    assert cfg.punc_size == 8 and cfg.punc_list[-1] == "："

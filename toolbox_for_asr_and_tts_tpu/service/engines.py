@@ -74,7 +74,7 @@ def _vad_factory(model_dir: Optional[str] = None):
         cfg = fsmn_vad.FsmnVadConfig()
         params = fsmn_vad.init_params(jax.random.PRNGKey(7), cfg)
 
-    if os.getenv("VOICE_BATCH_SERVING", "0") in ("1", "true"):
+    if os.getenv("VOICE_BATCH_SERVING", "1") in ("1", "true"):
         from .hub import HubVadStepper, VadHub
         hub = VadHub(params, cfg,
                      capacity=int(os.getenv("VOICE_BATCH_CAPACITY", "16")),
@@ -95,14 +95,15 @@ def _vad_factory(model_dir: Optional[str] = None):
 
 
 def _streaming_factory(reco, model_dir=None):
-    """Per-session streaming recognizer factory (2-pass partials), opt-in via
-    VOICE_ENABLE_PARTIALS=1 (the reference keeps mid-chunk decode off).
+    """Per-session streaming recognizer factory (2-pass partials), DEFAULT-ON
+    (VOICE_ENABLE_PARTIALS=0 restores the reference's no-mid-chunk-decode
+    behavior, voice_interface.py:1749-1809).
 
     Default implementation: the FunASR-faithful chunked encoder with k/v
     caches (models/paraformer_online.py, chunk [0,4,5] look-back 4/1 like
     voice_interface.py:651-653); VOICE_STREAMING_IMPL=windowed selects the
     round-1 windowed re-encode fallback."""
-    if os.getenv("VOICE_ENABLE_PARTIALS", "0") not in ("1", "true"):
+    if os.getenv("VOICE_ENABLE_PARTIALS", "1") not in ("1", "true"):
         return None
 
     # The reference loads a SEPARATE chunk-trained online checkpoint
@@ -140,7 +141,7 @@ def _streaming_factory(reco, model_dir=None):
 
     from ..models.paraformer_online import OnlineConfig, OnlineRecognizer
 
-    if os.getenv("VOICE_BATCH_SERVING", "0") in ("1", "true"):
+    if os.getenv("VOICE_BATCH_SERVING", "1") in ("1", "true"):
         # batched partials: every session's speech chunk joins ONE fused
         # device program per tick (service/hub.py::ChunkedHub) instead of
         # one OnlineRecognizer program per connection per chunk

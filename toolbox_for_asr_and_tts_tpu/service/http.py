@@ -92,6 +92,49 @@ class WebSocket:
         self.request = request
         self.closed = False
         self._send_lock = asyncio.Lock()
+        # background reader: keeps answering pings while the app handler is
+        # busy (long finalize/compile) so client keepalives don't kill the
+        # connection; bounded so a flooding client hits backpressure instead
+        # of unbounded memory
+        self._queue: asyncio.Queue = asyncio.Queue(maxsize=32)
+        self._reader_task: Optional[asyncio.Task] = None
+        self._reader_exc: Optional[BaseException] = None
+
+    def start_reader(self) -> None:
+        self._reader_task = asyncio.get_running_loop().create_task(
+            self._reader_loop())
+
+    async def _reader_loop(self) -> None:
+        try:
+            while True:
+                msg = await self.receive()
+                await self._queue.put(msg)
+        except asyncio.CancelledError:
+            raise
+        except BaseException as e:  # ConnectionClosed / IncompleteRead / …
+            self._reader_exc = e
+            await self._queue.put(None)
+
+    async def stop_reader(self) -> None:
+        if self._reader_task is not None:
+            self._reader_task.cancel()
+            try:
+                await self._reader_task
+            except (asyncio.CancelledError, Exception):
+                pass
+            self._reader_task = None
+
+    async def receive_message(self) -> Tuple[int, bytes]:
+        """Next text/binary message — via the background reader when it is
+        running (pings answered concurrently), direct otherwise."""
+        if self._reader_task is None:
+            return await self.receive()
+        item = await self._queue.get()
+        if item is None:
+            raise (self._reader_exc
+                   if isinstance(self._reader_exc, Exception)
+                   else ConnectionClosed())
+        return item
 
     async def _read_exact(self, n: int) -> bytes:
         return await self.reader.readexactly(n)
@@ -140,7 +183,7 @@ class WebSocket:
                 return msg_opcode, message
 
     async def receive_json(self) -> Any:
-        opcode, payload = await self.receive()
+        opcode, payload = await self.receive_message()
         if opcode != 0x1:
             raise HTTPError(400, "expected text frame")
         return json.loads(payload.decode("utf-8"))
@@ -346,6 +389,7 @@ class App:
              ).encode())
         await writer.drain()
         ws = WebSocket(reader, writer, req)
+        ws.start_reader()
         try:
             await handler(ws)
         except ConnectionClosed:
@@ -355,6 +399,7 @@ class App:
         except Exception:
             logger.exception("websocket handler error")
         finally:
+            await ws.stop_reader()
             await ws.close()
 
     # ------------------------------------------------------------ serve

@@ -11,7 +11,7 @@ session's chunk joins ONE `BatchedVadTicker` step per serving tick
 - `HubVadStepper` is a drop-in for `asr/vad.py::StreamingVadStepper`
   (callable(chunk) → bool + reset()), so `StreamingASRSession` is unchanged.
 
-Enabled with VOICE_BATCH_SERVING=1 (service/engines.py); default stays
+DEFAULT-ON (service/engines.py); VOICE_BATCH_SERVING=0 restores
 per-session steppers, matching the reference's isolation semantics.
 """
 from __future__ import annotations
@@ -24,6 +24,18 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 logger = logging.getLogger("toolbox.hub")
+
+
+def _hub_timeout() -> float:
+    """Submit-wait budget. Generous by default: the FIRST tick at a given
+    capacity compiles the fused program (minutes over the dev tunnel); a
+    steady-state tick is milliseconds, so the timeout only bounds error
+    reporting, not throughput. VOICE_HUB_TIMEOUT_S overrides."""
+    import os
+    try:
+        return float(os.getenv("VOICE_HUB_TIMEOUT_S", "180"))
+    except ValueError:
+        return 180.0
 
 
 class VadHub:
@@ -79,7 +91,7 @@ class VadHub:
 
     # ------------------------------------------------------------ submit
     def submit(self, slot: int, chunk: np.ndarray,
-               timeout: float = 10.0) -> bool:
+               timeout: Optional[float] = None) -> bool:
         ev = threading.Event()
         holder: list = []
         with self._lock:
@@ -96,7 +108,7 @@ class VadHub:
                 waiters = [(ev, holder)]
             self._pending[slot] = (np.asarray(chunk, np.float32), waiters,
                                    gen)
-        if not ev.wait(timeout):
+        if not ev.wait(timeout or _hub_timeout()):
             raise TimeoutError("VAD hub tick timed out")
         return bool(holder[0])
 
@@ -199,7 +211,7 @@ class ChunkedHub:
 
     # ------------------------------------------------------------ submit
     def submit(self, slot: int, chunk: np.ndarray,
-               timeout: float = 10.0) -> str:
+               timeout: Optional[float] = None) -> str:
         """Queue this session's chunk for the next tick; block until the
         tick that includes it resolves; return the partial text so far."""
         ev = threading.Event()
@@ -210,7 +222,7 @@ class ChunkedHub:
                 chunk = np.concatenate([prev, np.asarray(chunk, np.float32)])
                 prev_ev.set()
             self._pending[slot] = (np.asarray(chunk, np.float32), ev, gen)
-        if not ev.wait(timeout):
+        if not ev.wait(timeout or _hub_timeout()):
             raise TimeoutError("chunked-ASR hub tick timed out")
         with self._lock:
             return self.tokenizer.ids_to_text(self._ids.get(slot, []))

@@ -233,11 +233,11 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
                                     "message": f"处理音频失败: {e}",
                                     "code": "PROCESSING_ERROR"})
 
-    # VOICE_BATCH_SERVING=1: session work runs off the event loop so N
+    # batched serving (DEFAULT): session work runs off the event loop so N
     # concurrent connections' chunks can meet inside the shared VAD hub's
-    # batched device tick (service/hub.py); default keeps the reference's
-    # in-loop sequential handling
-    batch_serving = os.getenv("VOICE_BATCH_SERVING", "0") in ("1", "true")
+    # batched device tick (service/hub.py); VOICE_BATCH_SERVING=0 restores
+    # the reference's in-loop sequential handling
+    batch_serving = os.getenv("VOICE_BATCH_SERVING", "1") in ("1", "true")
 
     async def _call(fn, *a):
         if batch_serving:
