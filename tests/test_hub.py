@@ -275,3 +275,67 @@ def test_hub_concurrent_lifecycle_stress(chunked_hub):
         reco.push_audio(audio)
     assert reco.finalize() == first
     reco.close()
+
+
+# ------------------------------------------------------------ FinalizeHub
+def _speech(secs=1.2, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(16000 * secs)) / 16000
+    return (0.3 * np.sin(2 * np.pi * 250 * t)
+            + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+def test_diarize_batch_matches_single():
+    """One batched diarize call == N single calls (same texts/speakers) —
+    the correctness contract the FinalizeHub relies on."""
+    from toolbox_for_asr_and_tts_tpu.service import engines as E
+    eng = E.build_test_engines()
+    diar = getattr(eng.diarizer, "inner", eng.diarizer)
+    wavs = [_speech(seed=i) for i in range(3)]
+    singles = [diar.diarize(w) for w in wavs]
+    batched = diar.diarize_batch(wavs)
+    assert len(batched) == 3
+    for got, want in zip(batched, singles):
+        assert [s.text for s in got] == [s.text for s in want]
+        assert [s.spk for s in got] == [s.spk for s in want]
+
+
+def test_finalize_hub_batches_and_matches():
+    from toolbox_for_asr_and_tts_tpu.service import engines as E
+    from toolbox_for_asr_and_tts_tpu.service.hub import FinalizeHub
+    eng = E.build_test_engines()
+    diar = getattr(eng.diarizer, "inner", eng.diarizer)
+    hub = FinalizeHub(diar, window_ms=80.0)
+    try:
+        wavs = [_speech(seed=i) for i in range(4)]
+        singles = [diar.diarize(w) for w in wavs]
+        out = [None] * 4
+        ths = [threading.Thread(
+            target=lambda i=i: out.__setitem__(i, hub.diarize(wavs[i])))
+            for i in range(4)]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join(timeout=120)
+        assert hub.requests == 4
+        assert hub.batches <= 3     # concurrent submits coalesced
+        for got, want in zip(out, singles):
+            assert got is not None
+            assert [s.text for s in got] == [s.text for s in want]
+    finally:
+        hub.close()
+
+
+def test_finalize_hub_propagates_errors():
+    from toolbox_for_asr_and_tts_tpu.service.hub import FinalizeHub
+
+    class Broken:
+        def diarize_batch(self, wavs, sr=16000):
+            raise RuntimeError("boom")
+
+    hub = FinalizeHub(Broken(), window_ms=10.0)
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            hub.diarize(np.zeros(1600, np.float32))
+    finally:
+        hub.close()

@@ -287,39 +287,71 @@ class Diarizer:
 
     def diarize(self, wav: np.ndarray, sample_rate: int = 16000
                 ) -> List[Sentence]:
-        if hasattr(self.recognizer, "transcribe_long"):
-            # arbitrary-length finalize buffers: silence-aware split + merge
-            # instead of truncating at the largest audio bucket
-            results = [self.recognizer.transcribe_long(wav)]
-        else:
-            results = self.recognizer.transcribe([wav])
-        sents = self._sentences_from_tokens(results[0])
-        if not sents:
-            return []
-        segs = []
-        for s in sents:
-            a = int(s.start_ms * sample_rate / 1000)
-            b = int(s.end_ms * sample_rate / 1000)
-            b = max(b, a + sample_rate // 10)  # ≥100 ms for an embedding
-            segs.append(np.asarray(wav[a:b], np.float32))
-        emb = self.verifier.embed(segs)
-        if self.method == "spectral":
-            labels = spectral_cluster(emb)
-        else:
-            labels = cluster_embeddings(emb, self.cluster_threshold)
-        for s, l in zip(sents, labels):
-            s.spk = int(l)
-        if self.overlap_detection and len(sents) and labels.max() > 0:
-            try:
-                sents = refine_overlap(wav, sents, emb, labels,
-                                       self.verifier,
-                                       sample_rate=sample_rate)
-            except Exception:
-                logger.exception("overlap refinement failed; sentence labels")
-        if self.punctuator is not None:
+        return self.diarize_batch([wav], sample_rate)[0]
+
+    # bound above which a buffer takes the silence-aware transcribe_long
+    # path instead of joining the cross-utterance device batch
+    LONG_LIMIT_S = 120.0
+
+    def diarize_batch(self, wavs: Sequence[np.ndarray],
+                      sample_rate: int = 16000) -> List[List[Sentence]]:
+        """Diarize N independent utterances with BATCHED device work: one
+        recognition call for every normal-length wav (bucketed batch on the
+        serving mesh), then ONE speaker-embedding call over all wavs'
+        sentence segments. Host-side clustering/overlap/punctuation stay
+        per-wav. This is what the service's cross-session finalize hub
+        (service/hub.py::FinalizeHub) drives so concurrent WS finalizes
+        don't serialize N recognition round trips."""
+        long_limit = int(self.LONG_LIMIT_S * sample_rate)
+        results: List[object] = [None] * len(wavs)
+        short = [i for i, w in enumerate(wavs) if len(w) <= long_limit]
+        if short:
+            for i, r in zip(short, self.recognizer.transcribe(
+                    [wavs[i] for i in short])):
+                results[i] = r
+        for i, w in enumerate(wavs):
+            if results[i] is None:
+                # arbitrary-length finalize buffers: silence-aware split +
+                # merge instead of truncating at the largest audio bucket
+                if hasattr(self.recognizer, "transcribe_long"):
+                    results[i] = self.recognizer.transcribe_long(w)
+                else:
+                    results[i] = self.recognizer.transcribe([w])[0]
+        all_sents = [self._sentences_from_tokens(r) for r in results]
+        segs, owner = [], []
+        for i, sents in enumerate(all_sents):
             for s in sents:
-                s.text = self.punctuator.punctuate(s.text)
-        return sents
+                a = int(s.start_ms * sample_rate / 1000)
+                b = int(s.end_ms * sample_rate / 1000)
+                b = max(b, a + sample_rate // 10)  # ≥100 ms for an embedding
+                segs.append(np.asarray(wavs[i][a:b], np.float32))
+                owner.append(i)
+        embs = self.verifier.embed(segs) if segs else None
+        out: List[List[Sentence]] = []
+        for i, sents in enumerate(all_sents):
+            if not sents:
+                out.append([])
+                continue
+            emb = embs[[j for j, o in enumerate(owner) if o == i]]
+            if self.method == "spectral":
+                labels = spectral_cluster(emb)
+            else:
+                labels = cluster_embeddings(emb, self.cluster_threshold)
+            for s, l in zip(sents, labels):
+                s.spk = int(l)
+            if self.overlap_detection and len(sents) and labels.max() > 0:
+                try:
+                    sents = refine_overlap(wavs[i], sents, emb, labels,
+                                           self.verifier,
+                                           sample_rate=sample_rate)
+                except Exception:
+                    logger.exception(
+                        "overlap refinement failed; sentence labels")
+            if self.punctuator is not None:
+                for s in sents:
+                    s.text = self.punctuator.punctuate(s.text)
+            out.append(sents)
+        return out
 
 
 def group_by_speaker(sents: Sequence[Sentence]) -> Dict[int, List[Sentence]]:

@@ -36,6 +36,9 @@ def build_test_engines():
     sv = SpeakerVerifier.random()
     punc = Punctuator.random()
     diar = Diarizer(reco, sv, punctuator=punc)
+    if os.getenv("VOICE_BATCH_SERVING", "1") in ("1", "true"):
+        from .hub import FinalizeHub
+        diar = FinalizeHub(diar)
     kws = KeywordSpotter.random(threshold=1e9)  # random weights: never fires
     # no model-VAD in test engines: random FSMN-VAD weights fire on silence,
     # which would distort the enrollment FSM's energy-based pacing
@@ -221,6 +224,11 @@ def build_engines(model_dir: Optional[str] = None, use_mesh: bool = True):
             logger.exception("invalid VOICE_KWS_KEYWORD %r — keeping the "
                              "default keyword %r", want_kw, kws.keyword)
     diar = Diarizer(reco, sv, punctuator=punc)
+    if os.getenv("VOICE_BATCH_SERVING", "1") in ("1", "true"):
+        # cross-session finalize batching: concurrent finalize buffers meet
+        # in one diarize_batch (batched recognition + one embedding call)
+        from .hub import FinalizeHub
+        diar = FinalizeHub(diar)
     return VoiceEngines(diarizer=diar, kws=kws, verifier=sv,
                         vad_factory=_vad_factory(model_dir),
                         streaming_factory=_streaming_factory(reco, model_dir))

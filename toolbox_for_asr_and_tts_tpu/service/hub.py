@@ -365,3 +365,77 @@ class HubVadStepper:
             self.close()
         except Exception:
             pass
+
+
+class FinalizeHub:
+    """Cross-session FINALIZE batching: concurrent sessions' end-of-utterance
+    buffers meet in one `Diarizer.diarize_batch` call — recognition runs as
+    one bucketed device batch and speaker embeddings as one call — instead
+    of N serialized per-session pipelines (the reference runs one GPU
+    pipeline call per finalize, voice_interface.py:2049-2053).
+
+    Drop-in for the `diarizer` slot of `VoiceEngines`: `.diarize()` blocks
+    until the gathered batch resolves; everything else proxies the wrapped
+    diarizer."""
+
+    def __init__(self, diarizer, window_ms: float = 30.0,
+                 max_batch: int = 16):
+        self.inner = diarizer
+        self.window_ms = window_ms
+        self.max_batch = max_batch
+        self._pending: list = []     # (wav, sample_rate, event, holder)
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="finalize-hub")
+        self._thread.start()
+        self.batches = 0             # telemetry
+        self.requests = 0
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+    def diarize(self, wav, sample_rate: int = 16000):
+        ev = threading.Event()
+        holder: dict = {}
+        with self._lock:
+            self._pending.append((np.asarray(wav, np.float32), sample_rate,
+                                  ev, holder))
+        if not ev.wait(_hub_timeout()):
+            raise TimeoutError("finalize hub timed out")
+        if "exc" in holder:
+            raise holder["exc"]
+        return holder["sents"]
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            time.sleep(self.window_ms / 1000.0)
+            with self._lock:
+                batch = self._pending[: self.max_batch]
+                self._pending = self._pending[self.max_batch:]
+            if not batch:
+                continue
+            self.batches += 1
+            self.requests += len(batch)
+            # group by sample rate (sessions are uniformly 16 kHz; guard
+            # against a stray caller anyway)
+            by_sr: dict = {}
+            for item in batch:
+                by_sr.setdefault(item[1], []).append(item)
+            for sr, items in by_sr.items():
+                try:
+                    outs = self.inner.diarize_batch(
+                        [w for w, _, _, _ in items], sr)
+                except Exception as e:
+                    logger.exception("finalize hub batch failed")
+                    for _, _, ev, holder in items:
+                        holder["exc"] = e
+                        ev.set()
+                    continue
+                for (_, _, ev, holder), sents in zip(items, outs):
+                    holder["sents"] = sents
+                    ev.set()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2.0)

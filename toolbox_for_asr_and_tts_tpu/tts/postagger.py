@@ -1,0 +1,235 @@
+"""Coarse POS tagging + bare-polyphone disambiguation rules.
+
+The reference's native `ttsfrd` frontend resolves open-domain polyphones
+with a statistical POS tagger (tts-service/Dockerfile:61-64). This module is
+the rule-based counterpart for the tail the word lexicon cannot see: a BARE
+ambiguous character (还/曲/难/弹/重/长/着/行/为/相/传/将/盛/干/数…) whose
+reading depends on the syntactic role of its neighbours, not on a fixed
+compound.
+
+Two layers:
+
+1. `tag_items` — coarse POS per item from closed-class dictionaries
+   (pronouns, numerals, aspect particles, adverbs, classifiers, verbs,
+   punctuation). Open-class words default to NOUN-ish OTHER; that is enough
+   signal for the reading rules, which only key on closed-class context.
+2. `RULES` — per-character ordered (condition → reading) tables consuming
+   the tags plus small character classes. First match wins; no match keeps
+   the lexicon default.
+
+Accuracy is measured on a held-out external sentence set
+(tests/data/polyphone_eval.tsv, sentences that appear nowhere in the repo's
+lexicon sources) — see docs/G2P.md for the current table.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+Item = Tuple[str, Optional[str]]
+
+# ------------------------------------------------------------- closed sets
+PRON = set("我你他她它您咱谁")
+PRON_WORDS = {"我们", "你们", "他们", "她们", "咱们", "人家", "大家", "自己"}
+NUM = set("零一二两三四五六七八九十百千万亿几半数")
+DEMONSTRATIVE = set("这那哪每某各")
+ASPECT = set("了着过")
+ADV = set("很太都也就更还再最挺真好非常特别十分相当比较")
+PREP = set("把被给对向从在于")
+CLASSIFIER = set("个只条张首支部篇间件位名根块片段行座台辆艘封幅曲")
+PUNCT = set("，。！？；：、,.!?;: 　")
+
+VERBY = set(
+    "走跑跳说讲做作吃喝看听写读念画唱哭笑学玩来去飞站坐睡躺穿脱洗想开关打拿"
+    "抓拉推抱接送买卖借找换修办管教考问答帮等待留抬搬扔挂爬游流倒煮炒切剪缝"
+    "补挑选争赢逃追赶躲藏摸碰撞摔跌灌浇泡蒸烤煎砍揉捏敲铺叠卷摆移搭拼干弄搞"
+    "查治检养护救抢挤压按住记忘懂认猜盼望活变升降用讲喊练还给唱数弹退回付还")
+
+
+def tag_char(ch: str) -> str:
+    if ch in PUNCT:
+        return "PUNCT"
+    if ch in PRON:
+        return "PRON"
+    if ch in NUM or ch.isdigit():
+        return "NUM"
+    if ch in DEMONSTRATIVE:
+        return "DET"
+    if ch in ASPECT:
+        return "ASP"
+    if ch in PREP:
+        return "PREP"
+    if ch in ADV:
+        return "ADV"
+    if ch in CLASSIFIER:
+        return "CLF"
+    if ch in VERBY:
+        return "VERB"
+    return "OTHER"
+
+
+def tag_items(items: Sequence[Item]) -> List[str]:
+    """Per-item coarse POS. Items are (char, syllable) pairs from
+    G2P._segment (erhua may merge two chars into one item — tag by the
+    first char)."""
+    return [tag_char(ch[0]) if ch else "OTHER" for ch, _ in items]
+
+
+# ------------------------------------------------------------ rule engine
+class Ctx:
+    """Window view the rule predicates consume."""
+
+    __slots__ = ("items", "tags", "i")
+
+    def __init__(self, items: Sequence[Item], tags: Sequence[str], i: int):
+        self.items = items
+        self.tags = tags
+        self.i = i
+
+    def ch(self, off: int) -> str:
+        j = self.i + off
+        # sentinel for out-of-range: NEVER the empty string — `"" in s` is
+        # True for every s, which would fire every membership rule at
+        # sentence edges
+        return self.items[j][0] if 0 <= j < len(self.items) else "\x00"
+
+    def tag(self, off: int) -> str:
+        j = self.i + off
+        return self.tags[j] if 0 <= j < len(self.tags) else ("BOS" if j < 0
+                                                             else "EOS")
+
+
+Rule = Tuple[Callable[[Ctx], bool], str]
+
+# Ordered per-char rules; first predicate that fires picks the reading.
+# Keyed on the coarse tags + tiny char classes — the shapes a real POS
+# tagger would license, hand-compiled for the high-frequency tail.
+RULES: Dict[str, List[Rule]] = {
+    # 还 hai2 (adverb, default) / huan2 (verb "give back"): verb reading is
+    # licensed by a preceding 把/被-phrase or a following recipient/aspect
+    # with an object: 把钱还给他 / 他还了书 / 还钱
+    "还": [
+        (lambda c: c.ch(1) == "给", "huan2"),
+        (lambda c: c.ch(-1) in "把被偿归退交奉送", "huan2"),
+        (lambda c: c.ch(1) == "了" and c.tag(2) in ("NUM", "OTHER", "PRON",
+                                                    "DET"), "huan2"),
+        (lambda c: c.ch(1) in "钱款债账书礼情愿本息贷" , "huan2"),
+        (lambda c: True, "hai2"),
+    ],
+    # 曲 qu1 (bent, default) / qu3 (tune): nominal after a classifier/music
+    # noun or before tune-ish suffixes
+    "曲": [
+        (lambda c: c.ch(-1) in "歌乐戏名舞编作谱套散此首一支那这",
+         "qu3"),
+        (lambda c: c.ch(1) in "子调目谱艺终", "qu3"),
+        (lambda c: c.tag(-1) == "CLF", "qu3"),
+    ],
+    # 难 nan2 (hard, default) / nan4 (disaster): nominal with victim/event
+    # neighbours
+    "难": [
+        (lambda c: c.ch(1) in "民友胞属", "nan4"),
+        (lambda c: c.ch(-1) in "灾遇殉逃避救发祸蒙罹", "nan4"),
+    ],
+    # 弹 dan4 (projectile — lexicon default) / tan2 (pluck/flick/spring):
+    # verbal contexts license tan2
+    "弹": [
+        (lambda c: c.ch(-1) in "子原炸导飞枪炮核鱼榴", "dan4"),
+        (lambda c: c.ch(1) in "药壳头道坑孔", "dan4"),
+        (lambda c: c.ch(1) in "琴唱奏拨吉钢电", "tan2"),
+        (lambda c: c.tag(1) == "ASP", "tan2"),            # 弹了/弹着/弹过
+        (lambda c: c.tag(-1) in ("PRON",) or c.ch(-1) in "会想要能在爱",
+         "tan2"),
+    ],
+    # 长 chang2 (long, default) / zhang3 (grow; chief)
+    "长": [
+        (lambda c: c.ch(1) in "大高成得相", "zhang3"),
+        (lambda c: c.ch(-1) in "市县省校院团局队科处船家首酋成生",
+         "zhang3"),
+        (lambda c: c.ch(-1) in "很太真挺多么这那" or c.tag(-1) == "NUM",
+         "chang2"),
+    ],
+    # 着 zhe5 (durative, default after a verb) / zhao2 (attain: 睡着了)
+    "着": [
+        (lambda c: c.ch(-1) in "睡猜找点燃打够買买" and c.ch(1) in "了吗没"
+         or (c.ch(-1) in "睡猜找" and c.tag(1) in ("PUNCT", "EOS")),
+         "zhao2"),
+        (lambda c: c.tag(-1) == "VERB", "zhe5"),
+    ],
+    # 重 zhong4 (heavy, default) / chong2 (again): verbal right-neighbour
+    "重": [
+        (lambda c: c.ch(1) in "新来做写建读算选考试演唱排练", "chong2"),
+    ],
+    # 行 xing2 (go/OK, default) / hang2 (row; trade)
+    "行": [
+        (lambda c: c.ch(-1) in "银各同外内这那哪" and c.ch(1) != "动",
+         "hang2"),
+        (lambda c: c.tag(-1) == "NUM" and c.ch(1) in "字诗话泪树",
+         "hang2"),
+        (lambda c: c.ch(1) in "业距情列", "hang2"),
+    ],
+    # 为 wei4 (benefactive — lexicon default) / wei2 (be/act-as): the verb
+    # reading is licensed by a resultative left verb (选为/称为/一分为二)
+    "为": [
+        (lambda c: c.ch(1) == "了" or c.ch(-1) in "因", "wei4"),
+        (lambda c: c.ch(-1) in "选称封拜视立行成作认以变分列定",
+         "wei2"),
+        (lambda c: c.ch(1) in "生人期止首主" and c.tag(-1) in
+         ("PUNCT", "BOS", "OTHER"), "wei2"),
+    ],
+    # 相 xiang1 (mutual, default) / xiang4 (appearance; minister)
+    "相": [
+        (lambda c: c.ch(1) in "机片册貌声纸", "xiang4"),
+        (lambda c: c.ch(-1) in "照首丞扮亮真长识面看福苦", "xiang4"),
+    ],
+    # 传 chuan2 (transmit, default) / zhuan4 (biography)
+    "传": [
+        (lambda c: c.ch(1) == "记", "zhuan4"),
+        (lambda c: c.ch(-1) in "自立外别树水" and c.tag(1) in
+         ("PUNCT", "EOS"), "zhuan4"),
+    ],
+    # 将 jiang1 (shall, default) / jiang4 (general)
+    "将": [
+        (lambda c: c.ch(-1) in "大上中少老虎闯良干名员", "jiang4"),
+        (lambda c: c.ch(1) in "领士官帅才", "jiang4"),
+    ],
+    # 盛 sheng4 (flourishing, default) / cheng2 (ladle into)
+    "盛": [
+        (lambda c: c.ch(1) in "饭汤粥菜水满" and c.tag(-1) != "ADV",
+         "cheng2"),
+        (lambda c: c.ch(1) == "了" and c.ch(3) in "碗盆勺杯锅桶",
+         "cheng2"),                                        # 盛了一碗饭
+    ],
+    # 干 gan1 (dry, default) / gan4 (do; trunk)
+    "干": [
+        (lambda c: c.ch(1) in "活事啥什嘛吗线部劲警察", "gan4"),
+        (lambda c: c.ch(-1) in "能实苦骨主树", "gan4"),
+    ],
+    # 数 shu4 (number, default) / shu3 (to count) — extends the aspect rule
+    # in _apply_context with object-taking shapes: 数不清 / 数一数
+    "数": [
+        (lambda c: c.ch(1) in "了过着一不", "shu3"),
+    ],
+}
+
+
+def disambiguate(items: List[Item], locked: set,
+                 lexicon_default: Dict[str, str]) -> List[Item]:
+    """Apply the bare-polyphone POS rules to unlocked single-char items.
+    `lexicon_default` maps char → default syllable (used to decide whether a
+    rule actually changes anything)."""
+    tags = tag_items(items)
+    out = list(items)
+    for i, (ch, sy) in enumerate(out):
+        if i in locked or sy is None:
+            continue
+        rules = RULES.get(ch)
+        if not rules:
+            continue
+        ctx = Ctx(out, tags, i)
+        for pred, reading in rules:
+            try:
+                if pred(ctx):
+                    out[i] = (ch, reading)
+                    break
+            except Exception:  # a rule must never break synthesis
+                continue
+    return out

@@ -346,8 +346,12 @@ class G2P:
 
     def _resolve(self, text: str) -> List[Tuple[str, Optional[str]]]:
         items, locked = self._segment(text)
-        return self._apply_sandhi(self._apply_erhua(
-            self._apply_context(items, locked)))
+        items = self._apply_context(items, locked)
+        # bare-polyphone POS rules (the ttsfrd-tagger tail the compound
+        # lexicon can't see): 还/曲/难/弹/长/着/重/行/为/相/传/将/盛/干…
+        from .postagger import disambiguate
+        items = disambiguate(items, locked, self.lexicon)
+        return self._apply_sandhi(self._apply_erhua(items))
 
     def pinyin(self, text: str) -> List[str]:
         """Tone-numbered syllables after polyphone/context/erhua/sandhi —
