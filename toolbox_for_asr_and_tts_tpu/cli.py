@@ -105,6 +105,31 @@ def main() -> None:
     d.add_argument("wav")
     d.set_defaults(fn=cmd_demo)
 
+    r = sub.add_parser(
+        "rehearse",
+        help="real-checkpoint mount rehearsal: strict-convert all families,"
+             " boot both services, drive golden inputs, emit a report")
+    r.add_argument("models_dir")
+    r.add_argument("--report", default=None)
+    r.add_argument("--reconvert", action="store_true")
+    r.add_argument("--no-serve", action="store_true")
+    r.add_argument("--golden-wav", default=None)
+    r.add_argument("--lenient", action="store_true")
+
+    def cmd_rehearse(args) -> None:
+        from .tools.rehearse import main as rehearse_main
+        argv = [args.models_dir]
+        for flag in ("report", "golden_wav"):
+            v = getattr(args, flag)
+            if v:
+                argv += [f"--{flag.replace('_', '-')}", v]
+        for flag in ("reconvert", "no_serve", "lenient"):
+            if getattr(args, flag):
+                argv.append(f"--{flag.replace('_', '-')}")
+        rehearse_main(argv)
+
+    r.set_defaults(fn=cmd_rehearse)
+
     args = ap.parse_args()
     args.fn(args)
 

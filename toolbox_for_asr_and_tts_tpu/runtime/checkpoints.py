@@ -615,6 +615,12 @@ def _parse(torch_name: str) -> Tuple[str, str]:
     return torch_name, ""
 
 
+# every convert_state_dict call appends {n_rules, n_converted, missing,
+# unmapped} here — the mount-rehearsal CLI (tools/rehearse.py) reads it to
+# report per-family coverage of a real checkpoint's tensor tree
+CONVERT_REPORTS: List[Dict[str, Any]] = []
+
+
 def convert_state_dict(sd: Dict[str, np.ndarray], rules: List[Rule],
                        template: Any, strict: bool = True,
                        keep_missing: bool = False) -> Any:
@@ -624,12 +630,23 @@ def convert_state_dict(sd: Dict[str, np.ndarray], rules: List[Rule],
     value — for framework-only parameters real checkpoints don't carry."""
     flat: Dict[str, np.ndarray] = {}
     missing = []
+    consumed = set()
     for jax_path, torch_spec in rules:
         name, tf = _parse(torch_spec)
+        consumed.add(name)
         if name not in sd:
             missing.append(name)
             continue
         flat[jax_path] = _TRANSFORMS[tf](np.asarray(sd[name], dtype=np.float32))
+    CONVERT_REPORTS.append({
+        "n_rules": len(rules),
+        "n_converted": len(flat),
+        "missing": list(missing),
+        "unmapped": sorted(
+            k for k in sd
+            if k not in consumed and not k.endswith("num_batches_tracked")),
+    })
+    del CONVERT_REPORTS[:-32]  # bounded
     if missing:
         msg = f"{len(missing)} parameters missing from checkpoint, e.g. {missing[:5]}"
         if strict:
