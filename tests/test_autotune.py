@@ -1,0 +1,69 @@
+"""Dispatch-profile autotuning (runtime/autotune.py, VERDICT round-2 #9):
+the RTT probe picks tunnel vs local knob sets, env always wins, and both
+profiles drive the synthesizer's dispatch paths."""
+import numpy as np
+import pytest
+
+from toolbox_for_asr_and_tts_tpu.runtime import autotune as at
+
+
+@pytest.fixture(autouse=True)
+def fresh_profile(monkeypatch):
+    at._cache.clear()
+    yield
+    at._cache.clear()
+
+
+def test_probe_measures_and_classifies(monkeypatch):
+    rtt = at.measure_rtt_ms(iters=3)
+    assert rtt > 0
+    prof = at.get_profile()
+    assert prof["name"] in ("tunnel", "local")
+    # CPU backend dispatch is sub-ms → local on the test host
+    assert prof["name"] == ("local" if rtt < at.TUNNEL_RTT_MS else "tunnel")
+
+
+def test_profile_knob_sets_differ():
+    t, l = at.profile_knobs("tunnel"), at.profile_knobs("local")
+    for k in ("tts_mel_group", "tts_group_by_length", "pallas_framing"):
+        assert t[k] is False and l[k] is True
+
+
+def test_env_beats_profile(monkeypatch):
+    monkeypatch.setenv("TOOLBOX_DISPATCH_PROFILE", "local")
+    assert at.get_profile(refresh=True)["tts_mel_group"] is True
+    monkeypatch.setenv("TTS_MEL_GROUP", "0")
+    assert at.env_or_profile("TTS_MEL_GROUP", "tts_mel_group") is False
+    monkeypatch.delenv("TTS_MEL_GROUP")
+    assert at.env_or_profile("TTS_MEL_GROUP", "tts_mel_group") is True
+
+
+def test_forced_profile_skips_probe(monkeypatch):
+    monkeypatch.setenv("TOOLBOX_DISPATCH_PROFILE", "tunnel")
+    monkeypatch.setattr(at, "measure_rtt_ms",
+                        lambda *a, **k: pytest.fail("probe ran"))
+    assert at.get_profile(refresh=True)["name"] == "tunnel"
+
+
+@pytest.mark.parametrize("profile", ["tunnel", "local"])
+def test_synthesizer_runs_under_both_profiles(profile, monkeypatch):
+    monkeypatch.setenv("TOOLBOX_DISPATCH_PROFILE", profile)
+    at._cache.clear()
+    from toolbox_for_asr_and_tts_tpu.tts.synthesizer import Synthesizer
+    synth = Synthesizer.random(tiny=True)
+    assert synth.mel_group is (profile == "local")
+    assert synth.group_by_length is (profile == "local")
+    wavs, durs = synth.synthesize_segments(["你好，小护", "今天天气不错"],
+                                           "zhitian_emo")
+    assert all(w is not None and w.ndim == 1 and len(w) > 0 for w in wavs)
+    assert all(d > 0 for d in durs)
+
+
+def test_probe_failure_falls_back_to_tunnel(monkeypatch):
+    def boom(*a, **k):
+        raise RuntimeError("no device")
+
+    monkeypatch.setattr(at, "measure_rtt_ms", boom)
+    prof = at.get_profile(refresh=True)
+    assert prof["name"] == "tunnel"        # fewest-round-trips is safe
+    assert prof["tts_mel_group"] is False

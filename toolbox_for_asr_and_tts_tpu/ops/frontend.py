@@ -28,9 +28,18 @@ import jax.numpy as jnp
 import numpy as np
 
 # Pallas fused frame/window stage for fbank on TPU (ops/pallas/frame_window):
-# compiled-on-chip since round 2; flip off to fall back to the XLA gather
-USE_PALLAS_FRAMING = False  # measured slower than XLA's fused gather — see
-                            # benchmarks/RESULTS.md microbenchmarks
+# compiled-on-chip since round 2. None = decide from the dispatch profile
+# (tunnel: XLA's fused gather wins because fbank is call-bound there;
+# direct-attached: the Pallas kernel wins — benchmarks/RESULTS.md). Set
+# True/False (or USE_PALLAS_FRAMING env) to pin.
+USE_PALLAS_FRAMING: Optional[bool] = None
+
+
+def _use_pallas_framing() -> bool:
+    if USE_PALLAS_FRAMING is not None:
+        return USE_PALLAS_FRAMING
+    from ..runtime.autotune import env_or_profile
+    return env_or_profile("USE_PALLAS_FRAMING", "pallas_framing")
 
 
 from .nn import _on_tpu  # single backend probe shared with the FSMN dispatch
@@ -149,7 +158,7 @@ def fbank(x: jnp.ndarray, cfg: FrontendConfig = FrontendConfig(),
         x = x * 32768.0
     t_max = num_fbank_frames(x.shape[1], cfg)
     t = t_frames if t_frames is not None else t_max
-    if USE_PALLAS_FRAMING and _on_tpu():
+    if _use_pallas_framing() and _on_tpu():
         from .pallas.frame_window import frame_window
         frames = frame_window(x, jnp.asarray(_window_coeffs(cfg), jnp.float32),
                               t, cfg.frame_length, cfg.frame_shift, cfg.n_fft,

@@ -1,0 +1,98 @@
+"""Startup dispatch-profile autotuning.
+
+Several serving knobs trade HOST↔DEVICE ROUND TRIPS against padding/compute:
+
+- per-mel-bucket TTS dispatch (`TTS_MEL_GROUP`) — less padding, more calls;
+- per-length-bucket TTS batching (`TTS_GROUP_BY_LENGTH`) — same trade;
+- the Pallas frame/window kernel (`ops.frontend.USE_PALLAS_FRAMING`) —
+  wins only when dispatch is cheap enough that the fbank stage is
+  kernel-bound rather than call-bound.
+
+On the development tunnel a round trip costs ~33 ms, so fewer-calls wins
+every time and round-2 hard-coded that profile (benchmarks/RESULTS.md).
+On a direct-attached chip (sub-ms dispatch) the opposite choices win. This
+module measures the actual round-trip latency ONCE at startup and picks the
+profile, so the first run on real production hardware lands on the right
+side without anyone re-tuning (VERDICT round-2 #9).
+
+Explicit env vars always win over the probe; `TOOLBOX_DISPATCH_PROFILE`
+(`tunnel`|`local`) pins the profile without probing.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+logger = logging.getLogger("toolbox.autotune")
+
+# dispatch RTT above this is "remote/tunnel-class"; direct-attached PCIe/ICI
+# dispatch is well under a millisecond, the dev tunnel is tens of ms
+TUNNEL_RTT_MS = 5.0
+
+_cache: Dict[str, object] = {}
+
+
+def measure_rtt_ms(iters: int = 7) -> float:
+    """Median host→device→host round trip for a tiny fetch (the unit the
+    dispatch-bound paths pay per call). Compile excluded."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    float(fn(x)[0])                      # compile + upload
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(fn(x)[0])                  # fetch forces the round trip
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2] * 1e3
+
+
+def get_profile(refresh: bool = False) -> Dict[str, object]:
+    """{"name": "tunnel"|"local", "rtt_ms": float, knobs…} — probed once per
+    process (cached); TOOLBOX_DISPATCH_PROFILE overrides."""
+    if _cache and not refresh:
+        return dict(_cache)
+    forced = os.getenv("TOOLBOX_DISPATCH_PROFILE", "").lower()
+    if forced in ("tunnel", "local"):
+        name, rtt = forced, float("nan")
+    else:
+        try:
+            rtt = measure_rtt_ms()
+        except Exception:
+            logger.exception("dispatch probe failed — assuming tunnel "
+                             "profile (fewest round trips)")
+            rtt = float("inf")
+        name = "local" if rtt < TUNNEL_RTT_MS else "tunnel"
+    prof = profile_knobs(name)
+    prof["name"] = name
+    prof["rtt_ms"] = rtt
+    _cache.clear()
+    _cache.update(prof)
+    logger.info("dispatch profile: %s (rtt %.2f ms) → %s", name, rtt,
+                {k: v for k, v in prof.items() if k not in ("rtt_ms",)})
+    return dict(_cache)
+
+
+def profile_knobs(name: str) -> Dict[str, object]:
+    """The knob settings each profile implies (env always wins at the
+    consumer)."""
+    local = name == "local"
+    return {
+        "tts_mel_group": local,        # per-mel-bucket dispatch
+        "tts_group_by_length": local,  # per-length-bucket batching
+        "pallas_framing": local,       # fbank frame/window Pallas kernel
+    }
+
+
+def env_or_profile(env_name: str, knob: str) -> bool:
+    """Resolve a boolean serving knob: explicit env var beats the probed
+    profile."""
+    v = os.getenv(env_name)
+    if v is not None:
+        return v in ("1", "true")
+    return bool(get_profile()[knob])

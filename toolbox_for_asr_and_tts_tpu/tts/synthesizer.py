@@ -148,13 +148,18 @@ class Synthesizer:
         self.voice_to_id = {v: i % acoustic_cfg.n_speakers
                             for i, v in enumerate(voices)}
         import os
-        self.group_by_length = os.getenv("TTS_GROUP_BY_LENGTH", "0") in (
-            "1", "true")
+
+        # dispatch-bound knobs: explicit env wins, else the startup RTT
+        # probe picks the profile (tunnel → fewest round trips, local →
+        # least padding; runtime/autotune.py)
+        from ..runtime.autotune import env_or_profile
+        self.group_by_length = env_or_profile("TTS_GROUP_BY_LENGTH",
+                                              "tts_group_by_length")
         # "nar" (fast mode, default) or "pnca" (KAN-TTS AR decoder — the
         # weight-compatible path for real zhitian_emo checkpoints)
         self.decoder_mode = os.getenv("TTS_DECODER", "nar")
         self.two_phase = os.getenv("TTS_TWO_PHASE", "1") in ("1", "true")
-        self.mel_group = os.getenv("TTS_MEL_GROUP", "0") in ("1", "true")
+        self.mel_group = env_or_profile("TTS_MEL_GROUP", "tts_mel_group")
         self.bucketer = Bucketer(PHONE_BUCKETS)
         self._fns: Dict[Tuple[int, int], object] = {}
         self.rtf = RTFMeter()
