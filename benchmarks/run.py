@@ -186,6 +186,8 @@ def bench_chunked_streams() -> None:
                                capacity=capacity,
                                partials=os.getenv("CHUNKED_PARTIALS", "1")
                                in ("1", "true"))
+    pipelined = os.getenv("CHUNKED_PIPELINE", "1") in ("1", "true")
+    ticker._pipelined = pipelined
     slots = [ticker.join() for _ in range(capacity)]
     rng = np.random.default_rng(0)
     chunk_s = 0.24  # c1=4 LFR frames
@@ -193,15 +195,27 @@ def bench_chunked_streams() -> None:
                  ).astype(np.float32) for s in slots}
     ticker.tick(chunk)  # compile + upload
     ticker.tick(chunk)
+    # N independent runs → p5/p50/p95 (VERDICT round-2 #4: a single mean
+    # hid 1.4× tunnel variance); CHUNKED_PIPELINE=1 (default) overlaps the
+    # fetch of tick t-1 with tick t's compute
+    runs = int(os.getenv("CHUNKED_RUNS", "7"))
     iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        ticker.tick(chunk)
-    dt = (time.perf_counter() - t0) / iters
-    streams = capacity * chunk_s / dt
+    per_run = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ticker.tick(chunk)
+        dt = (time.perf_counter() - t0) / iters
+        per_run.append(capacity * chunk_s / dt)
+    p5, p50, p95 = (float(np.percentile(per_run, q)) for q in (5, 50, 95))
+    sys.stderr.write(
+        f"chunked: {runs} runs, pipelined={pipelined}, "
+        f"p5={p5:.1f} p50={p50:.1f} p95={p95:.1f} streams/chip\n")
     print(json.dumps({"metric": "chunked_streams_per_chip",
-                      "value": round(streams, 1), "unit": "streams",
-                      "vs_baseline": round(streams / 20.0, 3)}))
+                      "value": round(p50, 1), "unit": "streams",
+                      "p5": round(p5, 1), "p95": round(p95, 1),
+                      "pipelined": pipelined,
+                      "vs_baseline": round(p50 / 20.0, 3)}))
 
 
 def bench_wsload() -> None:
@@ -267,6 +281,9 @@ def bench_wsload() -> None:
             ws.send(json.dumps({"use_wake": False, "use_sv": False,
                                 "use_llm": False}))
             barrier.wait(timeout=60)
+            # de-synchronize: real streams don't endpoint in lockstep, and
+            # a synchronized finalize storm measures the worst phase only
+            time.sleep((idx % 8) * 0.05)
             lat = []
             for _ in range(n_cycles):
                 got_result = False
@@ -287,8 +304,14 @@ def bench_wsload() -> None:
                             lat.append(time.perf_counter() - t_send)
                     time.sleep(max(0.0, chunk_s - (time.perf_counter() - t_send)))
                 t_wait = time.perf_counter()
+                missed = False
                 while not got_result:
-                    if time.perf_counter() - t_wait > deadline:
+                    waited = time.perf_counter() - t_wait
+                    if waited > deadline:
+                        # keep waiting (up to 60 s) so the TRUE latency is
+                        # recorded; the stream still counts as not sustained
+                        missed = True
+                    if waited > 60.0:
                         out[idx] = (False, lat)
                         return
                     try:
@@ -298,6 +321,9 @@ def bench_wsload() -> None:
                     if msg.get("type") == "result":
                         got_result = True
                         lat.append(time.perf_counter() - t_wait)
+                if missed:
+                    out[idx] = (False, lat)
+                    return
             out[idx] = (True, lat)
             ws.close()
         except Exception:
@@ -320,7 +346,23 @@ def bench_wsload() -> None:
         sr.finalize()
         if hasattr(sr, "close"):
             sr.close()
-    engines.diarizer.diarize(np.concatenate([speech] * 5))
+    # finalize path at the ladder's batch buckets: concurrent finalizes
+    # meet in FinalizeHub → diarize_batch, whose batch axis is
+    # power-of-two-padded — compile sizes 1/8/16 up front
+    diar = getattr(engines.diarizer, "inner", engines.diarizer)
+    fin_wav = np.concatenate([speech] * 5)
+    for nb in (1, 8, 16):
+        diar.diarize_batch([fin_wav] * nb)
+    # segment-embedding batch buckets: sentence COUNTS vary with content, so
+    # warm the pow-2 batch sizes a 16-wav finalize batch can produce at the
+    # 1 s/2 s audio buckets the ≤2 s session buffers land in
+    for nb in (2, 4, 8, 16, 32, 64, 128):
+        for dur in (12800, 32000):
+            engines.verifier.embed([np.zeros(dur, np.float32)] * nb)
+    punc = getattr(diar, "punctuator", None)
+    if punc is not None:
+        for nb in (32, 64, 128):
+            punc.punctuate_many(["热"] * nb)
     sys.stderr.write(
         f"wsload server warmup {time.perf_counter() - t_w:.0f}s\n")
     wout = [None]

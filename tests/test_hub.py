@@ -93,6 +93,10 @@ def chunked_hub():
     params = _pf.init_params(jax.random.PRNGKey(3), _PCFG)
     h = ChunkedHub(params, _PCFG, _OCFG, CharTokenizer.dummy(64),
                    capacity=8, tick_ms=5.0)
+    # per-TICK routing lock: read _ids mid-stream, so run unpipelined here
+    # (pipelined total-equality incl. finalize is locked in
+    # test_stream_batcher.py::test_pipelined_tick_matches_unpipelined)
+    h.ticker._pipelined = False
     yield h
     h.close()
 

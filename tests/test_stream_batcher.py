@@ -206,3 +206,76 @@ def test_fused_ticker_on_mesh_matches_single_device():
                                     partials=True))
     assert got_mesh == got_one
     assert any(len(v) for v in got_one.values())
+
+
+def test_pipelined_tick_matches_unpipelined():
+    """CHUNKED_PIPELINE=1 (double-buffered dispatch): results lag one tick
+    but the stream's total fired ids — including the finalize drain — are
+    IDENTICAL to the unpipelined ticker."""
+    import jax
+    import numpy as np
+    from toolbox_for_asr_and_tts_tpu.models import paraformer
+    from toolbox_for_asr_and_tts_tpu.models import paraformer_online as po
+    from toolbox_for_asr_and_tts_tpu.parallel.stream_batcher import (
+        BatchedChunkedASR)
+
+    cfg = paraformer.ParaformerConfig(
+        input_dim=560, d_model=32, n_heads=2, ffn_dim=64,
+        encoder_layers=2, decoder_layers=2, vocab_size=64)
+    ocfg = po.OnlineConfig(c1=4, c2=5, encoder_look_back=2)
+    params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(21)
+    audio = {0: (rng.standard_normal(19200) * 0.1).astype(np.float32),
+             1: (rng.standard_normal(19200) * 0.1).astype(np.float32)}
+
+    def run(pipelined):
+        t = BatchedChunkedASR(params, cfg, ocfg, capacity=2, partials=True)
+        t._pipelined = pipelined
+        slots = {k: t.join() for k in audio}
+        got = {k: [] for k in audio}
+        per_tick = {k: [] for k in audio}
+        def route(fired):
+            for k in audio:
+                got[k].extend(fired.get(slots[k], []))
+        for s in range(0, 19200, 3840):
+            fired = t.tick({slots[k]: a[s:s + 3840]
+                            for k, a in audio.items()})
+            for k in audio:
+                per_tick[k].append(len(fired.get(slots[k], [])))
+            route(fired)
+        for k in audio:
+            # finalize returns results for EVERY row the drain advanced —
+            # route them all, like service/hub.py does
+            route(t.finalize_slot(slots[k]))
+        return got, per_tick
+
+    plain, _ = run(False)
+    piped, piped_ticks = run(True)
+    assert piped == plain
+    # the lag is real: the pipelined first tick returns nothing
+    assert piped_ticks[0][0] == 0
+
+
+def test_pipelined_reset_drops_only_that_slot():
+    import jax
+    import numpy as np
+    from toolbox_for_asr_and_tts_tpu.models import paraformer
+    from toolbox_for_asr_and_tts_tpu.models import paraformer_online as po
+    from toolbox_for_asr_and_tts_tpu.parallel.stream_batcher import (
+        BatchedChunkedASR)
+
+    cfg = paraformer.ParaformerConfig(
+        input_dim=560, d_model=32, n_heads=2, ffn_dim=64,
+        encoder_layers=2, decoder_layers=2, vocab_size=64)
+    ocfg = po.OnlineConfig(c1=4, c2=5, encoder_look_back=2)
+    params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(22)
+    t = BatchedChunkedASR(params, cfg, ocfg, capacity=2, partials=True)
+    t._pipelined = True
+    s0, s1 = t.join(), t.join()
+    a = (rng.standard_normal(7680) * 0.1).astype(np.float32)
+    b = (rng.standard_normal(7680) * 0.1).astype(np.float32)
+    t.tick({s0: a[:3840], s1: b[:3840]})     # in flight
+    t.reset_slot(s0)                          # drops s0's in-flight ids only
+    fired = t.tick({s1: b[3840:]})
+    assert s0 not in {k for k, v in fired.items() if v}

@@ -35,6 +35,10 @@ class Sentence:
                                # None = pure single-speaker sentence
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(n - 1, 0).bit_length()
+
+
 def _renumber(labels: np.ndarray) -> np.ndarray:
     """Renumber labels by first appearance (stable ids like the reference)."""
     order: Dict[int, int] = {}
@@ -202,7 +206,12 @@ def refine_overlap(wav: np.ndarray, sents: List[Sentence],
             owners.append(si)
     if not windows:
         return sents
-    wemb = np.asarray(verifier.embed(windows), np.float64)
+    # pow-2 pad the window COUNT: it depends on sentence spans (content),
+    # and every distinct batch size would otherwise compile its own program
+    n_pad = _next_pow2(len(windows)) - len(windows)
+    wemb = np.asarray(verifier.embed(
+        windows + [np.zeros(win, np.float32)] * n_pad)[: len(windows)],
+        np.float64)
     wemb = wemb / (np.linalg.norm(wemb, axis=1, keepdims=True) + 1e-9)
     sim = wemb @ cent.T                                    # [W, K]
     sim[:, counts == 0] = -np.inf   # empty clusters can't win votes
@@ -306,8 +315,15 @@ class Diarizer:
         results: List[object] = [None] * len(wavs)
         short = [i for i, w in enumerate(wavs) if len(w) <= long_limit]
         if short:
-            for i, r in zip(short, self.recognizer.transcribe(
-                    [wavs[i] for i in short])):
+            # pad the batch-size axis to a power of two: otherwise every
+            # distinct number of concurrently-finalizing sessions compiles
+            # its own recognition program (audio LENGTH is already bucketed
+            # inside transcribe; this bounds the batch dimension too)
+            batch = [wavs[i] for i in short]
+            n_pad = _next_pow2(len(batch)) - len(batch)
+            pad_len = max(len(w) for w in batch)
+            batch += [np.zeros(pad_len, np.float32)] * n_pad
+            for i, r in zip(short, self.recognizer.transcribe(batch)):
                 results[i] = r
         for i, w in enumerate(wavs):
             if results[i] is None:
@@ -326,7 +342,14 @@ class Diarizer:
                 b = max(b, a + sample_rate // 10)  # ≥100 ms for an embedding
                 segs.append(np.asarray(wavs[i][a:b], np.float32))
                 owner.append(i)
-        embs = self.verifier.embed(segs) if segs else None
+        if segs:
+            # same power-of-two padding for the embedding batch (segment
+            # COUNT varies with speech content; lengths bucket inside embed)
+            n_pad = _next_pow2(len(segs)) - len(segs)
+            embs = self.verifier.embed(
+                segs + [np.zeros(1600, np.float32)] * n_pad)[: len(segs)]
+        else:
+            embs = None
         out: List[List[Sentence]] = []
         for i, sents in enumerate(all_sents):
             if not sents:
@@ -347,10 +370,16 @@ class Diarizer:
                 except Exception:
                     logger.exception(
                         "overlap refinement failed; sentence labels")
-            if self.punctuator is not None:
-                for s in sents:
-                    s.text = self.punctuator.punctuate(s.text)
             out.append(sents)
+        if self.punctuator is not None:
+            # ONE batched punctuation pass over every wav's sentences
+            # (bucketed inside punctuate_many) instead of a device round
+            # trip per sentence
+            flat = [s for sents in out for s in sents]
+            if flat:
+                for s, txt in zip(flat, self.punctuator.punctuate_many(
+                        [s.text for s in flat])):
+                    s.text = txt
         return out
 
 

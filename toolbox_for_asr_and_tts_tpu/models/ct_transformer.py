@@ -222,11 +222,11 @@ class Punctuator:
                 break
         return cls(params, cfg, vocab or PuncVocab.dummy(cfg.vocab_size))
 
-    def _fn(self, t: int):
-        if t not in self._fns:
-            self._fns[t] = jax.jit(
+    def _fn(self, b: int, t: int):
+        if (b, t) not in self._fns:
+            self._fns[(b, t)] = jax.jit(
                 lambda p, ids, ln: forward(p, ids, ln, self.cfg))
-        return self._fns[t]
+        return self._fns[(b, t)]
 
     def classify(self, words: Sequence[str]) -> "np.ndarray":
         """Per-word punctuation class ids (0 <unk>, 1 none, 2 ，, 3 。, …) —
@@ -238,25 +238,48 @@ class Punctuator:
         arr = np.zeros((1, t), np.int32)
         n = min(len(ids), t)
         arr[0, :n] = ids[:n]
-        logits = self._fn(t)(self.params, jnp.asarray(arr),
-                             jnp.asarray([n], np.int32))
+        logits = self._fn(1, t)(self.params, jnp.asarray(arr),
+                                jnp.asarray([n], np.int32))
         cls = np.asarray(jnp.argmax(logits[0, :n], axis=-1))
         out = np.ones((len(words),), np.int64)
         out[:n] = cls
         return out
 
     def punctuate(self, text: str) -> str:
-        words = split_words(text)
-        if not words:
-            return text
-        ids = self.vocab.encode(words)
-        t = self.bucketer.bucket(len(ids))
-        arr = np.zeros((1, t), np.int32)
-        n = min(len(ids), t)
-        arr[0, :n] = ids[:n]
-        logits = self._fn(t)(self.params, jnp.asarray(arr),
-                             jnp.asarray([n], np.int32))
-        cls_ids = np.asarray(jnp.argmax(logits[0, :n], axis=-1))
+        return self.punctuate_many([text])[0]
+
+    def punctuate_many(self, texts: Sequence[str]) -> List[str]:
+        """Punctuate a BATCH of utterances with one device call per
+        (batch-bucket, length-bucket) pair — the finalize hub pushes every
+        concurrent session's sentences through here instead of one
+        round trip per sentence (cross-session batching, round 3)."""
+        words_list = [split_words(t) for t in texts]
+        out_texts = list(texts)
+        groups: Dict[int, list] = {}
+        for i, words in enumerate(words_list):
+            if not words:
+                continue
+            ids = self.vocab.encode(words)
+            groups.setdefault(self.bucketer.bucket(len(ids)),
+                              []).append((i, ids))
+        for t, items in sorted(groups.items()):
+            b = 1 << max(len(items) - 1, 0).bit_length()  # pow-2 batch
+            arr = np.zeros((b, t), np.int32)
+            lens = np.zeros((b,), np.int32)
+            for r, (i, ids) in enumerate(items):
+                n = min(len(ids), t)
+                arr[r, :n] = ids[:n]
+                lens[r] = n
+            logits = self._fn(b, t)(self.params, jnp.asarray(arr),
+                                    jnp.asarray(lens))
+            cls = np.asarray(jnp.argmax(logits, axis=-1))
+            for r, (i, ids) in enumerate(items):
+                out_texts[i] = self._render(words_list[i],
+                                            cls[r, : int(lens[r])])
+        return out_texts
+
+    def _render(self, words, cls_ids) -> str:
+        n = len(cls_ids)
         out = []
         for w, c in zip(words[:n], cls_ids):
             out.append(w)

@@ -132,6 +132,36 @@ class BatchedChunkedASR:
         self._active_win[self.ocfg.c0: self.ocfg.c0 + self.ocfg.c1] = 1.0
         self._audio: Dict[int, np.ndarray] = {}
         self._fbank_fns: Dict[Tuple[int, int], object] = {}
+        # double-buffered tick dispatch (CHUNKED_PIPELINE=1, fused only):
+        # tick t dispatches its device step CHAINED on tick t-1's on-device
+        # state (no host sync) and fetches tick t-1's outputs, so the
+        # host↔device round trip overlaps the next tick's compute instead of
+        # serializing with it. Results lag one tick; finalize drains exactly.
+        import os as _os
+        self._pipelined = self.fused and _os.getenv(
+            "CHUNKED_PIPELINE", "0") in ("1", "true")
+        self._inflight: Optional[Tuple[List[int], tuple]] = None
+        self._carry: Dict[int, list] = {}
+
+    def _harvest(self) -> None:
+        """Fetch the in-flight dispatch's outputs into the carry buffer."""
+        if self._inflight is None:
+            return
+        rows, res = self._inflight
+        self._inflight = None
+        n = np.asarray(res[2])
+        if self.partials:
+            ids = np.asarray(res[3])
+            for s in rows:
+                if int(n[s]) > 0:
+                    self._carry.setdefault(s, []).extend(
+                        ids[s, : int(n[s])].tolist())
+        else:
+            embeds = np.asarray(res[1]).astype(np.float32)
+            for s in rows:
+                if int(n[s]) > 0:
+                    self._carry.setdefault(s, []).extend(
+                        embeds[s, : int(n[s])])
 
     FBANK_QUANTA = 24  # frames per fbank call — FIXED shape, so the program
                        # cache is bounded by group size (CLAUDE.md bucketing
@@ -181,6 +211,9 @@ class BatchedChunkedASR:
         return slot
 
     def leave(self, slot: int) -> None:
+        if self.fused and (self._inflight is not None or self._carry):
+            self._harvest()
+            self._carry.pop(slot, None)
         with self._lock:
             self._frontends.pop(slot, None)
             self._queues.pop(slot, None)
@@ -189,13 +222,28 @@ class BatchedChunkedASR:
             self._free.append(slot)
 
     def _reset_slot(self, slot: int) -> None:
+        # ONE jitted program zeroing row `slot` of every state leaf. The
+        # naive eager `tree.map(a.at[slot].set(0))` dispatched one device op
+        # PER LEAF (hundreds for a 50-layer k/v cache) — ~7 s of round trips
+        # per session join/finalize over the tunnel, serialized under the
+        # ticker lock (round-3 wsload finding: 8 concurrent finalizes took
+        # 40+ s at the service layer with 0.5 s of actual compute).
         import jax
-        self.state = jax.tree.map(lambda a: a.at[slot].set(0), self.state)
+        import jax.numpy as jnp
+        if not hasattr(self, "_reset_fn") or self._reset_fn is None:
+            self._reset_fn = jax.jit(lambda st, s: jax.tree.map(
+                lambda a: a.at[s].set(jnp.zeros_like(a[s])), st))
+        self.state = self._reset_fn(self.state, jnp.asarray(slot))
 
     def reset_slot(self, slot: int) -> None:
         """Session reset (reference reset_asr_state clears streaming caches,
         voice_interface.py:1257-1275): device state row, host audio
         remainder, and the host frontend/feature queue in unfused mode."""
+        if self.fused and (self._inflight is not None or self._carry):
+            # fetch any in-flight tick, drop THIS slot's stale results (the
+            # other rows' carried results flow out with the next tick)
+            self._harvest()
+            self._carry.pop(slot, None)
         self._reset_slot(slot)
         self._audio[slot] = np.zeros(0, np.float32)
         if not self.fused:
@@ -221,7 +269,15 @@ class BatchedChunkedASR:
         a_len = self.chunk_samples
         rem = len(self._audio.get(slot, ()))
         pad = (-rem) % a_len + 2 * a_len
-        fired = self.tick({slot: np.zeros(pad, np.float32)})
+        # pipelined mode: the drain must return EVERYTHING now — fetch the
+        # in-flight tick first, then run the drain unpipelined (tick()
+        # merges the carried results in)
+        self._harvest()
+        pipelined, self._pipelined = self._pipelined, False
+        try:
+            fired = self.tick({slot: np.zeros(pad, np.float32)})
+        finally:
+            self._pipelined = pipelined
         mass = float(np.asarray(self.state["cif_mass"][slot]))
         frac = mass - np.floor(mass)
         if frac > 0 and frac + self.cfg.predictor_tail_threshold >= 1.0:
@@ -230,16 +286,20 @@ class BatchedChunkedASR:
                 if "tail" not in self._fbank_fns:
                     c = self.cfg
 
-                    def tail_fn(p, dstate, embed):
+                    def tail_fn(p, state, s, embed):
+                        # slice the slot row INSIDE jit — eager per-leaf
+                        # slicing costs one device round trip per cache leaf
+                        dstate = {k: jax.tree.map(
+                            lambda a: jax.lax.dynamic_slice_in_dim(a, s, 1),
+                            state[k])
+                            for k in ("fsmn", "hist_len", "mem", "mem_len")}
                         return self._po.decode_chunk(
                             p, dstate, embed,
                             jnp.ones((1,), jnp.int32), c)[1]
 
                     self._fbank_fns["tail"] = jax.jit(tail_fn)
-                dstate = {k: jax.tree.map(lambda a: a[slot:slot + 1],
-                                          self.state[k])
-                          for k in ("fsmn", "hist_len", "mem", "mem_len")}
-                ids = self._fbank_fns["tail"](self.params, dstate,
+                ids = self._fbank_fns["tail"](self.params, self.state,
+                                              jnp.asarray(slot),
                                               jnp.asarray(acc)[None, None, :])
                 fired.setdefault(slot, []).append(int(np.asarray(ids)[0, 0]))
             else:
@@ -277,8 +337,12 @@ class BatchedChunkedASR:
                     active_dev = self._row_shard(active_dev)
                 res = self._fused_step(self.params, self.state, batch_dev,
                                        active_dev)
-                self.state, embeds, n = res[0], res[1], res[2]
-                n = np.asarray(n)
+                self.state = res[0]   # device-side chain — no host sync
+                if self._pipelined:
+                    self._harvest()                 # previous tick's fetch
+                    self._inflight = (rows, res)    # fetched next tick
+                    continue
+                embeds, n = res[1], np.asarray(res[2])
                 if self.partials:
                     ids = np.asarray(res[3])
                     for s in rows:
@@ -291,6 +355,11 @@ class BatchedChunkedASR:
                         if int(n[s]) > 0:
                             fired.setdefault(s, []).extend(
                                 embeds[s, : int(n[s])])
+            if self._carry:
+                for s, v in self._carry.items():
+                    # carried results are OLDER than this tick's — prepend
+                    fired[s] = v + fired.get(s, [])
+                self._carry.clear()
             return fired
         self._batched_fbank(list(chunks))
         while True:
@@ -366,8 +435,13 @@ class BatchedVadTicker:
             self._free.append(slot)
 
     def _reset_slot(self, slot: int) -> None:
+        # one jitted call for all conv caches (see BatchedChunkedASR note)
+        import jax
         import jax.numpy as jnp
-        self.cache = [c.at[slot].set(0.0) for c in self.cache]
+        if not hasattr(self, "_reset_fn") or self._reset_fn is None:
+            self._reset_fn = jax.jit(lambda cs, s: [
+                c.at[s].set(jnp.zeros_like(c[s])) for c in cs])
+        self.cache = self._reset_fn(self.cache, jnp.asarray(slot))
 
     def reset_slot(self, slot: int) -> None:
         """Session reset (reference clears vad_cache, voice_interface.py:

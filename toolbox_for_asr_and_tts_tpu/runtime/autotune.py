@@ -58,24 +58,32 @@ def get_profile(refresh: bool = False) -> Dict[str, object]:
     if _cache and not refresh:
         return dict(_cache)
     forced = os.getenv("TOOLBOX_DISPATCH_PROFILE", "").lower()
+    probe_failed = False
     if forced in ("tunnel", "local"):
         name, rtt = forced, float("nan")
     else:
         try:
             rtt = measure_rtt_ms()
         except Exception:
-            logger.exception("dispatch probe failed — assuming tunnel "
-                             "profile (fewest round trips)")
+            # e.g. first call happened inside a jit trace (device ops are
+            # not allowed there): fall back to the safe profile but DON'T
+            # cache it — a later host-context call re-probes properly.
+            # Services avoid this by resolving the profile eagerly at
+            # engine construction (build_engines/Synthesizer.__init__).
+            logger.warning("dispatch probe unavailable here — assuming "
+                           "tunnel profile (fewest round trips) for now")
             rtt = float("inf")
+            probe_failed = True
         name = "local" if rtt < TUNNEL_RTT_MS else "tunnel"
     prof = profile_knobs(name)
     prof["name"] = name
     prof["rtt_ms"] = rtt
-    _cache.clear()
-    _cache.update(prof)
-    logger.info("dispatch profile: %s (rtt %.2f ms) → %s", name, rtt,
-                {k: v for k, v in prof.items() if k not in ("rtt_ms",)})
-    return dict(_cache)
+    if not probe_failed:
+        _cache.clear()
+        _cache.update(prof)
+        logger.info("dispatch profile: %s (rtt %.2f ms) → %s", name, rtt,
+                    {k: v for k, v in prof.items() if k != "rtt_ms"})
+    return prof
 
 
 def profile_knobs(name: str) -> Dict[str, object]:

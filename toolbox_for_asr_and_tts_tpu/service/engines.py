@@ -21,6 +21,11 @@ logger = logging.getLogger("toolbox.engines")
 
 def build_test_engines():
     """Small random-weight engines for tests/dev (no checkpoints needed)."""
+    # same eager dispatch-profile resolution as build_engines: the probe
+    # runs device ops, which are illegal inside a jit trace — resolve it
+    # here, in host context, before any engine code can trace
+    from ..runtime.autotune import get_profile
+    get_profile()
     from ..asr.diarization import Diarizer
     from ..asr.recognizer import Recognizer
     from ..asr.session import VoiceEngines
@@ -169,6 +174,10 @@ def _streaming_factory(reco, model_dir=None):
 def build_engines(model_dir: Optional[str] = None, use_mesh: bool = True):
     """Production engines: converted checkpoints from `model_dir` when
     present, random weights otherwise (with a loud warning)."""
+    # resolve the dispatch profile NOW (host context) so no jit trace ever
+    # has to probe it (runtime/autotune.py)
+    from ..runtime.autotune import get_profile
+    get_profile()
     from ..asr.diarization import Diarizer
     from ..asr.recognizer import Recognizer
     from ..asr.session import VoiceEngines

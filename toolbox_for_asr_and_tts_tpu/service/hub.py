@@ -158,10 +158,18 @@ class ChunkedHub:
 
     def __init__(self, params, cfg, ocfg, tokenizer, cmvn=None,
                  capacity: int = 16, tick_ms: float = 10.0, mesh=None):
+        import os
         from ..parallel.stream_batcher import BatchedChunkedASR
         self.ticker = BatchedChunkedASR(params, cfg, ocfg, capacity=capacity,
                                         cmvn=cmvn, fused=True, partials=True,
                                         mesh=mesh)
+        # serving default: double-buffered dispatch — the fetch of tick t−1
+        # overlaps tick t's compute (+13% streams/chip measured); partials
+        # lag one 240 ms tick, finalize still drains exactly.
+        # CHUNKED_PIPELINE=0 restores fetch-every-tick.
+        self.ticker._pipelined = os.getenv(
+            "CHUNKED_PIPELINE", "1") in ("1", "true")
+        self.cfg = cfg   # model geometry (e.g. the ONLINE checkpoint's)
         self.tokenizer = tokenizer
         self.tick_ms = tick_ms
         self._ids: Dict[int, list] = {}
@@ -300,6 +308,7 @@ class HubStreamingRecognizer:
 
     def __init__(self, hub: ChunkedHub):
         self.hub = hub
+        self.cfg = hub.cfg   # same contract as the per-session recognizers
         self.slot: Optional[int] = hub.join()
 
     def push_audio(self, chunk: np.ndarray) -> str:
