@@ -181,13 +181,13 @@ def bench_chunked_streams() -> None:
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
     import os
     capacity = 64
+    pipelined = os.getenv("CHUNKED_PIPELINE", "1") in ("1", "true")
     ticker = BatchedChunkedASR(params, cfg,
                                po.OnlineConfig(tokens_per_chunk=4),
                                capacity=capacity,
                                partials=os.getenv("CHUNKED_PARTIALS", "1")
-                               in ("1", "true"))
-    pipelined = os.getenv("CHUNKED_PIPELINE", "1") in ("1", "true")
-    ticker._pipelined = pipelined
+                               in ("1", "true"),
+                               pipelined=pipelined)
     slots = [ticker.join() for _ in range(capacity)]
     rng = np.random.default_rng(0)
     chunk_s = 0.24  # c1=4 LFR frames
@@ -303,10 +303,13 @@ def bench_wsload() -> None:
                             got_result = True
                             lat.append(time.perf_counter() - t_send)
                     time.sleep(max(0.0, chunk_s - (time.perf_counter() - t_send)))
-                t_wait = time.perf_counter()
+                # latency and the deadline both count from the LAST CHUNK
+                # SEND (t_send), matching the in-loop measurement above —
+                # counting from here would hide up to chunk_s of wait in
+                # exactly the slow cases
                 missed = False
                 while not got_result:
-                    waited = time.perf_counter() - t_wait
+                    waited = time.perf_counter() - t_send
                     if waited > deadline:
                         # keep waiting (up to 60 s) so the TRUE latency is
                         # recorded; the stream still counts as not sustained
@@ -320,7 +323,7 @@ def bench_wsload() -> None:
                         continue
                     if msg.get("type") == "result":
                         got_result = True
-                        lat.append(time.perf_counter() - t_wait)
+                        lat.append(time.perf_counter() - t_send)
                 if missed:
                     out[idx] = (False, lat)
                     return

@@ -95,6 +95,15 @@ def test_matches_dedup_preserves_order():
     assert C.validate_matches(["缴费", "挂号", "缴费"], opts) == ["缴费", "挂号"]
 
 
+def test_matches_strip_weights_from_weighted_options():
+    # options are load_hotword_options "word weight" lines — the weight
+    # digits must NOT leak into the match strings (prompt rule 4)
+    opts = ["心悸 20", "胸痛 15", "头晕 -5"]
+    assert C.validate_matches(["心悸", "胸痛 15"], opts) == ["心悸", "胸痛"]
+    # dedup applies to the bare word, not the raw option line
+    assert C.validate_matches(["心悸", "心悸 20"], opts) == ["心悸"]
+
+
 def test_unvalidated_model_matches_are_dropped(corrector, monkeypatch):
     monkeypatch.setattr(corrector, "_call", fake_call(json.dumps(
         {"corrected": "去缴费", "matches": ["不存在的选项"]})))
@@ -137,6 +146,24 @@ def test_parse_model_output_failure():
 def test_extract_json_fenced_block():
     assert C._extract_json('```json\n{"a": 1}\n```') == {"a": 1}
     assert C._extract_json('prefix {"b": 2} suffix') == {"b": 2}
+
+
+def test_parse_model_output_uses_fence_extraction():
+    # a server that ignores response_format wraps the JSON in a code fence:
+    # the full parse (incl. `changed`) must survive, not the regex scrape
+    raw = '```json\n{"corrected": "挂号", "changed": true, "matches": []}\n```'
+    r = C.parse_model_output(raw, "原")
+    assert r["matched_via"] == "model" and r["changed"] is True
+    assert r["corrected"] == "挂号" and r["error"] is None
+
+
+def test_regex_scrape_unescapes_chinese_without_mojibake():
+    # non-ASCII text with a backslash escape must decode as JSON would —
+    # unicode_escape on the UTF-8 bytes would produce Latin-1 mojibake
+    raw = 'oops "corrected": "胸痛\\n不适", "matches": ["\\u632a\\u52a8"]'
+    r = C.parse_model_output(raw, "原")
+    assert r["corrected"] == "胸痛\n不适"
+    assert r["matches"] == ["挪动"]
 
 
 # -------------------------------------------------------- public surface

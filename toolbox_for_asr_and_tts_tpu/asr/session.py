@@ -68,6 +68,20 @@ class VoiceEngines:
     streaming_factory: Any = None  # optional () -> StreamingRecognizer;
                                    # per-session (2-pass partials + offline final)
 
+    def close(self) -> None:
+        """Stop the shared serving hubs this bundle owns (the batched-
+        serving default spawns FinalizeHub / VadHub / ChunkedHub threads per
+        build — a process that rebuilds engines must release the old set)."""
+        for obj in (self.diarizer,
+                    getattr(self.streaming_factory, "hub", None),
+                    getattr(self.vad_factory, "hub", None)):
+            fn = getattr(obj, "close", None)
+            if fn is not None:
+                try:
+                    fn()
+                except Exception:
+                    pass
+
 
 class StreamingASRSession:
     SILENCE_THRESHOLD_S = 2.0          # voice_interface.py:649

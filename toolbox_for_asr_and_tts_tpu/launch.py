@@ -110,6 +110,7 @@ def launch_voice() -> None:
     finally:
         if ws_server is not None:
             ws_server.stop()
+        engines.close()   # stop the serving-hub threads
 
 
 def launch_tts() -> None:

@@ -151,25 +151,32 @@ def _extract_via_regex(raw: str):
     matches: List[str] = []
     m = re.search(r'"corrected"\s*:\s*"((?:\\.|[^"\\])*)"', raw, re.S)
     if m:
-        val = m.group(1)
-        corrected = (val.encode("utf-8").decode("unicode_escape")
-                     if "\\" in val else val)
+        corrected = _unescape_json_fragment(m.group(1))
     m2 = re.search(r'"matches"\s*:\s*\[\s*([\s\S]*?)\s*\]', raw, re.S)
     if m2:
         for it in re.findall(r'"((?:\\.|[^"\\])*)"', m2.group(1)):
-            matches.append(it.encode("utf-8").decode("unicode_escape")
-                           if "\\" in it else it)
+            matches.append(_unescape_json_fragment(it))
     return corrected, matches
+
+
+def _unescape_json_fragment(val: str) -> str:
+    """Decode the body of a scraped JSON string literal. json.loads on the
+    re-quoted fragment handles \\n/\\uXXXX correctly for non-ASCII text;
+    `unicode_escape` would decode the UTF-8 bytes as Latin-1 and turn
+    Chinese into mojibake."""
+    if "\\" not in val:
+        return val
+    try:
+        return json.loads(f'"{val}"')
+    except json.JSONDecodeError:
+        return val
 
 
 def parse_model_output(raw: str, original: str = "") -> Dict[str, Any]:
     """Reference `parse_model_output` (LLM_functions.py:333-377): JSON
     first, regex scrape second, structured failure third."""
     raw = (raw or "").strip()
-    try:
-        data = json.loads(raw)
-    except json.JSONDecodeError:
-        data = None
+    data = _extract_json(raw)   # direct / ```json fenced / outermost {...}
     if isinstance(data, dict):
         matches = data.get("matches", [])
         return {
@@ -217,8 +224,10 @@ def validate_matches(matches: Sequence[Any], options: Sequence[str]
                      ) -> List[str]:
     """Reference match validation (LLM_functions.py:415-433): a model match
     survives only if it IS an option or normalized-substring-overlaps one;
-    survivors are mapped back to the canonical option string, deduplicated
-    in order. Model output is never trusted verbatim."""
+    survivors map to the canonical option's WORD (weights stripped — the
+    options may be "word weight" lines from load_hotword_options, and rule
+    4 forbids weight digits surfacing), deduplicated in order. Model output
+    is never trusted verbatim."""
     validated: List[str] = []
     seen = set()
     for m in matches:
@@ -232,9 +241,11 @@ def validate_matches(matches: Sequence[Any], options: Sequence[str]
                 (o for o in options
                  if nm and (nm in normalize_str_for_match(o)
                             or normalize_str_for_match(o) in nm)), None)
-        if cand and cand not in seen:
-            seen.add(cand)
-            validated.append(cand)
+        if cand:
+            word = _parse_weighted(cand)[0]
+            if word not in seen:
+                seen.add(word)
+                validated.append(word)
     return validated
 
 

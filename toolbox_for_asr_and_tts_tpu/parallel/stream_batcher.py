@@ -38,7 +38,8 @@ class BatchedChunkedASR:
 
     def __init__(self, params, cfg=None, ocfg=None, capacity: int = 16,
                  cmvn: Optional[Tuple[np.ndarray, np.ndarray]] = None,
-                 fused: bool = True, partials: bool = False, mesh=None):
+                 fused: bool = True, partials: bool = False, mesh=None,
+                 pipelined: bool = False):
         """fused=True (default): ONE device program per tick — the audio
         ring lives on device and fbank/LFR/CMVN fuse with the encoder+CIF
         (models/paraformer_online.fused_step). fused=False keeps the
@@ -48,7 +49,11 @@ class BatchedChunkedASR:
         per-slot token-id lists instead of embeddings.
         mesh: optional jax.sharding.Mesh with a "data" axis — session rows
         shard across chips (params replicated), so one hub scales streaming
-        over ICI; capacity must divide by the data-axis size."""
+        over ICI; capacity must divide by the data-axis size.
+        pipelined (fused only): double-buffered tick dispatch — results lag
+        one tick, the fetch of tick t-1 overlaps tick t's compute. The env
+        knob (CHUNKED_PIPELINE) is parsed ONCE at the serving layer
+        (service/hub.py, benchmarks/run.py), not here."""
         import jax
         from ..models import paraformer as pf
         from ..models import paraformer_online as po
@@ -132,14 +137,12 @@ class BatchedChunkedASR:
         self._active_win[self.ocfg.c0: self.ocfg.c0 + self.ocfg.c1] = 1.0
         self._audio: Dict[int, np.ndarray] = {}
         self._fbank_fns: Dict[Tuple[int, int], object] = {}
-        # double-buffered tick dispatch (CHUNKED_PIPELINE=1, fused only):
-        # tick t dispatches its device step CHAINED on tick t-1's on-device
-        # state (no host sync) and fetches tick t-1's outputs, so the
-        # host↔device round trip overlaps the next tick's compute instead of
-        # serializing with it. Results lag one tick; finalize drains exactly.
-        import os as _os
-        self._pipelined = self.fused and _os.getenv(
-            "CHUNKED_PIPELINE", "0") in ("1", "true")
+        # double-buffered tick dispatch (fused only): tick t dispatches its
+        # device step CHAINED on tick t-1's on-device state (no host sync)
+        # and fetches tick t-1's outputs, so the host↔device round trip
+        # overlaps the next tick's compute instead of serializing with it.
+        # Results lag one tick; finalize drains exactly.
+        self._pipelined = self.fused and pipelined
         self._inflight: Optional[Tuple[List[int], tuple]] = None
         self._carry: Dict[int, list] = {}
 

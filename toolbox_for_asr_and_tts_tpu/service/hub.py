@@ -50,6 +50,7 @@ class VadHub:
         self._lock = threading.Lock()
         self._ticker_lock = threading.Lock()  # tick vs join/leave/reset
         self._stop = threading.Event()
+        self._work = threading.Event()   # set on submit; idle loop parks
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="vad-hub")
         self._thread.start()
@@ -108,13 +109,20 @@ class VadHub:
                 waiters = [(ev, holder)]
             self._pending[slot] = (np.asarray(chunk, np.float32), waiters,
                                    gen)
+        self._work.set()
         if not ev.wait(timeout or _hub_timeout()):
             raise TimeoutError("VAD hub tick timed out")
         return bool(holder[0])
 
     def _loop(self) -> None:
         while not self._stop.is_set():
-            time.sleep(self.tick_ms / 1000.0)
+            # park until a submit arrives — an IDLE hub costs nothing (the
+            # old sleep-poll woke 100×/s per hub forever, and every engine
+            # build spawns hubs); the timeout only re-checks _stop
+            if not self._work.wait(timeout=0.25):
+                continue
+            self._work.clear()
+            time.sleep(self.tick_ms / 1000.0)   # batch-gather window
             with self._lock:
                 batch = self._pending
                 self._pending = {}
@@ -140,6 +148,7 @@ class VadHub:
 
     def close(self) -> None:
         self._stop.set()
+        self._work.set()   # wake the parked loop so it can exit
         self._thread.join(timeout=2.0)
 
 
@@ -160,15 +169,14 @@ class ChunkedHub:
                  capacity: int = 16, tick_ms: float = 10.0, mesh=None):
         import os
         from ..parallel.stream_batcher import BatchedChunkedASR
-        self.ticker = BatchedChunkedASR(params, cfg, ocfg, capacity=capacity,
-                                        cmvn=cmvn, fused=True, partials=True,
-                                        mesh=mesh)
         # serving default: double-buffered dispatch — the fetch of tick t−1
         # overlaps tick t's compute (+13% streams/chip measured); partials
         # lag one 240 ms tick, finalize still drains exactly.
         # CHUNKED_PIPELINE=0 restores fetch-every-tick.
-        self.ticker._pipelined = os.getenv(
-            "CHUNKED_PIPELINE", "1") in ("1", "true")
+        self.ticker = BatchedChunkedASR(
+            params, cfg, ocfg, capacity=capacity, cmvn=cmvn, fused=True,
+            partials=True, mesh=mesh,
+            pipelined=os.getenv("CHUNKED_PIPELINE", "1") in ("1", "true"))
         self.cfg = cfg   # model geometry (e.g. the ONLINE checkpoint's)
         self.tokenizer = tokenizer
         self.tick_ms = tick_ms
@@ -182,6 +190,7 @@ class ChunkedHub:
         # racing a tick could resurrect a pre-reset cache row
         self._ticker_lock = threading.Lock()
         self._stop = threading.Event()
+        self._work = threading.Event()   # set on submit; idle loop parks
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="chunked-hub")
         self._thread.start()
@@ -230,6 +239,7 @@ class ChunkedHub:
                 chunk = np.concatenate([prev, np.asarray(chunk, np.float32)])
                 prev_ev.set()
             self._pending[slot] = (np.asarray(chunk, np.float32), ev, gen)
+        self._work.set()
         if not ev.wait(timeout or _hub_timeout()):
             raise TimeoutError("chunked-ASR hub tick timed out")
         with self._lock:
@@ -270,7 +280,11 @@ class ChunkedHub:
 
     def _loop(self) -> None:
         while not self._stop.is_set():
-            time.sleep(self.tick_ms / 1000.0)
+            # park until a submit arrives (see VadHub._loop)
+            if not self._work.wait(timeout=0.25):
+                continue
+            self._work.clear()
+            time.sleep(self.tick_ms / 1000.0)   # batch-gather window
             with self._lock:
                 batch = self._pending
                 self._pending = {}
@@ -298,6 +312,7 @@ class ChunkedHub:
 
     def close(self) -> None:
         self._stop.set()
+        self._work.set()   # wake the parked loop so it can exit
         self._thread.join(timeout=2.0)
 
 
@@ -395,6 +410,7 @@ class FinalizeHub:
         self._pending: list = []     # (wav, sample_rate, event, holder)
         self._lock = threading.Lock()
         self._stop = threading.Event()
+        self._work = threading.Event()   # set on diarize; idle loop parks
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="finalize-hub")
         self._thread.start()
@@ -410,6 +426,7 @@ class FinalizeHub:
         with self._lock:
             self._pending.append((np.asarray(wav, np.float32), sample_rate,
                                   ev, holder))
+        self._work.set()
         if not ev.wait(_hub_timeout()):
             raise TimeoutError("finalize hub timed out")
         if "exc" in holder:
@@ -418,10 +435,16 @@ class FinalizeHub:
 
     def _loop(self) -> None:
         while not self._stop.is_set():
-            time.sleep(self.window_ms / 1000.0)
+            # park until a finalize arrives (see VadHub._loop)
+            if not self._work.wait(timeout=0.25):
+                continue
+            self._work.clear()
+            time.sleep(self.window_ms / 1000.0)   # batch-gather window
             with self._lock:
                 batch = self._pending[: self.max_batch]
                 self._pending = self._pending[self.max_batch:]
+                if self._pending:
+                    self._work.set()   # overflow rolls into the next round
             if not batch:
                 continue
             self.batches += 1
@@ -447,4 +470,5 @@ class FinalizeHub:
 
     def close(self) -> None:
         self._stop.set()
+        self._work.set()   # wake the parked loop so it can exit
         self._thread.join(timeout=2.0)

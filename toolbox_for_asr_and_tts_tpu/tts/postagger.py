@@ -211,11 +211,8 @@ RULES: Dict[str, List[Rule]] = {
 }
 
 
-def disambiguate(items: List[Item], locked: set,
-                 lexicon_default: Dict[str, str]) -> List[Item]:
-    """Apply the bare-polyphone POS rules to unlocked single-char items.
-    `lexicon_default` maps char → default syllable (used to decide whether a
-    rule actually changes anything)."""
+def disambiguate(items: List[Item], locked: set) -> List[Item]:
+    """Apply the bare-polyphone POS rules to unlocked single-char items."""
     tags = tag_items(items)
     out = list(items)
     for i, (ch, sy) in enumerate(out):

@@ -350,7 +350,7 @@ class G2P:
         # bare-polyphone POS rules (the ttsfrd-tagger tail the compound
         # lexicon can't see): 还/曲/难/弹/长/着/重/行/为/相/传/将/盛/干…
         from .postagger import disambiguate
-        items = disambiguate(items, locked, self.lexicon)
+        items = disambiguate(items, locked)
         return self._apply_sandhi(self._apply_erhua(items))
 
     def pinyin(self, text: str) -> List[str]:
