@@ -298,9 +298,16 @@ class Diarizer:
                 ) -> List[Sentence]:
         return self.diarize_batch([wav], sample_rate)[0]
 
-    # bound above which a buffer takes the silence-aware transcribe_long
-    # path instead of joining the cross-utterance device batch
-    LONG_LIMIT_S = 120.0
+    def _long_limit(self, sample_rate: int) -> int:
+        """Samples above which a buffer takes the silence-aware
+        transcribe_long path instead of joining the cross-utterance device
+        batch: the RECOGNIZER'S largest audio bucket — anything longer
+        would be silently truncated by pad_batch (the round-2 bug
+        transcribe_long was built to fix)."""
+        bucketer = getattr(self.recognizer, "bucketer", None)
+        if bucketer is not None:
+            return int(bucketer.sizes[-1])
+        return int(120.0 * sample_rate)
 
     def diarize_batch(self, wavs: Sequence[np.ndarray],
                       sample_rate: int = 16000) -> List[List[Sentence]]:
@@ -311,7 +318,7 @@ class Diarizer:
         per-wav. This is what the service's cross-session finalize hub
         (service/hub.py::FinalizeHub) drives so concurrent WS finalizes
         don't serialize N recognition round trips."""
-        long_limit = int(self.LONG_LIMIT_S * sample_rate)
+        long_limit = self._long_limit(sample_rate)
         results: List[object] = [None] * len(wavs)
         short = [i for i, w in enumerate(wavs) if len(w) <= long_limit]
         if short:
