@@ -6,6 +6,7 @@ Each subcommand prints one JSON line like bench.py. Usage:
     python benchmarks/run.py batch        # config 2: batched ASR + punc
     python benchmarks/run.py streaming    # config 3: chunked VAD+ASR latency
     python benchmarks/run.py tts          # config 4: full-size TTS RTF
+    python benchmarks/run.py ttfa         # streaming TTS time-to-first-audio
     python benchmarks/run.py voiceloop    # config 5: concurrent sessions
     python benchmarks/run.py all
 
@@ -141,6 +142,44 @@ def bench_tts() -> None:
         total_audio += len(res.wav) / res.sample_rate
     rtf = (time.perf_counter() - t0) / max(total_audio, 1e-9)
     _emit("tts_rtf", rtf, "rtf", 0.1)
+
+
+def bench_ttfa() -> None:
+    """Time-to-first-audio of the STREAMING TTS path (synthesize_stream: the
+    first segment runs alone as one small program and is emitted before the
+    rest of the job synthesizes). The reference's poll-only job API cannot
+    return audio before the whole job ends (tts_service.py:507-936), so its
+    TTFA equals whole-job latency — measured here as the comparison row."""
+    import jax.numpy as jnp
+    from toolbox_for_asr_and_tts_tpu.tts.synthesizer import Synthesizer
+    synth = Synthesizer.random(tiny=False, param_dtype=jnp.bfloat16)
+    text = ("患者目前诊断为高血压和糖尿病。建议低盐低脂饮食，适量运动，"
+            "定期监测血压和血糖。如有头晕头痛及时就诊。注意休息，避免劳累。")
+    for _ in range(2):                      # compile both paths + upload
+        for _ in synth.synthesize_stream(text):
+            break                           # first chunk is enough
+        synth.synthesize(text)
+    iters = 5
+    first, whole = [], []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        gen = synth.synthesize_stream(text)
+        ev = next(gen)
+        first.append(time.perf_counter() - t0)
+        for _ in gen:                       # finish the job cleanly
+            pass
+        assert ev["event"] == "chunk" and len(ev["audio"])
+        t0 = time.perf_counter()
+        synth.synthesize(text)
+        whole.append(time.perf_counter() - t0)
+    ttfa = float(np.median(first))
+    job = float(np.median(whole))
+    sys.stderr.write(f"ttfa: streaming first audio {ttfa * 1e3:.1f} ms vs "
+                     f"whole-job {job * 1e3:.1f} ms ({job / ttfa:.1f}×)\n")
+    print(json.dumps({"metric": "tts_time_to_first_audio_s",
+                      "value": round(ttfa, 4), "unit": "s",
+                      "whole_job_s": round(job, 4),
+                      "vs_baseline": round(job / max(ttfa, 1e-9), 3)}))
 
 
 def bench_voiceloop() -> None:
@@ -406,7 +445,8 @@ def bench_wsload() -> None:
 ALL = {"offline": bench_offline, "batch": bench_batch,
        "streaming": bench_streaming, "tts": bench_tts,
        "voiceloop": bench_voiceloop, "chunked": bench_chunked_streams,
-       "wsload": bench_wsload, "longform": bench_longform}
+       "wsload": bench_wsload, "longform": bench_longform,
+       "ttfa": bench_ttfa}
 
 
 def main() -> None:

@@ -51,3 +51,7 @@ class TTSResultResponse(BaseModel):
     text: Optional[str] = None
     audio_size: int = 0
     error: Optional[str] = None
+    # beyond the reference (streamed jobs, tts/jobs.py): progress gauges,
+    # and with ?partial=1 audio_base64 carries the audio synthesized so far
+    segments_done: int = 0
+    n_segments: Optional[int] = None

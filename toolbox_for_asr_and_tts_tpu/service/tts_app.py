@@ -6,10 +6,13 @@ tts-service/app/main.py:156-176):
 
     POST   /api/v1/tts/start            → {job_id, status}
     POST   /api/v1/tts/cancel           → {job_id, status}
-    GET    /api/v1/tts/result/{job_id}  → TTSResultResponse (poll)
+    GET    /api/v1/tts/result/{job_id}  → TTSResultResponse (poll;
+                                          ?partial=1 → audio-so-far)
     DELETE /api/v1/tts/jobs/{job_id}    → cleanup
     GET    /health                      → model_loaded + active_jobs
     GET    /                            → service banner
+    WS     /api/v1/tts/ws               → streaming synthesis (beyond the
+                                          reference: per-segment PCM frames)
 """
 from __future__ import annotations
 
@@ -84,7 +87,11 @@ def create_app(synthesizer=None, cfg: Optional[TTSConfig] = None) -> App:
     @app.get("/api/v1/tts/result/{job_id}")
     async def result(req: Request) -> Response:
         job_id = req.path_params["job_id"]
-        r = manager().get_result(job_id)
+        # ?partial=1 → while processing, audio_base64 carries the audio
+        # synthesized so far (a sample-exact prefix of the final WAV); the
+        # reference poll only ever returns completed audio (tts.py:85-119)
+        partial = req.query.get("partial", "0") in ("1", "true")
+        r = manager().get_result(job_id, partial=partial)
         if r is None:
             raise HTTPError(404, f"job {job_id} not found")
         timing = r.pop("detailed_timing", None)
@@ -98,6 +105,95 @@ def create_app(synthesizer=None, cfg: Optional[TTSConfig] = None) -> App:
         if not manager().cleanup_job(job_id):
             raise HTTPError(404, f"job {job_id} not found")
         return Response.json({"job_id": job_id, "message": "job cleaned up"})
+
+    @app.websocket("/api/v1/tts/ws")
+    async def tts_stream(ws) -> None:
+        """Streaming synthesis (beyond the reference's poll-only job API):
+        the client sends one {"text", "voice"} message and receives
+
+            {"type": "chunk", "pcm16_base64", "sample_rate",
+             "segment_index", "n_segments", "text"}   — per finished segment
+            {"type": "done", "rtf", "duration_s", "n_segments"}
+
+        Concatenated pcm16 chunks are sample-identical to the job API's WAV
+        for the same text. Time-to-first-audio is one small single-segment
+        program instead of the whole job (benchmarks/run.py ttfa)."""
+        import asyncio
+        import base64 as b64mod
+        import threading
+
+        import numpy as np
+
+        try:
+            body = await ws.receive_json()
+            tts_req = TTSRequest.model_validate(body)
+        except Exception as e:
+            await ws.send_json({"type": "error", "error": f"bad request: {e}"})
+            await ws.close()
+            return
+        if not tts_req.text.strip():
+            await ws.send_json({"type": "error", "error": "text is empty"})
+            await ws.close()
+            return
+        synth = manager().synth
+        loop = asyncio.get_running_loop()
+        queue: asyncio.Queue = asyncio.Queue()
+        gone = threading.Event()   # client went away → stop synthesizing
+
+        def worker() -> None:
+            try:
+                for ev in synth.synthesize_stream(
+                        tts_req.text, tts_req.voice,
+                        cancelled=gone.is_set):
+                    loop.call_soon_threadsafe(queue.put_nowait, ev)
+            except Exception as e:  # surfaced as an error frame, not a drop
+                logger.exception("TTS stream failed")
+                loop.call_soon_threadsafe(
+                    queue.put_nowait, {"event": "error", "error": str(e)})
+            loop.call_soon_threadsafe(queue.put_nowait, None)
+
+        threading.Thread(target=worker, daemon=True,
+                         name="tts-ws-stream").start()
+
+        def pcm16(audio: np.ndarray) -> str:
+            ints = np.clip(np.round(audio * 32767.0), -32768, 32767)
+            return b64mod.b64encode(ints.astype("<i2").tobytes()).decode()
+
+        try:
+            while True:
+                ev = await queue.get()
+                if ev is None:
+                    break
+                if ev["event"] == "error":
+                    await ws.send_json({"type": "error", "error": ev["error"]})
+                elif ev["event"] == "chunk":
+                    await ws.send_json({
+                        "type": "chunk",
+                        "pcm16_base64": pcm16(ev["audio"]),
+                        "sample_rate": synth.sample_rate,
+                        "segment_index": ev["segment_index"],
+                        "n_segments": ev["n_segments"],
+                        "text": ev["text"],
+                    })
+                else:  # done — flush the held tail, then the summary
+                    if len(ev["audio"]):
+                        await ws.send_json({
+                            "type": "chunk",
+                            "pcm16_base64": pcm16(ev["audio"]),
+                            "sample_rate": synth.sample_rate,
+                            "segment_index": max(len(ev["segments"]) - 1, 0),
+                            "n_segments": len(ev["segments"]),
+                            "text": ev["segments"][-1] if ev["segments"]
+                                    else "",
+                        })
+                    await ws.send_json({
+                        "type": "done", "rtf": ev["rtf"],
+                        "duration_s": ev["duration_s"],
+                        "n_segments": len(ev["segments"]),
+                    })
+            await ws.close()
+        finally:
+            gone.set()
 
     @app.get("/health")
     async def health(req: Request) -> Response:

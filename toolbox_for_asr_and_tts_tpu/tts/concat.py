@@ -43,3 +43,56 @@ def concat_segments(wavs: Sequence[np.ndarray], pauses_ms: Sequence[int],
                 [out, np.zeros(int(sample_rate * pause / 1000), np.float32)])
         out = crossfade_concat(out, w, fade)
     return out
+
+
+class StreamingConcat:
+    """Incremental `concat_segments`: feed segments one at a time, emit audio
+    as soon as it can no longer change. The concatenation of every emitted
+    chunk (+ `flush()`) is sample-identical to the offline function — locked
+    by tests/test_tts_stream.py.
+
+    Only the final `fade` samples of the running output can still be modified
+    (by the next boundary's crossfade), so each `feed` emits everything except
+    that tail. Branch-equivalence with the offline path: chunks are only held
+    back once the running output exceeds `fade` samples, so whenever the held
+    tail is shorter than `fade`, it IS the entire output so far — exactly the
+    `len(a) < fade → plain concat` case of `crossfade_concat`."""
+
+    def __init__(self, sample_rate: int = 16000, crossfade_ms: int = 60):
+        self.sample_rate = sample_rate
+        self.fade = max(int(sample_rate * crossfade_ms / 1000), 0)
+        self._buf: np.ndarray | None = None  # un-emitted suffix
+        self._n_fed = 0                      # non-empty segments so far
+
+    def feed(self, wav: np.ndarray, pause_ms: int = 0) -> np.ndarray:
+        """Add the next segment (with the pause that precedes it — ignored
+        for the first non-empty segment, as offline) and return the newly
+        final audio. Empty segments are skipped like the offline filter."""
+        wav = np.asarray(wav, np.float32)
+        if len(wav) == 0:
+            return np.zeros(0, np.float32)
+        if self._buf is None:
+            self._buf = wav
+        else:
+            if pause_ms > 0:
+                self._buf = np.concatenate(
+                    [self._buf,
+                     np.zeros(int(self.sample_rate * pause_ms / 1000),
+                              np.float32)])
+            self._buf = crossfade_concat(self._buf, wav, self.fade)
+        self._n_fed += 1
+        if len(self._buf) > self.fade:
+            out = self._buf[: len(self._buf) - self.fade]
+            self._buf = self._buf[len(self._buf) - self.fade:]
+            return out
+        return np.zeros(0, np.float32)
+
+    @property
+    def segments_fed(self) -> int:
+        return self._n_fed
+
+    def flush(self) -> np.ndarray:
+        """The held-back tail once no more segments will arrive."""
+        out = self._buf if self._buf is not None else np.zeros(0, np.float32)
+        self._buf = None
+        return out

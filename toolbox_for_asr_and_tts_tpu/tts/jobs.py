@@ -8,6 +8,12 @@ total RTF, tts_service.py:915-936), and job cleanup.
 
 The TPU difference: within a job, segments are synthesized as one batched
 device program (tts/synthesizer.py) instead of a Python thread fan-out.
+
+Beyond the reference: jobs run through `Synthesizer.synthesize_stream`, so a
+poll during processing can already return the audio synthesized so far
+(`get_result(partial=True)` → REST `?partial=1`, or the /api/v1/tts/ws
+streaming endpoint). Chunk concatenation is sample-identical to the one-shot
+result. TTS_STREAM_JOBS=0 restores whole-job synthesis.
 """
 from __future__ import annotations
 
@@ -36,6 +42,9 @@ class TTSJobManager:
         self.jobs: Dict[str, Dict[str, Any]] = {}
         self.job_ttl_s = (job_ttl_s if job_ttl_s is not None
                           else float(os.getenv("TTS_JOB_TTL_S", "900")))
+        self.stream_jobs = (
+            os.getenv("TTS_STREAM_JOBS", "1") in ("1", "true")
+            and hasattr(synthesizer, "synthesize_stream"))
         self._lock = threading.Lock()
         self._pool = ThreadPoolExecutor(max_workers=max_workers,
                                         thread_name_prefix="tts-job")
@@ -68,6 +77,9 @@ class TTSJobManager:
                 "audio_base64": None,
                 "error": None,
                 "_detailed_timing": None,
+                "chunks": [],          # progressive float32 audio (streamed)
+                "segments_done": 0,
+                "n_segments": None,
             }
         self._pool.submit(self._process, job_id)
         return job_id
@@ -81,7 +93,12 @@ class TTSJobManager:
             job["finished_at"] = time.time()
         return True
 
-    def get_result(self, job_id: str) -> Optional[Dict[str, Any]]:
+    def get_result(self, job_id: str,
+                   partial: bool = False) -> Optional[Dict[str, Any]]:
+        """partial=True: while the job is still processing, also return the
+        audio synthesized SO FAR (the streamed chunk prefix — sample-
+        identical to the same prefix of the final WAV). The reference poll
+        returns audio only on completion (tts-service/app/api/tts.py:85-119)."""
         with self._lock:
             # fetch BEFORE sweeping: the polled job must survive this poll
             # even when its own TTL just expired
@@ -89,15 +106,28 @@ class TTSJobManager:
             self._sweep_locked()
             if job is None:
                 return None
-            return {
+            audio_b64 = job["audio_base64"]
+            pending_chunks = (list(job["chunks"])
+                              if partial and audio_b64 is None else None)
+            out = {
                 "job_id": job_id,
                 "status": job["status"],
                 "text": job["text"],
-                "audio_base64": job["audio_base64"],
-                "audio_size": len(job["audio_base64"] or ""),
+                "audio_base64": audio_b64,
+                "audio_size": len(audio_b64 or ""),
                 "error": job["error"],
                 "detailed_timing": job["_detailed_timing"],
+                "segments_done": job["segments_done"],
+                "n_segments": job["n_segments"],
             }
+        if pending_chunks:
+            import numpy as np
+            wav = np.concatenate(pending_chunks)
+            b64 = base64.b64encode(
+                encode_wav_bytes(wav, self.synth.sample_rate)).decode()
+            out["audio_base64"] = b64
+            out["audio_size"] = len(b64)
+        return out
 
     def cleanup_job(self, job_id: str) -> bool:
         with self._lock:
@@ -115,6 +145,38 @@ class TTSJobManager:
             j = self.jobs.get(job_id)
             return j is None or j["status"] == "cancelled"
 
+    def _synthesize_streamed(self, job_id: str, text: str, voice: str):
+        """Drive synthesize_stream, publishing chunk progress on the job as
+        each segment lands; returns (wav, timing-fields) or None on cancel."""
+        import numpy as np
+        chunks = []
+        final = None
+        for ev in self.synth.synthesize_stream(
+                text, voice, cancelled=lambda: self._cancelled(job_id)):
+            if len(ev["audio"]):
+                chunks.append(ev["audio"])
+            if ev["event"] == "done":
+                final = ev
+                break
+            with self._lock:
+                job = self.jobs.get(job_id)
+                if job is None or job["status"] == "cancelled":
+                    return None
+                if len(ev["audio"]):
+                    job["chunks"].append(ev["audio"])
+                job["segments_done"] = ev["segment_index"] + 1
+                job["n_segments"] = ev["n_segments"]
+        if final is None:  # cancelled mid-flight
+            return None
+        wav = (np.concatenate(chunks) if chunks
+               else np.zeros(0, np.float32))
+        return wav, {
+            "rtf": final["rtf"],
+            "segments": len(final["segments"]),
+            "seg_times_ms": final["seg_times_ms"],
+            "seg_durations_s": final["seg_durations_s"],
+        }
+
     def _process(self, job_id: str) -> None:
         t0 = time.time()
         try:
@@ -124,19 +186,26 @@ class TTSJobManager:
                     return
                 job["status"] = "processing"
                 text, voice = job["text"], job["voice"]
-            result = self.synth.synthesize(
-                text, voice, cancelled=lambda: self._cancelled(job_id))
-            if result is None:  # cancelled mid-flight
-                return
-            wav_bytes = encode_wav_bytes(result.wav, result.sample_rate)
+            if self.stream_jobs:
+                res = self._synthesize_streamed(job_id, text, voice)
+                if res is None:
+                    return
+                wav, fields = res
+            else:
+                result = self.synth.synthesize(
+                    text, voice, cancelled=lambda: self._cancelled(job_id))
+                if result is None:  # cancelled mid-flight
+                    return
+                wav = result.wav
+                fields = {
+                    "rtf": result.rtf,
+                    "segments": len(result.segments),
+                    "seg_times_ms": result.seg_times_ms,
+                    "seg_durations_s": result.seg_durations_s,
+                }
+            wav_bytes = encode_wav_bytes(wav, self.synth.sample_rate)
             b64 = base64.b64encode(wav_bytes).decode()
-            timing = {
-                "total_ms": (time.time() - t0) * 1000,
-                "rtf": result.rtf,
-                "segments": len(result.segments),
-                "seg_times_ms": result.seg_times_ms,
-                "seg_durations_s": result.seg_durations_s,
-            }
+            timing = {"total_ms": (time.time() - t0) * 1000, **fields}
             with self._lock:
                 job = self.jobs.get(job_id)
                 if job is None or job["status"] == "cancelled":
@@ -144,6 +213,9 @@ class TTSJobManager:
                 job["status"] = "completed"
                 job["finished_at"] = time.time()
                 job["audio_base64"] = b64
+                job["chunks"] = []   # the base64 WAV holds the audio now
+                job["segments_done"] = fields["segments"]
+                job["n_segments"] = fields["segments"]
                 job["_detailed_timing"] = timing
         except Exception as e:  # job errors recorded, worker survives
             logger.exception("TTS job %s failed", job_id)

@@ -26,7 +26,7 @@ from ..models import hifigan, sambert
 from ..runtime.bucketing import Bucketer
 from ..runtime.config import TTSConfig
 from ..runtime.metrics import RTFMeter, timing_log
-from .concat import concat_segments
+from .concat import StreamingConcat, concat_segments
 from .text_frontend import (G2P, LingVocab, pause_after, split_text_for_tts,
                             text_to_ling_ids)
 
@@ -425,3 +425,80 @@ class Synthesizer:
         rtf = self.rtf.record(proc_s, max(audio_s, 1e-6), label="tts_job")
         return SynthesisResult(wav, self.sample_rate, segments,
                                seg_times, seg_durs, rtf)
+
+    def synthesize_stream(self, text: str, voice: str = "zhitian_emo",
+                          cancelled=lambda: False):
+        """Streaming job: yield audio chunks as segments finish, instead of
+        holding the whole waveform until the job completes.
+
+        The reference has no streaming TTS — its job API returns one base64
+        WAV after the full pipeline (tts_service.py:507-936), so time-to-
+        first-audio equals whole-job latency. Here the FIRST segment is
+        synthesized alone (one small fast program) and the remaining segments
+        in normal batches, with an incremental crossfade/pause concatenator
+        (`StreamingConcat`) emitting every sample as soon as the next
+        boundary can no longer change it. Concatenating all yielded chunks
+        reproduces `synthesize()` — bit-exact under per-segment grouping
+        (TTS_GROUP_BY_LENGTH/TTS_MEL_GROUP, the direct-attached profile,
+        locked by tests/test_tts_stream.py); under whole-batch grouping the
+        first segment runs at its own (smaller) padded bucket, which can
+        differ in float low bits only.
+
+        Yields dicts:
+          {"event": "chunk", "audio": float32[n], "segment_index": i,
+           "n_segments": N, "text": <segment>}        — per finished segment
+          {"event": "done", "audio": <held tail>, "rtf": …,
+           "duration_s": …, "segments": […], "seg_times_ms": […],
+           "seg_durations_s": […]}                    — exactly once, last
+        Returns early (no "done" event) when `cancelled()` turns true.
+        """
+        segments = split_text_for_tts(text, self.cfg.seg_target,
+                                      self.cfg.seg_first,
+                                      self.cfg.seg_hard_max)
+        if not segments:
+            yield {"event": "done", "audio": np.zeros(0, np.float32),
+                   "rtf": 0.0, "duration_s": 0.0, "segments": [],
+                   "seg_times_ms": [], "seg_durations_s": []}
+            return
+        pauses = [pause_after(s, self.cfg.pause_soft_ms,
+                              self.cfg.pause_hard_ms)
+                  for s in segments[:-1]]
+        stream = StreamingConcat(self.sample_rate, self.cfg.crossfade_ms)
+        t0 = time.perf_counter()
+        emitted = 0
+        seg_times: List[float] = []
+        seg_durs: List[float] = []
+        bs = max(1, self.cfg.batch_size)
+        # first segment alone: its (1, shortest-bucket) program is the
+        # cheapest possible first dispatch → minimal time-to-first-audio
+        batches = [[segments[0]]]
+        batches += [segments[i:i + bs] for i in range(1, len(segments), bs)]
+        done = 0
+        for batch in batches:
+            if cancelled():
+                return
+            ts = time.perf_counter()
+            wavs, durs = self.synthesize_segments(batch, voice)
+            dt = (time.perf_counter() - ts) * 1000 / max(len(wavs), 1)
+            seg_times += [dt] * len(wavs)
+            seg_durs += durs
+            for seg_text, w in zip(batch, wavs):
+                fed = stream.segments_fed
+                chunk = stream.feed(
+                    w, pauses[fed - 1] if fed >= 1 and fed - 1 < len(pauses)
+                    else 0)
+                idx = done
+                done += 1
+                if len(chunk):
+                    emitted += len(chunk)
+                    yield {"event": "chunk", "audio": chunk,
+                           "segment_index": idx, "n_segments": len(segments),
+                           "text": seg_text}
+        tail = stream.flush()
+        emitted += len(tail)
+        proc_s = time.perf_counter() - t0
+        audio_s = emitted / self.sample_rate
+        rtf = self.rtf.record(proc_s, max(audio_s, 1e-6), label="tts_job")
+        yield {"event": "done", "audio": tail, "rtf": rtf,
+               "duration_s": audio_s, "segments": segments,
+               "seg_times_ms": seg_times, "seg_durations_s": seg_durs}
