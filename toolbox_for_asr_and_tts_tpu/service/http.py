@@ -29,6 +29,16 @@ from typing import Any, Awaitable, Callable, Dict, List, Optional, Tuple
 
 logger = logging.getLogger("toolbox.http")
 
+from ..runtime import prom  # noqa: E402  (dependency-free)
+
+_HTTP_REQS = prom.counter("toolbox_http_requests_total",
+                          "HTTP requests served",
+                          ("app", "method", "route", "status"))
+_HTTP_LAT = prom.histogram("toolbox_http_request_seconds",
+                           "HTTP request latency", ("app", "route"))
+_WS_CONNS = prom.gauge("toolbox_ws_connections",
+                       "open WebSocket connections", ("app", "route"))
+
 WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 MAX_BODY = 64 * 1024 * 1024  # base64 WAVs are large
 MAX_WS_FRAME = 32 * 1024 * 1024
@@ -49,6 +59,7 @@ class Request:
     headers: Dict[str, str]
     body: bytes
     path_params: Dict[str, str] = field(default_factory=dict)
+    matched_route: str = ""   # route TEMPLATE (metrics label, closed set)
 
     def json(self) -> Any:
         try:
@@ -233,9 +244,24 @@ class App:
 
     def __init__(self, name: str = "app"):
         self.name = name
-        self.routes: List[Tuple[str, re.Pattern, Handler]] = []
-        self.ws_routes: List[Tuple[re.Pattern, WSHandler]] = []
+        # (method, compiled pattern, route TEMPLATE, handler) — the template
+        # is the metrics label (closed set; raw paths would be unbounded)
+        self.routes: List[Tuple[str, re.Pattern, str, Handler]] = []
+        self.ws_routes: List[Tuple[re.Pattern, str, WSHandler]] = []
         self.on_startup: List[Callable[[], Awaitable[None]]] = []
+        self._add_metrics_route()
+
+    def _add_metrics_route(self) -> None:
+        """GET /metrics — Prometheus text exposition (runtime/prom.py).
+        Beyond the reference (survey §5: no Prometheus/OTel there)."""
+        from ..runtime.prom import REGISTRY
+
+        async def metrics(req: Request) -> Response:
+            return Response(200, REGISTRY.render().encode("utf-8"),
+                            content_type="text/plain; version=0.0.4")
+
+        self.routes.append(("GET", self._compile("/metrics"), "/metrics",
+                            metrics))
 
     @staticmethod
     def _compile(path: str) -> re.Pattern:
@@ -244,7 +270,8 @@ class App:
 
     def route(self, method: str, path: str):
         def deco(fn: Handler):
-            self.routes.append((method.upper(), self._compile(path), fn))
+            self.routes.append((method.upper(), self._compile(path), path,
+                                fn))
             return fn
         return deco
 
@@ -259,7 +286,7 @@ class App:
 
     def websocket(self, path: str):
         def deco(fn: WSHandler):
-            self.ws_routes.append((self._compile(path), fn))
+            self.ws_routes.append((self._compile(path), path, fn))
             return fn
         return deco
 
@@ -340,6 +367,10 @@ class App:
         await writer.drain()
         dt = (time.perf_counter() - t0) * 1000
         logger.info("%s %s → %d (%.1f ms)", req.method, req.path, resp.status, dt)
+        route = req.matched_route or "unmatched"
+        _HTTP_REQS.inc(app=self.name, method=req.method, route=route,
+                       status=str(resp.status))
+        _HTTP_LAT.observe(dt / 1000.0, app=self.name, route=route)
         return True
 
     async def _dispatch(self, req: Request) -> Response:
@@ -349,12 +380,13 @@ class App:
                 "Access-Control-Allow-Headers": "Content-Type, Authorization",
             })
         path_exists = False
-        for method, pattern, fn in self.routes:
+        for method, pattern, template, fn in self.routes:
             m = pattern.match(req.path)
             if m:
                 path_exists = True
                 if method == req.method:
                     req.path_params = m.groupdict()
+                    req.matched_route = template
                     try:
                         return await fn(req)
                     except HTTPError as e:
@@ -370,10 +402,11 @@ class App:
 
     async def _handle_ws(self, req: Request, reader, writer) -> None:
         handler = None
-        for pattern, fn in self.ws_routes:
+        for pattern, template, fn in self.ws_routes:
             m = pattern.match(req.path)
             if m:
                 req.path_params = m.groupdict()
+                req.matched_route = template
                 handler = fn
                 break
         key = req.headers.get("sec-websocket-key", "")
@@ -390,6 +423,7 @@ class App:
         await writer.drain()
         ws = WebSocket(reader, writer, req)
         ws.start_reader()
+        _WS_CONNS.inc(app=self.name, route=req.matched_route)
         try:
             await handler(ws)
         except ConnectionClosed:
@@ -399,6 +433,7 @@ class App:
         except Exception:
             logger.exception("websocket handler error")
         finally:
+            _WS_CONNS.dec(app=self.name, route=req.matched_route)
             await ws.stop_reader()
             await ws.close()
 

@@ -25,6 +25,18 @@ import numpy as np
 
 logger = logging.getLogger("toolbox.hub")
 
+from ..runtime import prom  # noqa: E402
+
+_HUB_TICKS = prom.counter("toolbox_hub_ticks_total",
+                          "fused device ticks per serving hub", ("hub",))
+_HUB_SUBS = prom.counter("toolbox_hub_submissions_total",
+                         "session submissions batched by the hubs", ("hub",))
+_HUB_BATCH = prom.histogram("toolbox_hub_batch_size",
+                            "sessions per fused tick", ("hub",),
+                            buckets=prom.SIZE_BUCKETS)
+_HUB_LAT = prom.histogram("toolbox_hub_tick_seconds",
+                          "fused tick wall time", ("hub",))
+
 
 def _hub_timeout() -> float:
     """Submit-wait budget. Generous by default: the FIRST tick at a given
@@ -128,6 +140,7 @@ class VadHub:
                 self._pending = {}
             if not batch:
                 continue
+            t_tick = time.perf_counter()
             try:
                 with self._ticker_lock:
                     # drop entries whose slot was freed/reset after queueing
@@ -141,6 +154,10 @@ class VadHub:
                 results = {s: False for s in batch}
             self.ticks += 1
             self.submissions += len(batch)
+            _HUB_TICKS.inc(hub="vad")
+            _HUB_SUBS.inc(len(batch), hub="vad")
+            _HUB_BATCH.observe(len(batch), hub="vad")
+            _HUB_LAT.observe(time.perf_counter() - t_tick, hub="vad")
             for s, (_, waiters, _) in batch.items():
                 for ev, holder in waiters:
                     holder.append(results.get(s, False))
@@ -290,6 +307,7 @@ class ChunkedHub:
                 self._pending = {}
             if not batch:
                 continue
+            t_tick = time.perf_counter()
             try:
                 with self._ticker_lock:
                     # drop entries whose slot was freed/reset after queueing
@@ -303,6 +321,10 @@ class ChunkedHub:
                 fired = {}
             self.ticks += 1
             self.submissions += len(batch)
+            _HUB_TICKS.inc(hub="chunked")
+            _HUB_SUBS.inc(len(batch), hub="chunked")
+            _HUB_BATCH.observe(len(batch), hub="chunked")
+            _HUB_LAT.observe(time.perf_counter() - t_tick, hub="chunked")
             with self._lock:
                 for s, ids in fired.items():
                     if ids and s in self._ids:
@@ -449,6 +471,10 @@ class FinalizeHub:
                 continue
             self.batches += 1
             self.requests += len(batch)
+            t_tick = time.perf_counter()
+            _HUB_TICKS.inc(hub="finalize")
+            _HUB_SUBS.inc(len(batch), hub="finalize")
+            _HUB_BATCH.observe(len(batch), hub="finalize")
             # group by sample rate (sessions are uniformly 16 kHz; guard
             # against a stray caller anyway)
             by_sr: dict = {}
@@ -467,6 +493,7 @@ class FinalizeHub:
                 for (_, _, ev, holder), sents in zip(items, outs):
                     holder["sents"] = sents
                     ev.set()
+            _HUB_LAT.observe(time.perf_counter() - t_tick, hub="finalize")
 
     def close(self) -> None:
         self._stop.set()

@@ -32,6 +32,13 @@ from pydantic import ValidationError
 
 from ..asr import session as S
 from ..asr.corrections import apply_hard_corrections
+from ..runtime import prom
+
+_FINALIZE_LAT = prom.histogram("toolbox_asr_finalize_seconds",
+                               "end-of-utterance finalize latency (session "
+                               "buffer → diarize/SV → text)")
+_UTTERANCES = prom.counter("toolbox_asr_utterances_total",
+                           "finalized utterances")
 from ..runtime.config import VoiceConfig, load_voice_config
 from ..utils.audio import base64_to_audio_np, read_wav, ensure_mono_16k, write_wav
 from .http import App, HTTPError, Request, Response, WebSocket
@@ -273,7 +280,10 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
             await ws.send_json({"type": "processing",
                                 "status": "finalizing",
                                 "message": "正在处理音频..."})
+            t_fin = time.perf_counter()
             final_text = await _call(sess.finalize)
+            _FINALIZE_LAT.observe(time.perf_counter() - t_fin)
+            _UTTERANCES.inc()
             if final_text in (S.SV_VERIFICATION_FAILED, S.ASR_RESULT_EMPTY):
                 await ws.send_json({"type": "result", "status": "completed",
                                     "text": "", "success": False,

@@ -25,9 +25,29 @@ import uuid
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Optional
 
+from ..runtime import prom
 from ..utils.audio import encode_wav_bytes
 
 logger = logging.getLogger("toolbox.tts.jobs")
+
+_JOB_EVENTS = prom.counter("toolbox_tts_jobs_total",
+                           "TTS job lifecycle events",
+                           ("event",))  # started/completed/error/cancelled
+_JOB_RTF = prom.histogram("toolbox_tts_job_rtf",
+                          "per-job real-time factor",
+                          buckets=prom.RTF_BUCKETS)
+_ACTIVE_MANAGERS: "weakref.WeakSet[TTSJobManager]"
+
+
+def _sum_active() -> int:
+    return sum(m.active_jobs for m in list(_ACTIVE_MANAGERS))
+
+
+import weakref  # noqa: E402
+
+_ACTIVE_MANAGERS = weakref.WeakSet()
+prom.gauge_fn("toolbox_tts_active_jobs",
+              "jobs currently pending or processing", _sum_active)
 
 
 class TTSJobManager:
@@ -48,6 +68,7 @@ class TTSJobManager:
         self._lock = threading.Lock()
         self._pool = ThreadPoolExecutor(max_workers=max_workers,
                                         thread_name_prefix="tts-job")
+        _ACTIVE_MANAGERS.add(self)
 
     def _sweep_locked(self) -> None:
         """Evict terminal jobs whose completion is older than the TTL.
@@ -82,6 +103,7 @@ class TTSJobManager:
                 "n_segments": None,
             }
         self._pool.submit(self._process, job_id)
+        _JOB_EVENTS.inc(event="started")
         return job_id
 
     def cancel_task(self, job_id: str) -> bool:
@@ -91,6 +113,7 @@ class TTSJobManager:
                 return False
             job["status"] = "cancelled"
             job["finished_at"] = time.time()
+        _JOB_EVENTS.inc(event="cancelled")
         return True
 
     def get_result(self, job_id: str,
@@ -217,6 +240,8 @@ class TTSJobManager:
                 job["segments_done"] = fields["segments"]
                 job["n_segments"] = fields["segments"]
                 job["_detailed_timing"] = timing
+            _JOB_EVENTS.inc(event="completed")
+            _JOB_RTF.observe(fields["rtf"])
         except Exception as e:  # job errors recorded, worker survives
             logger.exception("TTS job %s failed", job_id)
             with self._lock:
@@ -225,3 +250,4 @@ class TTSJobManager:
                     job["status"] = "error"
                     job["finished_at"] = time.time()
                     job["error"] = str(e)
+            _JOB_EVENTS.inc(event="error")
