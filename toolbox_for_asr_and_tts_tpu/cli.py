@@ -47,6 +47,28 @@ def cmd_tts(args) -> None:
                     "FAILED loading TTS checkpoint at %s — RANDOM weights", d)
     if synth is None:
         synth = Synthesizer.random(tiny=args.tiny)
+    if args.stream:
+        # streaming path: report time-to-first-audio; the WAV on disk is
+        # the same samples the WS endpoint would deliver incrementally
+        import time as _t
+        import numpy as np
+        t0 = _t.perf_counter()
+        ttfa = None
+        chunks = []
+        done = None
+        for ev in synth.synthesize_stream(args.text, voice=args.voice):
+            if len(ev["audio"]) and ttfa is None:
+                ttfa = _t.perf_counter() - t0
+            chunks.append(ev["audio"])
+            if ev["event"] == "done":
+                done = ev
+        wav = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+        write_wav(args.output, wav, synth.sample_rate)
+        print(json.dumps({"output": args.output, "rtf": done["rtf"],
+                          "seconds": len(wav) / synth.sample_rate,
+                          "time_to_first_audio_s": round(ttfa or 0.0, 4),
+                          "segments": done["segments"]}, ensure_ascii=False))
+        return
     res = synth.synthesize(args.text, voice=args.voice)
     write_wav(args.output, res.wav, res.sample_rate)
     print(json.dumps({"output": args.output, "rtf": res.rtf,
@@ -94,6 +116,8 @@ def main() -> None:
     s.add_argument("--voice", default="zhitian_emo")
     s.add_argument("--model-dir", default=None)
     s.add_argument("--tiny", action="store_true")
+    s.add_argument("--stream", action="store_true",
+                   help="streaming synthesis; prints time-to-first-audio")
     s.set_defaults(fn=cmd_tts)
 
     sub.add_parser("serve-voice", help="run the voice service") \

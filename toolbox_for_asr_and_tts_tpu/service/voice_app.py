@@ -246,10 +246,24 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
     # the reference's in-loop sequential handling
     batch_serving = os.getenv("VOICE_BATCH_SERVING", "1") in ("1", "true")
 
+    # a DEDICATED executor sized for CONCURRENCY, not cores:
+    # asyncio.to_thread shares the loop's default executor, whose
+    # min(32, cpu+4) threads starve at tens of concurrent streams (on a
+    # small host, 64 streams × 2.5 chunks/s through 5 threads builds an
+    # unbounded backlog that outlives the connections — found by
+    # benchmarks/run.py wsload). Session work PARKS on hub tick events
+    # rather than burning CPU, so hundreds of waiting threads are cheap —
+    # the device work is batched by the hubs regardless.
+    from concurrent.futures import ThreadPoolExecutor
+    serving_exec = (ThreadPoolExecutor(
+        max_workers=int(os.getenv("VOICE_SERVING_THREADS", "256")),
+        thread_name_prefix="voice-serving") if batch_serving else None)
+
     async def _call(fn, *a):
         if batch_serving:
             import asyncio
-            return await asyncio.to_thread(fn, *a)
+            return await asyncio.get_running_loop().run_in_executor(
+                serving_exec, lambda: fn(*a))
         return fn(*a)
 
     async def _process_audio(ws: WebSocket, sess, audio_np, use_llm) -> None:
