@@ -375,8 +375,8 @@ def bench_wsload() -> None:
                     return
             out[idx] = (True, lat)
             ws.close()
-        except Exception:
-            out[idx] = (False, [])
+        except Exception as e:
+            out[idx] = (False, [], f"{type(e).__name__}: {e}"[:120])
 
     # warmup server-side FIRST: compile the hub tick/finalize + diarization
     # programs directly (multi-minute XLA compiles over the tunnel must not
@@ -449,10 +449,13 @@ def bench_wsload() -> None:
             th.start()
         for th in threads:
             th.join(timeout=600)
+        excs = [o[2] for o in out if o and not o[0] and len(o) > 2]
         sys.stderr.write(
             f"wsload warm-ladder n={n}: "
             f"{sum(1 for o in out if o and o[0])}/{n} in "
-            f"{time.perf_counter() - t0:.1f}s\n")
+            f"{time.perf_counter() - t0:.1f}s"
+            + (f" (exc sample: {excs[0]} ×{len(excs)})" if excs else "")
+            + "\n")
         time.sleep(3.0)   # let in-flight finalizes settle between rungs
 
     best, best_p95 = 0, float("nan")
@@ -469,9 +472,12 @@ def bench_wsload() -> None:
         ok = [o for o in out if o and o[0]]
         lats = [x for o in out if o for x in o[1]]
         p95 = float(np.percentile(lats, 95)) if lats else float("nan")
+        excs = [o[2] for o in out if o and not o[0] and len(o) > 2]
         sys.stderr.write(f"wsload n={n}: {len(ok)}/{n} sustained, "
                          f"result-latency p95={p95 * 1e3:.0f} ms, wall "
-                         f"{time.perf_counter() - t0:.1f}s\n")
+                         f"{time.perf_counter() - t0:.1f}s"
+                         + (f" (exc sample: {excs[0]} ×{len(excs)})"
+                            if excs else "") + "\n")
         if len(ok) == n:
             best, best_p95 = n, p95
         else:

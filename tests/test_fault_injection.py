@@ -167,6 +167,24 @@ def test_verifier_failure_recovers(voice):
     ws.close()
 
 
+def test_capacity_overflow_degrades_not_refuses(monkeypatch):
+    """Hub rows exhausted → overflow sessions degrade to per-session
+    engines (unbatched) instead of SESSION_CREATE_ERROR + close."""
+    monkeypatch.setenv("VOICE_BATCH_CAPACITY", "2")
+    from toolbox_for_asr_and_tts_tpu.service import engines as E
+    from toolbox_for_asr_and_tts_tpu.service.voice_app import create_app
+    engines = E.build_test_engines()
+    srv = _ServerThread(create_app(engines=engines)).start()
+    n = 4   # 2 hub rows + 2 overflow
+    conns = [_connect(srv.app.port) for _ in range(n)]
+    results = []
+    for ws in conns:
+        results.append(_utterance(ws))
+        ws.close()
+    assert all(m["type"] == "result" for m in results), results
+    engines.close()
+
+
 def test_tts_job_error_state_and_recovery():
     """A synthesis crash marks the JOB error (worker survives, reference
     tts_service.py:950-960) and the next job completes."""

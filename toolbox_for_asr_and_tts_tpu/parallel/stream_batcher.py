@@ -145,6 +145,41 @@ class BatchedChunkedASR:
         self._pipelined = self.fused and pipelined
         self._inflight: Optional[Tuple[List[int], tuple]] = None
         self._carry: Dict[int, list] = {}
+        # compile the small per-slot programs NOW, while construction is
+        # single-threaded. Lazily tracing them inside serving threads raced
+        # OTHER subsystems' concurrent compiles (e.g. the finalize hub
+        # compiling diarization) and jax tracing is not robust under
+        # concurrency — an UnexpectedTracerError from the lazy reset killed
+        # 49/64 live WS connections in the wsload rung. The warm call is a
+        # semantic no-op (zeroing row 0 of an all-zero state).
+        import jax.numpy as jnp
+        # AOT-compiled executable (not a re-traceable jit): a compiled
+        # callable can NEVER trace at serving time — an input-aval drift
+        # becomes a loud error instead of a silent (and thread-unsafe)
+        # retrace
+        self._reset_fn = jax.jit(lambda st, s: jax.tree.map(
+            lambda a: a.at[s].set(jnp.zeros_like(a[s])), st)).lower(
+                self.state, jnp.asarray(0)).compile()
+        self.state = self._reset_fn(self.state, jnp.asarray(0))
+        if self.partials:
+            ccfg = self.cfg
+
+            def tail_fn(p, state, s, embed):
+                # slice the slot row INSIDE jit — eager per-leaf slicing
+                # costs one device round trip per cache leaf
+                dstate = {k: jax.tree.map(
+                    lambda a: jax.lax.dynamic_slice_in_dim(a, s, 1),
+                    state[k])
+                    for k in ("fsmn", "hist_len", "mem", "mem_len")}
+                return self._po.decode_chunk(
+                    p, dstate, embed, jnp.ones((1,), jnp.int32), ccfg)[1]
+
+            d = int(self.state["cif_acc"].shape[-1])
+            self._fbank_fns["tail"] = jax.jit(tail_fn).lower(
+                self.params, self.state, jnp.asarray(0),
+                jnp.zeros((1, 1, d), jnp.float32)).compile()
+            self._fbank_fns["tail"](self.params, self.state, jnp.asarray(0),
+                                    jnp.zeros((1, 1, d), jnp.float32))
 
     def _harvest(self) -> None:
         """Fetch the in-flight dispatch's outputs into the carry buffer."""
@@ -231,11 +266,7 @@ class BatchedChunkedASR:
         # per session join/finalize over the tunnel, serialized under the
         # ticker lock (round-3 wsload finding: 8 concurrent finalizes took
         # 40+ s at the service layer with 0.5 s of actual compute).
-        import jax
         import jax.numpy as jnp
-        if not hasattr(self, "_reset_fn") or self._reset_fn is None:
-            self._reset_fn = jax.jit(lambda st, s: jax.tree.map(
-                lambda a: a.at[s].set(jnp.zeros_like(a[s])), st))
         self.state = self._reset_fn(self.state, jnp.asarray(slot))
 
     def reset_slot(self, slot: int) -> None:
@@ -286,21 +317,8 @@ class BatchedChunkedASR:
         if frac > 0 and frac + self.cfg.predictor_tail_threshold >= 1.0:
             acc = np.asarray(self.state["cif_acc"][slot])
             if self.partials:
-                if "tail" not in self._fbank_fns:
-                    c = self.cfg
-
-                    def tail_fn(p, state, s, embed):
-                        # slice the slot row INSIDE jit — eager per-leaf
-                        # slicing costs one device round trip per cache leaf
-                        dstate = {k: jax.tree.map(
-                            lambda a: jax.lax.dynamic_slice_in_dim(a, s, 1),
-                            state[k])
-                            for k in ("fsmn", "hist_len", "mem", "mem_len")}
-                        return self._po.decode_chunk(
-                            p, dstate, embed,
-                            jnp.ones((1,), jnp.int32), c)[1]
-
-                    self._fbank_fns["tail"] = jax.jit(tail_fn)
+                # "tail" is pre-compiled at construction (see __init__) so
+                # no serving thread ever traces it
                 ids = self._fbank_fns["tail"](self.params, self.state,
                                               jnp.asarray(slot),
                                               jnp.asarray(acc)[None, None, :])
@@ -415,6 +433,14 @@ class BatchedVadTicker:
         cfg_ = self.cfg
         self._step = jax.jit(
             lambda p, f, c: fsmn_vad.apply_streaming(p, f, c, cfg_))
+        # pre-compile the per-slot reset while construction is single-
+        # threaded (same concurrent-trace hazard as BatchedChunkedASR)
+        import jax.numpy as jnp
+        # AOT-compiled (see BatchedChunkedASR.__init__): never re-traces
+        self._reset_fn = jax.jit(lambda cs, s: [
+            c.at[s].set(jnp.zeros_like(c[s])) for c in cs]).lower(
+                self.cache, jnp.asarray(0)).compile()
+        self.cache = self._reset_fn(self.cache, jnp.asarray(0))
 
     # ------------------------------------------------------------ rows
     def join(self) -> int:
@@ -438,12 +464,8 @@ class BatchedVadTicker:
             self._free.append(slot)
 
     def _reset_slot(self, slot: int) -> None:
-        # one jitted call for all conv caches (see BatchedChunkedASR note)
-        import jax
+        # one jitted call for all conv caches, pre-compiled in __init__
         import jax.numpy as jnp
-        if not hasattr(self, "_reset_fn") or self._reset_fn is None:
-            self._reset_fn = jax.jit(lambda cs, s: [
-                c.at[s].set(jnp.zeros_like(c[s])) for c in cs])
         self.cache = self._reset_fn(self.cache, jnp.asarray(slot))
 
     def reset_slot(self, slot: int) -> None:

@@ -83,13 +83,21 @@ def _vad_factory(model_dir: Optional[str] = None):
         params = fsmn_vad.init_params(jax.random.PRNGKey(7), cfg)
 
     if os.getenv("VOICE_BATCH_SERVING", "1") in ("1", "true"):
+        from ..asr.vad import StreamingVadStepper
         from .hub import HubVadStepper, VadHub
         hub = VadHub(params, cfg,
                      capacity=int(os.getenv("VOICE_BATCH_CAPACITY", "16")),
                      cmvn=cmvn)
 
         def factory():
-            return HubVadStepper(hub)
+            try:
+                return HubVadStepper(hub)
+            except RuntimeError:
+                # hub rows exhausted: degrade the OVERFLOW session to a
+                # per-session stepper instead of refusing the connection
+                logger.warning("VAD hub at capacity — overflow session uses "
+                               "a per-session stepper")
+                return StreamingVadStepper(params, cfg, cmvn=cmvn)
 
         factory.hub = hub
         return factory
@@ -159,7 +167,17 @@ def _streaming_factory(reco, model_dir=None):
                          capacity=int(os.getenv("VOICE_BATCH_CAPACITY", "16")))
 
         def factory():
-            return HubStreamingRecognizer(hub)
+            try:
+                return HubStreamingRecognizer(hub)
+            except RuntimeError:
+                # hub rows exhausted: the overflow session gets its own
+                # OnlineRecognizer (slower, unbatched) instead of a refused
+                # connection
+                logger.warning("chunked hub at capacity — overflow session "
+                               "uses a per-session recognizer")
+                return OnlineRecognizer(reco.params, reco.cfg,
+                                        reco.tokenizer, OnlineConfig(),
+                                        cmvn=cmvn)
 
         factory.hub = hub
         return factory
