@@ -257,6 +257,40 @@ def bench_chunked_streams() -> None:
                       "vs_baseline": round(p50 / 20.0, 3)}))
 
 
+def _quiesce(engines, timeout_s: float = 240.0) -> None:
+    """Wait until ALL serving hubs are idle (no pending work, activity
+    counters still for 5 s) — a failed rung's stragglers keep draining
+    queued chunks and late finalizes for up to a minute, and that backlog
+    would otherwise poison the NEXT rung's latencies. Watching only the
+    finalize hub is not enough: the backlog usually sits UPSTREAM, as
+    queued speech chunks in the chunked/VAD hubs."""
+    hubs = [h for h in (
+        engines.diarizer,
+        getattr(engines.streaming_factory, "hub", None),
+        getattr(engines.vad_factory, "hub", None)) if h is not None]
+    deadline = time.time() + timeout_s
+    t_quiet = None
+    last = None
+    while time.time() < deadline:
+        pending = 0
+        for h in hubs:
+            if hasattr(h, "_pending"):
+                with h._lock:
+                    pending += len(h._pending)
+        activity = tuple(getattr(h, "requests", 0)
+                         + getattr(h, "submissions", 0) for h in hubs)
+        if pending == 0 and activity == last:
+            if t_quiet is None:
+                t_quiet = time.time()
+            elif time.time() - t_quiet >= 5.0:
+                return
+        else:
+            t_quiet = None
+        last = activity
+        time.sleep(1.0)
+    sys.stderr.write("wsload: quiesce timed out (serving backlog)\n")
+
+
 def bench_wsload() -> None:
     """Config 5 measured AT THE SERVICE LAYER (VERDICT round-2 #3): N real
     WebSocket clients push base64-JSON 0.4 s chunks through service/http.py
@@ -310,6 +344,7 @@ def bench_wsload() -> None:
     pattern = [True] * 3 + [False] * 7
 
     def client(n_cycles, out, idx, barrier, deadline=4.0):
+        ws = None
         try:
             # keepalive off: during multi-minute first compiles the server
             # process is GIL-bound tracing XLA programs and pong latency is
@@ -374,9 +409,18 @@ def bench_wsload() -> None:
                     out[idx] = (False, lat)
                     return
             out[idx] = (True, lat)
-            ws.close()
         except Exception as e:
             out[idx] = (False, [], f"{type(e).__name__}: {e}"[:120])
+        finally:
+            # ALWAYS close: a failed stream that leaves its socket open
+            # keeps its server session alive, and its queued chunks/finalize
+            # poison the next rung (round-3 finding: 48 leaked sessions made
+            # the post-64 rung measure their backlog, not its own load)
+            try:
+                if ws is not None:
+                    ws.close()
+            except Exception:
+                pass
 
     # warmup server-side FIRST: compile the hub tick/finalize + diarization
     # programs directly (multi-minute XLA compiles over the tunnel must not
@@ -404,9 +448,14 @@ def bench_wsload() -> None:
     diar = getattr(engines.diarizer, "inner", engines.diarizer)
     # session buffers land at 2.0–2.4 s (pre-speech FIFO adds up to one
     # chunk) — warm BOTH audio buckets or rung finalizes recompile
+    # sizes up to the finalize hub's 64-batch cap, at BOTH audio buckets,
+    # in the need_spk=False variant the SV-off bench sessions take (its
+    # programs are a strict subset of the spk path's)
     for n_chunks in (5, 6):
         fin_wav = np.concatenate([speech] * n_chunks)
-        for nb in (1, 2, 4, 8, 16):
+        for nb in (1, 2, 4, 8, 16, 32, 64):
+            diar.diarize_batch([fin_wav] * nb, need_spk=False)
+        for nb in (1, 4, 16):   # spk-path extras (embed/cluster) at spot sizes
             diar.diarize_batch([fin_wav] * nb)
     # segment embeddings: the shape space is CLOSED — pow-2 batch sizes
     # (diarize_batch pads counts) × the 1/2/4 s audio buckets any span of a
@@ -449,14 +498,18 @@ def bench_wsload() -> None:
             th.start()
         for th in threads:
             th.join(timeout=600)
+        n_ok = sum(1 for o in out if o and o[0])
         excs = [o[2] for o in out if o and not o[0] and len(o) > 2]
         sys.stderr.write(
-            f"wsload warm-ladder n={n}: "
-            f"{sum(1 for o in out if o and o[0])}/{n} in "
+            f"wsload warm-ladder n={n}: {n_ok}/{n} in "
             f"{time.perf_counter() - t0:.1f}s"
             + (f" (exc sample: {excs[0]} ×{len(excs)})" if excs else "")
             + "\n")
-        time.sleep(3.0)   # let in-flight finalizes settle between rungs
+        _quiesce(engines)
+        if n_ok < n:
+            # a failed warm rung means the measured ladder stops below this
+            # n anyway; warming higher rungs only builds more backlog
+            break
 
     best, best_p95 = 0, float("nan")
     for n in (8, 16, 32, 64):
@@ -482,7 +535,12 @@ def bench_wsload() -> None:
             best, best_p95 = n, p95
         else:
             break
-        time.sleep(3.0)   # settle before the next rung
+        _quiesce(engines)   # drain leftover finalizes before the next rung
+    # hub telemetry for post-mortems (tick latencies, batch sizes)
+    from toolbox_for_asr_and_tts_tpu.runtime.prom import REGISTRY
+    sys.stderr.write("\n".join(
+        ln for ln in REGISTRY.render().splitlines()
+        if ln.startswith(("toolbox_hub_", "toolbox_asr_"))) + "\n")
     print(json.dumps({"metric": "ws_service_streams_sustained",
                       "value": best, "unit": "streams",
                       "p95_result_latency_s": round(best_p95, 3),

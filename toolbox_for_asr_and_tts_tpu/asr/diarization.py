@@ -294,9 +294,9 @@ class Diarizer:
                 start = i
         return sents
 
-    def diarize(self, wav: np.ndarray, sample_rate: int = 16000
-                ) -> List[Sentence]:
-        return self.diarize_batch([wav], sample_rate)[0]
+    def diarize(self, wav: np.ndarray, sample_rate: int = 16000,
+                need_spk: bool = True) -> List[Sentence]:
+        return self.diarize_batch([wav], sample_rate, need_spk=need_spk)[0]
 
     def _long_limit(self, sample_rate: int) -> int:
         """Samples above which a buffer takes the silence-aware
@@ -310,14 +310,21 @@ class Diarizer:
         return int(120.0 * sample_rate)
 
     def diarize_batch(self, wavs: Sequence[np.ndarray],
-                      sample_rate: int = 16000) -> List[List[Sentence]]:
+                      sample_rate: int = 16000,
+                      need_spk: bool = True) -> List[List[Sentence]]:
         """Diarize N independent utterances with BATCHED device work: one
         recognition call for every normal-length wav (bucketed batch on the
         serving mesh), then ONE speaker-embedding call over all wavs'
         sentence segments. Host-side clustering/overlap/punctuation stay
         per-wav. This is what the service's cross-session finalize hub
         (service/hub.py::FinalizeHub) drives so concurrent WS finalizes
-        don't serialize N recognition round trips."""
+        don't serialize N recognition round trips.
+
+        need_spk=False skips the speaker side entirely (no segment
+        embeddings, no clustering, no overlap pass; spk stays 0): a session
+        with SV off discards the labels, and the skipped device calls are
+        the difference between a ~2.5 s and a ~1 s finalize on a
+        high-latency link (round-3 wsload finding)."""
         long_limit = self._long_limit(sample_rate)
         results: List[object] = [None] * len(wavs)
         short = [i for i, w in enumerate(wavs) if len(w) <= long_limit]
@@ -341,6 +348,11 @@ class Diarizer:
                 else:
                     results[i] = self.recognizer.transcribe([w])[0]
         all_sents = [self._sentences_from_tokens(r) for r in results]
+        if not need_spk:
+            out_nospk: List[List[Sentence]] = [list(sents)
+                                               for sents in all_sents]
+            self._punctuate_all(out_nospk)
+            return out_nospk
         segs, owner = [], []
         for i, sents in enumerate(all_sents):
             for s in sents:
@@ -378,16 +390,19 @@ class Diarizer:
                     logger.exception(
                         "overlap refinement failed; sentence labels")
             out.append(sents)
-        if self.punctuator is not None:
-            # ONE batched punctuation pass over every wav's sentences
-            # (bucketed inside punctuate_many) instead of a device round
-            # trip per sentence
-            flat = [s for sents in out for s in sents]
-            if flat:
-                for s, txt in zip(flat, self.punctuator.punctuate_many(
-                        [s.text for s in flat])):
-                    s.text = txt
+        self._punctuate_all(out)
         return out
+
+    def _punctuate_all(self, out: List[List[Sentence]]) -> None:
+        """ONE batched punctuation pass over every wav's sentences (bucketed
+        inside punctuate_many) instead of a device round trip per sentence."""
+        if self.punctuator is None:
+            return
+        flat = [s for sents in out for s in sents]
+        if flat:
+            for s, txt in zip(flat, self.punctuator.punctuate_many(
+                    [s.text for s in flat])):
+                s.text = txt
 
 
 def group_by_speaker(sents: Sequence[Sentence]) -> Dict[int, List[Sentence]]:

@@ -402,11 +402,19 @@ class StreamingASRSession:
         if self.use_speaker_verification and not self.is_activated \
                 and self.use_wake:
             return SV_NOT_ACTIVATED  # :2187
-        sents = self.engines.diarizer.diarize(wav)
-        if not sents:
-            return ASR_RESULT_EMPTY
         use_sv = (self.use_speaker_verification and self.is_enrolled
                   and self.engines.verifier is not None)
+        # SV off → the speaker labels are discarded below, so skip the
+        # embedding/clustering/overlap device work entirely (need_spk=False
+        # fast path; ~2.5× faster finalize on a high-RTT link)
+        try:
+            sents = self.engines.diarizer.diarize(wav, need_spk=use_sv)
+        except TypeError as e:  # duck-typed diarizer without the fast path
+            if "need_spk" not in str(e):
+                raise
+            sents = self.engines.diarizer.diarize(wav)
+        if not sents:
+            return ASR_RESULT_EMPTY
         if use_sv:
             groups = group_by_speaker(sents)
             best_spk, best_score = None, -1.0

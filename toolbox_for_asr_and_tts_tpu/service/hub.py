@@ -425,11 +425,16 @@ class FinalizeHub:
     diarizer."""
 
     def __init__(self, diarizer, window_ms: float = 30.0,
-                 max_batch: int = 16):
+                 max_batch: Optional[int] = None):
+        import os
         self.inner = diarizer
         self.window_ms = window_ms
-        self.max_batch = max_batch
-        self._pending: list = []     # (wav, sample_rate, event, holder)
+        # one finalize storm = ONE device batch: 64 finalizes as 4 chained
+        # 16-batches serialized 4x the round trips (round-3 wsload finding);
+        # the pow-2-padded recognition batch axis keeps programs bounded
+        self.max_batch = (max_batch if max_batch is not None else
+                          int(os.getenv("VOICE_FINALIZE_MAX_BATCH", "64")))
+        self._pending: list = []     # (wav, sample_rate, need_spk, ev, holder)
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._work = threading.Event()   # set on diarize; idle loop parks
@@ -442,12 +447,13 @@ class FinalizeHub:
     def __getattr__(self, name):
         return getattr(self.inner, name)
 
-    def diarize(self, wav, sample_rate: int = 16000):
+    def diarize(self, wav, sample_rate: int = 16000,
+                need_spk: bool = True):
         ev = threading.Event()
         holder: dict = {}
         with self._lock:
             self._pending.append((np.asarray(wav, np.float32), sample_rate,
-                                  ev, holder))
+                                  bool(need_spk), ev, holder))
         self._work.set()
         if not ev.wait(_hub_timeout()):
             raise TimeoutError("finalize hub timed out")
@@ -475,22 +481,27 @@ class FinalizeHub:
             _HUB_TICKS.inc(hub="finalize")
             _HUB_SUBS.inc(len(batch), hub="finalize")
             _HUB_BATCH.observe(len(batch), hub="finalize")
-            # group by sample rate (sessions are uniformly 16 kHz; guard
-            # against a stray caller anyway)
-            by_sr: dict = {}
+            # group by (sample rate, need_spk) — sessions are uniformly
+            # 16 kHz; SV-off sessions take the embed/cluster-free fast path
+            by_key: dict = {}
             for item in batch:
-                by_sr.setdefault(item[1], []).append(item)
-            for sr, items in by_sr.items():
+                by_key.setdefault((item[1], item[2]), []).append(item)
+            for (sr, need_spk), items in by_key.items():
                 try:
-                    outs = self.inner.diarize_batch(
-                        [w for w, _, _, _ in items], sr)
+                    wavs = [w for w, _, _, _, _ in items]
+                    if need_spk:
+                        # positional call keeps duck-typed diarizers working
+                        outs = self.inner.diarize_batch(wavs, sr)
+                    else:
+                        outs = self.inner.diarize_batch(wavs, sr,
+                                                        need_spk=False)
                 except Exception as e:
                     logger.exception("finalize hub batch failed")
-                    for _, _, ev, holder in items:
+                    for _, _, _, ev, holder in items:
                         holder["exc"] = e
                         ev.set()
                     continue
-                for (_, _, ev, holder), sents in zip(items, outs):
+                for (_, _, _, ev, holder), sents in zip(items, outs):
                     holder["sents"] = sents
                     ev.set()
             _HUB_LAT.observe(time.perf_counter() - t_tick, hub="finalize")
