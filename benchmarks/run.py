@@ -305,9 +305,14 @@ def bench_wsload() -> None:
     """
     import asyncio
     import base64
+    import logging as _logging
     import os
     import threading
 
+    # timestamped warnings (slow-tick diagnostics from service/hub.py)
+    _logging.basicConfig(
+        level=_logging.WARNING, force=True,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")
     os.environ.setdefault("VOICE_DISABLE_LLM", "1")
     os.environ.setdefault("VOICE_BATCH_CAPACITY", "64")
     os.environ.setdefault("VOICE_HUB_TIMEOUT_S", "600")
@@ -388,12 +393,18 @@ def bench_wsload() -> None:
                 # counting from here would hide up to chunk_s of wait in
                 # exactly the slow cases
                 missed = False
+                warned = False
                 while not got_result:
                     waited = time.perf_counter() - t_send
                     if waited > deadline:
                         # keep waiting (up to 60 s) so the TRUE latency is
                         # recorded; the stream still counts as not sustained
                         missed = True
+                        if not warned and waited > 15.0:
+                            warned = True
+                            sys.stderr.write(
+                                f"{time.strftime('%H:%M:%S')} client {idx} "
+                                f"cycle {cycle}: result >15s late\n")
                     if waited > 60.0:
                         out[idx] = (False, lat)
                         return
@@ -567,6 +578,8 @@ def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which == "all":
         for name, fn in ALL.items():
+            if name == "wsload":
+                continue   # ~30 min (service boot + ladder) — run explicitly
             fn()
     else:
         ALL[which]()

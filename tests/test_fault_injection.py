@@ -185,6 +185,32 @@ def test_capacity_overflow_degrades_not_refuses(monkeypatch):
     engines.close()
 
 
+def test_ws_disconnect_releases_hub_rows(monkeypatch):
+    """Closing a WS connection must free its batched-serving hub rows —
+    the round-3 leak: without sess.close() in the handler, ~capacity
+    connections exhausted the hub and every later session fell onto the
+    slow overflow path."""
+    monkeypatch.setenv("VOICE_BATCH_CAPACITY", "2")
+    from toolbox_for_asr_and_tts_tpu.service import engines as E
+    from toolbox_for_asr_and_tts_tpu.service.voice_app import create_app
+    engines = E.build_test_engines()
+    hub = engines.streaming_factory.hub
+    srv = _ServerThread(create_app(engines=engines)).start()
+    # 6 sequential connect/close cycles over a 2-row hub: without row
+    # release, cycle 3+ would overflow
+    for i in range(6):
+        ws = _connect(srv.app.port)
+        ws.close()
+        for _ in range(100):   # close is async server-side
+            with hub.ticker._lock:
+                free = len(hub.ticker._free)
+            if free == 2:
+                break
+            time.sleep(0.05)
+        assert free == 2, f"cycle {i}: hub rows leaked ({free}/2 free)"
+    engines.close()
+
+
 def test_tts_job_error_state_and_recovery():
     """A synthesis crash marks the JOB error (worker survives, reference
     tts_service.py:950-960) and the next job completes."""

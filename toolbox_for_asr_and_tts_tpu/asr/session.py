@@ -115,9 +115,29 @@ class StreamingASRSession:
         # diagnostic-only in the reference too; OFF by default
         self.experimental_chunk_sv = os.getenv(
             "VOICE_EXPERIMENTAL_CHUNK_SV", "0") in ("1", "true")
+        self._closed = False
         self._init_asr_state()
         self._init_kws_state()
         self._init_enroll_state()
+
+    def close(self) -> None:
+        """Release the session's per-connection engine handles — under
+        batched serving these HOLD HUB ROWS (HubStreamingRecognizer /
+        HubVadStepper each claim a ticker slot). A server that skips this
+        leaks one row per closed connection until every new session lands
+        on the slow overflow path (round-3 wsload finding: after ~64
+        cumulative connections, finalizes took minutes). Idempotent."""
+        if getattr(self, "_closed", False):
+            return
+        self._closed = True
+        for handle in (self.streaming, self.vad):
+            fn = getattr(handle, "close", None)
+            if fn is not None:
+                try:
+                    fn()
+                except Exception:
+                    logger.debug("session handle close failed",
+                                 exc_info=True)
 
     # ------------------------------------------------------------- state
     def _init_asr_state(self) -> None:

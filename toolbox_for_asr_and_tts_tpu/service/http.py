@@ -110,10 +110,46 @@ class WebSocket:
         self._queue: asyncio.Queue = asyncio.Queue(maxsize=32)
         self._reader_task: Optional[asyncio.Task] = None
         self._reader_exc: Optional[BaseException] = None
+        self._keepalive_task: Optional[asyncio.Task] = None
+        self._last_rx = time.monotonic()
 
     def start_reader(self) -> None:
         self._reader_task = asyncio.get_running_loop().create_task(
             self._reader_loop())
+        import os
+        interval = float(os.getenv("WS_PING_INTERVAL_S", "20"))
+        if interval > 0:
+            self._keepalive_task = asyncio.get_running_loop().create_task(
+                self._keepalive_loop(interval))
+
+    async def _keepalive_loop(self, interval: float) -> None:
+        """Server-initiated pings — the only way to notice a SILENTLY
+        vanished peer (no FIN: dropped network, killed process). Without
+        this, a dead connection's handler blocks in receive forever and its
+        session permanently holds batched-serving hub rows (round-3
+        finding). Matches the reference stack's uvicorn/websockets
+        ping_interval=20 default. WS_PING_INTERVAL_S=0 disables."""
+        try:
+            while not self.closed:
+                await asyncio.sleep(interval)
+                sent_at = time.monotonic()
+                try:
+                    await self._send_frame(0x9, b"ka")
+                except Exception:
+                    break
+                await asyncio.sleep(interval)
+                if self._last_rx < sent_at:   # no frame since the ping
+                    logger.info("WS peer unresponsive for %.0fs — aborting "
+                                "connection", time.monotonic() - self._last_rx)
+                    break
+        except asyncio.CancelledError:
+            return
+        # abort the transport: the reader's readexactly raises, the handler
+        # unwinds, and the session's finally releases its hub rows
+        try:
+            self.writer.close()
+        except Exception:
+            pass
 
     async def _reader_loop(self) -> None:
         try:
@@ -127,13 +163,15 @@ class WebSocket:
             await self._queue.put(None)
 
     async def stop_reader(self) -> None:
-        if self._reader_task is not None:
-            self._reader_task.cancel()
-            try:
-                await self._reader_task
-            except (asyncio.CancelledError, Exception):
-                pass
-            self._reader_task = None
+        for attr in ("_reader_task", "_keepalive_task"):
+            task = getattr(self, attr)
+            if task is not None:
+                task.cancel()
+                try:
+                    await task
+                except (asyncio.CancelledError, Exception):
+                    pass
+                setattr(self, attr, None)
 
     async def receive_message(self) -> Tuple[int, bytes]:
         """Next text/binary message — via the background reader when it is
@@ -168,6 +206,7 @@ class WebSocket:
                 raise HTTPError(400, "WS frame too large")
             mask = await self._read_exact(4) if masked else b""
             payload = await self._read_exact(length) if length else b""
+            self._last_rx = time.monotonic()   # any frame proves liveness
             if masked and payload:
                 m = (mask * (length // 4 + 1))[:length]
                 payload = bytes(a ^ b for a, b in zip(payload, m))

@@ -154,10 +154,14 @@ class VadHub:
                 results = {s: False for s in batch}
             self.ticks += 1
             self.submissions += len(batch)
+            dt_tick = time.perf_counter() - t_tick
             _HUB_TICKS.inc(hub="vad")
             _HUB_SUBS.inc(len(batch), hub="vad")
             _HUB_BATCH.observe(len(batch), hub="vad")
-            _HUB_LAT.observe(time.perf_counter() - t_tick, hub="vad")
+            _HUB_LAT.observe(dt_tick, hub="vad")
+            if dt_tick > 2.0:
+                logger.warning("slow VAD tick: %.1fs (batch %d)",
+                               dt_tick, len(batch))
             for s, (_, waiters, _) in batch.items():
                 for ev, holder in waiters:
                     holder.append(results.get(s, False))
@@ -321,10 +325,14 @@ class ChunkedHub:
                 fired = {}
             self.ticks += 1
             self.submissions += len(batch)
+            dt_tick = time.perf_counter() - t_tick
             _HUB_TICKS.inc(hub="chunked")
             _HUB_SUBS.inc(len(batch), hub="chunked")
             _HUB_BATCH.observe(len(batch), hub="chunked")
-            _HUB_LAT.observe(time.perf_counter() - t_tick, hub="chunked")
+            _HUB_LAT.observe(dt_tick, hub="chunked")
+            if dt_tick > 2.0:
+                logger.warning("slow chunked tick: %.1fs (batch %d, rows %s)",
+                               dt_tick, len(batch), sorted(batch)[:8])
             with self._lock:
                 for s, ids in fired.items():
                     if ids and s in self._ids:
@@ -504,7 +512,11 @@ class FinalizeHub:
                 for (_, _, _, ev, holder), sents in zip(items, outs):
                     holder["sents"] = sents
                     ev.set()
-            _HUB_LAT.observe(time.perf_counter() - t_tick, hub="finalize")
+            dt_tick = time.perf_counter() - t_tick
+            _HUB_LAT.observe(dt_tick, hub="finalize")
+            if dt_tick > 2.0:
+                logger.warning("slow finalize batch: %.1fs (%d wavs)",
+                               dt_tick, len(batch))
 
     def close(self) -> None:
         self._stop.set()

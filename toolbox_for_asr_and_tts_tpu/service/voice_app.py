@@ -167,6 +167,15 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
                             "use_wake": sess.use_wake,
                             "mode": sess.mode})
         use_llm_default = not cfg.disable_llm
+        try:
+            await _ws_loop(ws, sess, use_llm_default)
+        finally:
+            # release the session's hub rows — skipping this leaks one
+            # batched-serving slot per closed connection until every new
+            # session lands on the slow overflow path
+            sess.close()
+
+    async def _ws_loop(ws: WebSocket, sess, use_llm_default) -> None:
         while True:
             try:
                 data = await ws.receive_json()
