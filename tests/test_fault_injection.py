@@ -211,6 +211,47 @@ def test_ws_disconnect_releases_hub_rows(monkeypatch):
     engines.close()
 
 
+def test_silent_peer_reaped_by_keepalive(monkeypatch):
+    """A peer that vanishes WITHOUT a FIN (dropped network) must be reaped
+    by the server's keepalive pings so its hub rows come back."""
+    import socket as socketmod
+    ws_mod = pytest.importorskip("websockets.sync.client")
+    monkeypatch.setenv("VOICE_BATCH_CAPACITY", "2")
+    monkeypatch.setenv("WS_PING_INTERVAL_S", "1")
+    from toolbox_for_asr_and_tts_tpu.service import engines as E
+    from toolbox_for_asr_and_tts_tpu.service.voice_app import create_app
+    engines = E.build_test_engines()
+    hub = engines.streaming_factory.hub
+    srv = _ServerThread(create_app(engines=engines)).start()
+    ws = ws_mod.connect(
+        f"ws://127.0.0.1:{srv.app.port}/api/v1/voice/asr/ws",
+        open_timeout=30, ping_interval=None)
+    ws.recv(timeout=30)
+    ws.send(json.dumps({"use_wake": False, "use_sv": False,
+                        "audio_data": _b64(_speech())}))
+    time.sleep(1.0)   # session joined, row claimed
+    with hub.ticker._lock:
+        assert len(hub.ticker._free) == 1
+    # go silent: stop the client lib from answering pings (shut down OUR
+    # read side; the socket stays open — no FIN reaches the server reader
+    # from the protocol's perspective of a live-but-mute peer)
+    ws.protocol = None            # suppress the lib's close handshake
+    try:
+        ws.socket.shutdown(socketmod.SHUT_RD)
+    except OSError:
+        pass
+    deadline = time.time() + 60   # reap ≈ 2×interval (+ first-tick slack)
+    free = 0
+    while time.time() < deadline:
+        with hub.ticker._lock:
+            free = len(hub.ticker._free)
+        if free == 2:
+            break
+        time.sleep(0.2)
+    assert free == 2, "silent peer's hub row was not reaped"
+    engines.close()
+
+
 def test_tts_job_error_state_and_recovery():
     """A synthesis crash marks the JOB error (worker survives, reference
     tts_service.py:950-960) and the next job completes."""
