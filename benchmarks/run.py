@@ -556,10 +556,11 @@ def bench_wsload() -> None:
                       "value": best, "unit": "streams",
                       "p95_result_latency_s": round(best_p95, 3),
                       "vs_baseline": round(best / 20.0, 3)}))
-    # graceful teardown: stop the serving loop + hub threads BEFORE the
-    # interpreter's atexit shuts the default executor down, or late client
-    # frames hit "cannot schedule new futures after shutdown" noise
+    # graceful teardown: close the server (cancelling live connections so
+    # their finally blocks release hub rows), stop the loop and hub threads
+    # BEFORE the interpreter's atexit shuts executors down
     try:
+        asyncio.run_coroutine_threadsafe(app.shutdown(), loop).result(10)
         loop.call_soon_threadsafe(loop.stop)
         time.sleep(0.5)
         engines.close()

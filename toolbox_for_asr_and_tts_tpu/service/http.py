@@ -288,6 +288,8 @@ class App:
         self.routes: List[Tuple[str, re.Pattern, str, Handler]] = []
         self.ws_routes: List[Tuple[re.Pattern, str, WSHandler]] = []
         self.on_startup: List[Callable[[], Awaitable[None]]] = []
+        self._conn_tasks: set = set()
+        self._server = None
         self._add_metrics_route()
 
     def _add_metrics_route(self) -> None:
@@ -332,6 +334,12 @@ class App:
     # ------------------------------------------------------- connection
     async def _handle_conn(self, reader: asyncio.StreamReader,
                            writer: asyncio.StreamWriter) -> None:
+        # tracked for graceful shutdown (and to avoid "Task was destroyed
+        # but it is pending!" noise when the loop dies under live conns)
+        task = asyncio.current_task()
+        if task is not None:
+            self._conn_tasks.add(task)
+            task.add_done_callback(self._conn_tasks.discard)
         try:
             while True:
                 req = await self._read_request(reader)
@@ -484,6 +492,7 @@ class App:
             await hook()
         server = await asyncio.start_server(
             self._handle_conn, host, port, limit=MAX_BODY, ssl=ssl_context)
+        self._server = server
         self.port = server.sockets[0].getsockname()[1]  # resolved (port=0 ok)
         logger.info("%s listening on %s:%d", self.name, host, self.port)
         if ready is not None:
@@ -491,9 +500,43 @@ class App:
         async with server:
             await server.serve_forever()
 
+    async def shutdown(self) -> None:
+        """Graceful stop: refuse new connections, cancel live connection
+        tasks (their finally blocks release sessions/hub rows), and close
+        the listener. Safe to call from the serving loop; from another
+        thread use asyncio.run_coroutine_threadsafe(app.shutdown(), loop)."""
+        server, self._server = self._server, None
+        if server is not None:
+            server.close()   # refuse new connections immediately
+        # cancel BEFORE wait_closed: Python 3.12's Server.wait_closed()
+        # waits for live connection handlers, so the old order deadlocked
+        tasks = [t for t in self._conn_tasks if not t.done()]
+        for t in tasks:
+            t.cancel()
+        if tasks:
+            await asyncio.gather(*tasks, return_exceptions=True)
+        if server is not None:
+            try:
+                await server.wait_closed()
+            except Exception:
+                pass
+        logger.info("%s shut down (%d connection(s) closed)",
+                    self.name, len(tasks))
+
     def run(self, host: str = "0.0.0.0", port: int = 8000,
             ssl_context=None) -> None:
-        asyncio.run(self.serve(host, port, ssl_context=ssl_context))
+        async def _main():
+            try:
+                await self.serve(host, port, ssl_context=ssl_context)
+            finally:
+                # best-effort graceful close on SIGTERM/KeyboardInterrupt:
+                # live connections' finally blocks release their sessions
+                import contextlib
+                with contextlib.suppress(Exception,
+                                         asyncio.CancelledError):
+                    await asyncio.shield(self.shutdown())
+
+        asyncio.run(_main())
 
 
 def ssl_context_for(ssl_cfg):
