@@ -39,6 +39,7 @@ WORD_PINYIN = {
     "乐器": "yue4 qi4",
     # 觉 jue2 / jiao4
     "感觉": "gan3 jue2", "睡觉": "shui4 jiao4", "午觉": "wu3 jiao4",
+    "一觉": "yi2 jiao4",
     # 教 jiao4 / jiao1
     "教育": "jiao4 yu4", "教室": "jiao4 shi4", "请教": "qing3 jiao4",
     "教书": "jiao1 shu1", "教给": "jiao1 gei3",
@@ -58,6 +59,7 @@ WORD_PINYIN = {
     # 发 fa1 / fa4
     "发现": "fa1 xian4", "发烧": "fa1 shao1", "发炎": "fa1 yan2",
     "复发": "fu4 fa1", "头发": "tou2 fa4", "理发": "li3 fa4",
+    "白发": "bai2 fa4", "毛发": "mao2 fa4", "脱发": "tuo1 fa4",
     # 还 hai2 / huan2
     "还有": "hai2 you3", "还是": "hai2 shi4", "还要": "hai2 yao4",
     "归还": "gui1 huan2", "还款": "huan2 kuan3",
@@ -369,6 +371,18 @@ WORD_PINYIN = {
     # 得了 as "contracted (an illness)" stays de2 le5
     "得了感冒": "de2 le5 gan3 mao4", "得病": "de2 bing4",
 }
+
+# round-3 eval-extension closures (docs/G2P.md): compounds the blind
+# held-out sentences exposed as missing
+WORD_PINYIN.update({
+    "拉磨": "la1 mo4", "石磨": "shi2 mo4", "磨坊": "mo4 fang2",
+    "留空": "liu2 kong4", "填空": "tian2 kong4",
+    "水浒传": "shui3 hu3 zhuan4", "自传": "zi4 zhuan4",
+    "列传": "lie4 zhuan4", "传记": "zhuan4 ji4",
+    "量身高": "liang2 shen1 gao1",
+    "请假": "qing3 jia4", "放假": "fang4 jia4", "休假": "xiu1 jia4",
+    "假期": "jia4 qi1", "病假": "bing4 jia4", "产假": "chan3 jia4",
+})
 
 # lexicalized 儿化 words: the trailing 儿 rhotacizes the previous final
 ERHUA_WORDS = {

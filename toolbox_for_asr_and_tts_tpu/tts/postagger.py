@@ -112,6 +112,9 @@ RULES: Dict[str, List[Rule]] = {
         (lambda c: c.ch(-1) in "把被偿归退交奉送", "huan2"),
         (lambda c: c.ch(1) == "了" and c.tag(2) in ("NUM", "OTHER", "PRON",
                                                     "DET"), "huan2"),
+        # sentence-final 还了 with a 把-phrase earlier: 他把借的书还了
+        (lambda c: c.ch(1) == "了" and c.tag(2) in ("EOS", "PUNCT")
+         and any(c.ch(-k) == "把" for k in range(1, 9)), "huan2"),
         (lambda c: c.ch(1) in "钱款债账书礼情愿本息贷" , "huan2"),
         (lambda c: True, "hai2"),
     ],
@@ -207,6 +210,49 @@ RULES: Dict[str, List[Rule]] = {
     # in _apply_context with object-taking shapes: 数不清 / 数一数
     "数": [
         (lambda c: c.ch(1) in "了过着一不", "shu3"),
+    ],
+    # --- round-3 eval-extension closures (first-contact misses recorded in
+    # docs/G2P.md; these rules lock the productive shapes) ---
+    # 种 zhong3 (kind, default) / zhong4 (to plant): determiner/numeral
+    # context keeps the noun reading; verb-position before a bare object
+    # licenses planting
+    "种": [
+        (lambda c: c.tag(-1) in ("DET", "NUM", "CLF")
+         or c.ch(-1) in "这那各每几品物各", "zhong3"),
+        (lambda c: c.ch(1) in "子类族群别", "zhong3"),
+        (lambda c: c.tag(1) == "OTHER"
+         and (c.tag(-1) in ("VERB", "PREP", "BOS", "PUNCT")
+              or c.ch(-1) in "里地田园中来去"), "zhong4"),
+    ],
+    # 教 jiao4 (noun/religion, default) / jiao1 (to teach): direct
+    # pronoun/person object licenses the verb
+    "教": [
+        (lambda c: c.ch(1) in "堂室会士育材案派徒义", "jiao4"),
+        (lambda c: c.tag(1) == "PRON", "jiao1"),
+        (lambda c: c.ch(1) in "书课歌画琴车游做写读英数语", "jiao1"),
+    ],
+    # 假 jia3 (false, default) / jia4 (leave): duration/grant context
+    "假": [
+        (lambda c: c.ch(-1) in "天周月年请休放度销批事病产婚丧寒暑",
+         "jia4"),
+        (lambda c: c.ch(1) in "期条日", "jia4"),
+    ],
+    # 背 bei4 (back; recite, default) / bei1 (to carry on the back)
+    "背": [
+        (lambda c: c.ch(1) in "着起" and c.tag(2) in ("OTHER", "NUM",
+                                                      "DET"), "bei1"),
+        (lambda c: c.ch(1) in "包篓筐娃锅债", "bei1"),
+    ],
+    # 转 zhuan3 (turn, default) / zhuan4 (rotate/spin)
+    "转": [
+        (lambda c: c.ch(-1) in "地打空旋回", "zhuan4"),
+        (lambda c: c.ch(1) in "圈速盘轴", "zhuan4"),
+    ],
+    # 量 liang4 (quantity, default) / liang2 (to measure): aspect 了/过 or
+    # a measurement object right after licenses the verb (量了体温)
+    "量": [
+        (lambda c: c.ch(1) in "了过" or c.ch(1) in "体血身尺",
+         "liang2"),
     ],
 }
 
