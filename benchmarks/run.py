@@ -405,7 +405,12 @@ def bench_wsload() -> None:
                             sys.stderr.write(
                                 f"{time.strftime('%H:%M:%S')} client {idx} "
                                 f"cycle {cycle}: result >15s late\n")
-                    if waited > 60.0:
+                    if waited > max(60.0, deadline):
+                        # hard abandon — but never below the caller's
+                        # deadline: warm-ladder rungs pass deadline=600 so
+                        # leftover multi-minute compiles can finish off the
+                        # books (a fixed 60 s bail made that parameter dead
+                        # code and failed warm rungs mid-compile)
                         out[idx] = (False, lat)
                         return
                     try:

@@ -85,3 +85,16 @@ def test_voice_rest_wake_gate():
     out = svc.recognize_speech(req)
     assert out["success"] is False
     assert "唤醒" in out["message"]
+
+
+def test_ws_unmask_vectorized_correct():
+    """The vector uint32 unmask (serving hot path) must equal the RFC 6455
+    per-byte XOR for every size class: below/above the numpy threshold,
+    non-multiple-of-4 lengths, empty-ish frames."""
+    import os
+    from toolbox_for_asr_and_tts_tpu.service.http import _unmask
+    for n in (1, 3, 4, 5, 255, 256, 257, 1000, 43003):
+        payload = os.urandom(n)
+        mask = os.urandom(4)
+        want = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        assert _unmask(payload, mask) == want, n

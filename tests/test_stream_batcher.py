@@ -279,3 +279,34 @@ def test_pipelined_reset_drops_only_that_slot():
     t.reset_slot(s0)                          # drops s0's in-flight ids only
     fired = t.tick({s1: b[3840:]})
     assert s0 not in {k for k, v in fired.items() if v}
+
+
+def test_at_capacity_is_dedicated_type(params):
+    """Capacity exhaustion raises AtCapacity specifically — the serving
+    layer's degrade path must not trigger on unrelated RuntimeErrors
+    (jaxlib transients subclass RuntimeError)."""
+    from toolbox_for_asr_and_tts_tpu.parallel.stream_batcher import AtCapacity
+    ticker = BatchedVadTicker(params, CFG, capacity=1)
+    ticker.join()
+    with pytest.raises(AtCapacity):
+        ticker.join()
+
+
+def test_join_setup_failure_returns_row(params, monkeypatch):
+    """A transient device error during join's reset must NOT leak the
+    popped row (round-3 review finding: the leak class commit 5c2e5c5
+    fixed, reintroduced via the overflow path's broad except)."""
+    from toolbox_for_asr_and_tts_tpu.parallel.stream_batcher import AtCapacity
+    ticker = BatchedVadTicker(params, CFG, capacity=2)
+
+    def boom(slot):
+        raise RuntimeError("injected transient device error")
+
+    monkeypatch.setattr(ticker, "_reset_slot", boom)
+    with pytest.raises(RuntimeError) as ei:
+        ticker.join()
+    assert not isinstance(ei.value, AtCapacity)
+    monkeypatch.undo()
+    # both rows still available: the failed join returned its slot
+    a, b = ticker.join(), ticker.join()
+    ticker.tick({a: _chunk(1), b: _chunk(2)})

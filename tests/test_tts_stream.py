@@ -179,6 +179,28 @@ def test_job_partial_results():
     assert r["detailed_timing"]["rtf"] == 0.01
 
 
+def test_job_partial_poll_reuses_encoded_prefix():
+    """Repeated ?partial polls with NO new chunks must not re-encode the
+    whole prefix (round-3 review finding: O(total audio) per poll)."""
+    from toolbox_for_asr_and_tts_tpu.tts.jobs import TTSJobManager
+    stub = _StubSynth()
+    mgr = TTSJobManager(stub, max_workers=1)
+    job_id = mgr.start_task("ab")
+    for _ in range(100):
+        r1 = mgr.get_result(job_id, partial=True)
+        if r1["segments_done"] >= 1:
+            break
+        time.sleep(0.02)
+    r2 = mgr.get_result(job_id, partial=True)
+    # identity: the SAME cached string object, not a re-encode
+    assert r2["audio_base64"] is r1["audio_base64"]
+    stub.gate.set()
+    for _ in range(100):
+        if mgr.get_result(job_id)["status"] == "completed":
+            break
+        time.sleep(0.02)
+
+
 def test_job_cancel_mid_stream():
     from toolbox_for_asr_and_tts_tpu.tts.jobs import TTSJobManager
     stub = _StubSynth()

@@ -138,7 +138,11 @@ class StreamingVadStepper:
     pytree plus the incremental frontend's buffers.
     """
 
-    def __init__(self, params, cfg=None, threshold: float = 0.5, cmvn=None):
+    def __init__(self, params, cfg=None, threshold: float = 0.5, cmvn=None,
+                 fns=None):
+        """fns: optional shared {'step': jitted} cache — instances built with
+        the same dict reuse one compiled program instead of re-tracing per
+        instance (hub-overflow sessions, service/engines.py)."""
         from ..models import fsmn_vad
         from ..models.paraformer_streaming import StreamingFrontend
         self._fsmn_vad = fsmn_vad
@@ -147,7 +151,7 @@ class StreamingVadStepper:
         self.threshold = threshold
         self.frontend = StreamingFrontend(self.cfg.frontend, cmvn)
         self.cache = fsmn_vad.init_cache(1, self.cfg)
-        self._step = None
+        self._fns = {} if fns is None else fns
 
     def __call__(self, chunk: np.ndarray) -> bool:
         import jax
@@ -155,12 +159,13 @@ class StreamingVadStepper:
         feats = self.frontend.push(np.asarray(chunk, np.float32))
         if len(feats) == 0:
             return False
-        if self._step is None:
+        if "step" not in self._fns:
             cfg = self.cfg
-            self._step = jax.jit(
+            self._fns["step"] = jax.jit(
                 lambda p, f, c: self._fsmn_vad.apply_streaming(p, f, c, cfg))
-        post, self.cache = self._step(self.params, jnp.asarray(feats[None]),
-                                      self.cache)
+        post, self.cache = self._fns["step"](self.params,
+                                             jnp.asarray(feats[None]),
+                                             self.cache)
         probs = np.asarray(self._fsmn_vad.speech_prob(post, self.cfg))[0]
         return bool((probs > self.threshold).any())
 

@@ -421,11 +421,17 @@ class OnlineRecognizer:
     def __init__(self, params, cfg: paraformer.ParaformerConfig, tokenizer,
                  ocfg: OnlineConfig = OnlineConfig(),
                  cmvn: Optional[Tuple[np.ndarray, np.ndarray]] = None,
-                 partial_mode: str = "redecode"):
+                 partial_mode: str = "redecode",
+                 fns: Optional[Dict[str, object]] = None):
         """partial_mode: "redecode" (default — NAR re-decode of all fired
         tokens over the bounded memory, O(K²)/utterance, converges) or
         "incremental" (FunASR-style fsmn-cached decode_chunk — O(K), each
-        token decoded once with its chunk-time context)."""
+        token decoded once with its chunk-time context).
+        fns: optional SHARED jit-program cache. Instances created with the
+        same dict (and equal cfg/ocfg) reuse one set of compiled programs
+        instead of re-tracing per instance — the serving layer passes one
+        module-level dict for hub-overflow sessions so a new overflow
+        connection never traces in a serving thread (service/engines.py)."""
         self.params = params
         self.cfg = cfg
         self.ocfg = ocfg
@@ -438,7 +444,7 @@ class OnlineRecognizer:
         self._inc_ids: List[int] = []
         self._embeds: List[np.ndarray] = []
         self._memory = np.zeros((0, cfg.d_model), np.float32)
-        self._fns: Dict[str, object] = {}
+        self._fns: Dict[str, object] = {} if fns is None else fns
 
     # ---------------------------------------------------------- compiled
     def _step_fn(self):

@@ -24,6 +24,14 @@ logger = logging.getLogger("toolbox.stream_batcher")
 CAPACITY_BUCKETS = (8, 16, 32, 64, 128)
 
 
+class AtCapacity(RuntimeError):
+    """All ticker rows are claimed. A DEDICATED type so the serving layer's
+    degrade-to-per-session-overflow path cannot be triggered by an unrelated
+    RuntimeError (jaxlib's XlaRuntimeError — e.g. a transient tunnel
+    FAILED_PRECONDITION during the join's reset call — subclasses
+    RuntimeError; catching that as "at capacity" leaked the popped row)."""
+
+
 class BatchedChunkedASR:
     """Fixed-capacity batched chunked-Paraformer encoder over live sessions.
 
@@ -238,14 +246,26 @@ class BatchedChunkedASR:
         from ..models.paraformer_streaming import StreamingFrontend
         with self._lock:
             if not self._free:
-                raise RuntimeError("chunked-ASR ticker at capacity")
+                raise AtCapacity("chunked-ASR ticker at capacity")
             slot = self._free.pop()
-        if not self.fused:
-            self._frontends[slot] = StreamingFrontend(self.cfg.frontend,
-                                                      self.cmvn)
-            self._queues[slot] = np.zeros((0, self.cfg.input_dim), np.float32)
-        self._audio[slot] = np.zeros(0, np.float32)
-        self._reset_slot(slot)
+        try:
+            if not self.fused:
+                self._frontends[slot] = StreamingFrontend(self.cfg.frontend,
+                                                          self.cmvn)
+                self._queues[slot] = np.zeros((0, self.cfg.input_dim),
+                                              np.float32)
+            self._audio[slot] = np.zeros(0, np.float32)
+            self._reset_slot(slot)
+        except BaseException:
+            # setup failed (e.g. a transient device error in the reset
+            # call): the row is still clean state-wise — return it instead
+            # of leaking it for the process lifetime
+            with self._lock:
+                self._frontends.pop(slot, None)
+                self._queues.pop(slot, None)
+                self._audio.pop(slot, None)
+                self._free.append(slot)
+            raise
         return slot
 
     def leave(self, slot: int) -> None:
@@ -448,12 +468,19 @@ class BatchedVadTicker:
         from ..models.paraformer_streaming import StreamingFrontend
         with self._lock:
             if not self._free:
-                raise RuntimeError("VAD ticker at capacity")
+                raise AtCapacity("VAD ticker at capacity")
             slot = self._free.pop()
-        self._frontends[slot] = StreamingFrontend(self.cfg.frontend,
-                                                  self.cmvn)
-        self._audio[slot] = np.zeros(0, np.float32)
-        self._reset_slot(slot)
+        try:
+            self._frontends[slot] = StreamingFrontend(self.cfg.frontend,
+                                                      self.cmvn)
+            self._audio[slot] = np.zeros(0, np.float32)
+            self._reset_slot(slot)
+        except BaseException:
+            with self._lock:   # transient setup error: return the row
+                self._frontends.pop(slot, None)
+                self._audio.pop(slot, None)
+                self._free.append(slot)
+            raise
         return slot
 
     def leave(self, slot: int) -> None:

@@ -14,7 +14,10 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 from typing import Optional
+
+import numpy as np
 
 logger = logging.getLogger("toolbox.engines")
 
@@ -84,20 +87,34 @@ def _vad_factory(model_dir: Optional[str] = None):
 
     if os.getenv("VOICE_BATCH_SERVING", "1") in ("1", "true"):
         from ..asr.vad import StreamingVadStepper
+        from ..parallel.stream_batcher import AtCapacity
         from .hub import HubVadStepper, VadHub
         hub = VadHub(params, cfg,
                      capacity=int(os.getenv("VOICE_BATCH_CAPACITY", "16")),
                      cmvn=cmvn)
+        # overflow sessions share ONE compiled program set, warmed under a
+        # lock by a throwaway instance: per-instance lazy jits would trace
+        # in serving threads concurrently with hub compiles (the
+        # UnexpectedTracerError class of failure stream_batcher.py documents)
+        # and recompile per overflow connection
+        ovf_fns: dict = {}
+        ovf_lock = threading.Lock()
 
         def factory():
             try:
                 return HubVadStepper(hub)
-            except RuntimeError:
+            except AtCapacity:
                 # hub rows exhausted: degrade the OVERFLOW session to a
                 # per-session stepper instead of refusing the connection
                 logger.warning("VAD hub at capacity — overflow session uses "
                                "a per-session stepper")
-                return StreamingVadStepper(params, cfg, cmvn=cmvn)
+                with ovf_lock:
+                    if "step" not in ovf_fns:
+                        warm = StreamingVadStepper(params, cfg, cmvn=cmvn,
+                                                   fns=ovf_fns)
+                        warm(np.zeros(6400, np.float32))
+                    return StreamingVadStepper(params, cfg, cmvn=cmvn,
+                                               fns=ovf_fns)
 
         factory.hub = hub
         return factory
@@ -161,23 +178,36 @@ def _streaming_factory(reco, model_dir=None):
         # batched partials: every session's speech chunk joins ONE fused
         # device program per tick (service/hub.py::ChunkedHub) instead of
         # one OnlineRecognizer program per connection per chunk
+        from ..parallel.stream_batcher import AtCapacity
         from .hub import ChunkedHub, HubStreamingRecognizer
         hub = ChunkedHub(reco.params, reco.cfg, OnlineConfig(),
                          reco.tokenizer, cmvn=cmvn,
                          capacity=int(os.getenv("VOICE_BATCH_CAPACITY", "16")))
+        # shared overflow program cache + warm-once (same rationale as the
+        # VAD overflow path above: no tracing in serving threads, no
+        # per-connection recompiles)
+        ovf_fns: dict = {}
+        ovf_lock = threading.Lock()
 
         def factory():
             try:
                 return HubStreamingRecognizer(hub)
-            except RuntimeError:
+            except AtCapacity:
                 # hub rows exhausted: the overflow session gets its own
                 # OnlineRecognizer (slower, unbatched) instead of a refused
                 # connection
                 logger.warning("chunked hub at capacity — overflow session "
                                "uses a per-session recognizer")
-                return OnlineRecognizer(reco.params, reco.cfg,
-                                        reco.tokenizer, OnlineConfig(),
-                                        cmvn=cmvn)
+                with ovf_lock:
+                    if "step" not in ovf_fns:
+                        warm = OnlineRecognizer(reco.params, reco.cfg,
+                                                reco.tokenizer, OnlineConfig(),
+                                                cmvn=cmvn, fns=ovf_fns)
+                        warm.push_audio(np.zeros(16000, np.float32))
+                        warm.finalize()
+                    return OnlineRecognizer(reco.params, reco.cfg,
+                                            reco.tokenizer, OnlineConfig(),
+                                            cmvn=cmvn, fns=ovf_fns)
 
         factory.hub = hub
         return factory

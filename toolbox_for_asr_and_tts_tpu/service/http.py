@@ -44,6 +44,23 @@ MAX_BODY = 64 * 1024 * 1024  # base64 WAVs are large
 MAX_WS_FRAME = 32 * 1024 * 1024
 
 
+def _unmask(payload: bytes, mask: bytes) -> bytes:
+    """RFC 6455 client-frame unmask. Audio frames are ~40 KB of base64 per
+    0.4 s chunk per stream, so this runs on the serving hot path: a vector
+    uint32 XOR (~16 us/frame) instead of a per-byte Python loop
+    (~3 ms/frame — at 64 streams x 2.5 chunks/s that loop alone cost ~half
+    this 1-CPU host)."""
+    n = len(payload)
+    if n < 256:  # control frames / short messages: numpy overhead not worth it
+        m = (mask * (n // 4 + 1))[:n]
+        return bytes(a ^ b for a, b in zip(payload, m))
+    import numpy as np
+    pad = (-n) % 4
+    a = np.frombuffer(payload + b"\0" * pad, dtype=np.uint32)
+    m = np.frombuffer(mask * ((n + pad) // 4), dtype=np.uint32)
+    return (a ^ m).tobytes()[:n]
+
+
 class HTTPError(Exception):
     def __init__(self, status: int, detail: str):
         super().__init__(detail)
@@ -138,7 +155,15 @@ class WebSocket:
                 except Exception:
                     break
                 await asyncio.sleep(interval)
-                if self._last_rx < sent_at:   # no frame since the ping
+                if self._queue.full():
+                    # reader is backpressured (handler busy in a long
+                    # finalize/compile), so the socket isn't being read and
+                    # the pong CANNOT have been observed — a stale _last_rx
+                    # here means "we stopped reading", not "peer died".
+                    # Defer: when the handler drains, the reader resumes
+                    # and a genuinely dead socket raises on the next read.
+                    continue
+                if self._last_rx < sent_at:   # no bytes since the ping
                     logger.info("WS peer unresponsive for %.0fs — aborting "
                                 "connection", time.monotonic() - self._last_rx)
                     break
@@ -186,7 +211,12 @@ class WebSocket:
         return item
 
     async def _read_exact(self, n: int) -> bytes:
-        return await self.reader.readexactly(n)
+        data = await self.reader.readexactly(n)
+        # liveness is BYTE arrival, not complete-frame arrival: a slow
+        # client mid-way through one large frame must not look dead to the
+        # keepalive reaper
+        self._last_rx = time.monotonic()
+        return data
 
     async def receive(self) -> Tuple[int, bytes]:
         """Returns (opcode, payload) of the next complete message."""
@@ -206,10 +236,8 @@ class WebSocket:
                 raise HTTPError(400, "WS frame too large")
             mask = await self._read_exact(4) if masked else b""
             payload = await self._read_exact(length) if length else b""
-            self._last_rx = time.monotonic()   # any frame proves liveness
             if masked and payload:
-                m = (mask * (length // 4 + 1))[:length]
-                payload = bytes(a ^ b for a, b in zip(payload, m))
+                payload = _unmask(payload, mask)
             if opcode == 0x8:  # close
                 await self._send_frame(0x8, payload[:2])
                 self.closed = True
@@ -498,7 +526,15 @@ class App:
         if ready is not None:
             ready.set()
         async with server:
-            await server.serve_forever()
+            try:
+                await server.serve_forever()
+            except asyncio.CancelledError:
+                # server.close() (from shutdown()) cancels serve_forever's
+                # internal future. That is a GRACEFUL stop — return instead
+                # of propagating so App.run()/asyncio.run exit cleanly. A
+                # real task cancellation (shutdown not initiated) re-raises.
+                if self._server is not None:
+                    raise
 
     async def shutdown(self) -> None:
         """Graceful stop: refuse new connections, cancel live connection

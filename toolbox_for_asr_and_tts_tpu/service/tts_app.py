@@ -34,6 +34,13 @@ def create_app(synthesizer=None, cfg: Optional[TTSConfig] = None) -> App:
     cfg = cfg or load_tts_config()
     app = App("tts-service")
     state = {"manager": None, "started_at": time.time()}
+    # WS streaming admission control: same bound as the job manager's pool
+    # (reference: 2-worker ThreadPool, tts_service.py:47). Without it every
+    # WS connection would spawn an unbounded synthesis thread contending for
+    # the device, bypassing the bound the REST path enforces. Waiters queue
+    # (connection accepted, synthesis deferred) rather than being refused.
+    import threading as _threading
+    ws_slots = _threading.Semaphore(cfg.max_concurrent_jobs)
 
     def manager() -> TTSJobManager:
         if state["manager"] is None:  # lazy load (reference tts_service.py:80-226)
@@ -142,10 +149,19 @@ def create_app(synthesizer=None, cfg: Optional[TTSConfig] = None) -> App:
 
         def worker() -> None:
             try:
-                for ev in synth.synthesize_stream(
-                        tts_req.text, tts_req.voice,
-                        cancelled=gone.is_set):
-                    loop.call_soon_threadsafe(queue.put_nowait, ev)
+                # admission bound (see ws_slots above); re-check the client
+                # after a possibly long wait in the queue
+                while not ws_slots.acquire(timeout=0.5):
+                    if gone.is_set():
+                        loop.call_soon_threadsafe(queue.put_nowait, None)
+                        return
+                try:
+                    for ev in synth.synthesize_stream(
+                            tts_req.text, tts_req.voice,
+                            cancelled=gone.is_set):
+                        loop.call_soon_threadsafe(queue.put_nowait, ev)
+                finally:
+                    ws_slots.release()
             except Exception as e:  # surfaced as an error frame, not a drop
                 logger.exception("TTS stream failed")
                 loop.call_soon_threadsafe(
@@ -177,14 +193,19 @@ def create_app(synthesizer=None, cfg: Optional[TTSConfig] = None) -> App:
                     })
                 else:  # done — flush the held tail, then the summary
                     if len(ev["audio"]):
+                        # the crossfade tail is EXTRA audio after the last
+                        # segment's chunk: give it a unique index one past
+                        # the segments (a client keying chunks by
+                        # segment_index must not see two chunks with the
+                        # last segment's index) and mark it explicitly
                         await ws.send_json({
                             "type": "chunk",
                             "pcm16_base64": pcm16(ev["audio"]),
                             "sample_rate": synth.sample_rate,
-                            "segment_index": max(len(ev["segments"]) - 1, 0),
+                            "segment_index": len(ev["segments"]),
                             "n_segments": len(ev["segments"]),
-                            "text": ev["segments"][-1] if ev["segments"]
-                                    else "",
+                            "text": "",
+                            "tail": True,
                         })
                     await ws.send_json({
                         "type": "done", "rtf": ev["rtf"],

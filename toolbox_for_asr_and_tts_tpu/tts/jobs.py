@@ -144,10 +144,22 @@ class TTSJobManager:
                 "n_segments": job["n_segments"],
             }
         if pending_chunks:
-            import numpy as np
-            wav = np.concatenate(pending_chunks)
-            b64 = base64.b64encode(
-                encode_wav_bytes(wav, self.synth.sample_rate)).decode()
+            # cache the encoded prefix by chunk count: a client polling at
+            # 200 ms would otherwise make the server re-concatenate and
+            # re-base64 the ENTIRE audio prefix on every poll (O(total
+            # audio) per poll, quadratic over the job's life)
+            n = len(pending_chunks)
+            with self._lock:
+                cached = job.get("_partial_cache")
+            if cached is not None and cached[0] == n:
+                b64 = cached[1]
+            else:
+                import numpy as np
+                wav = np.concatenate(pending_chunks)
+                b64 = base64.b64encode(
+                    encode_wav_bytes(wav, self.synth.sample_rate)).decode()
+                with self._lock:
+                    job["_partial_cache"] = (n, b64)
             out["audio_base64"] = b64
             out["audio_size"] = len(b64)
         return out
