@@ -284,3 +284,41 @@ def test_tts_job_error_state_and_recovery():
             break
         time.sleep(0.1)
     assert r2["status"] == "completed", r2
+
+
+def test_binary_pcm_utterance(voice):
+    """BINARY WS frames carry raw 16 kHz s16le PCM chunks (the FunASR
+    runtime protocol's chunk format) — a full utterance of binary chunks
+    must finalize exactly like the base64-JSON path."""
+    srv, _engines = voice
+    ws = _connect(srv.app.port)
+
+    def pcm(x):
+        return (np.clip(x, -1, 1) * 32767.0).astype("<i2").tobytes()
+
+    for i in range(3):
+        ws.send(pcm(_speech(i)))
+    for _ in range(7):
+        ws.send(pcm(np.zeros(6400, np.float32)))
+    deadline = time.time() + 240
+    msg = None
+    while time.time() < deadline:
+        try:
+            m = json.loads(ws.recv(timeout=5.0))
+        except Exception:
+            continue
+        if m.get("type") in ("result", "error"):
+            msg = m
+            break
+    assert msg is not None and msg["type"] == "result", msg
+    # malformed (odd-length) binary frame → error frame, connection lives
+    ws.send(b"\x01\x02\x03")
+    deadline = time.time() + 30
+    err = None
+    while time.time() < deadline:
+        m = json.loads(ws.recv(timeout=5.0))
+        if m.get("code") == "INVALID_PCM_FRAME":
+            err = m
+            break
+    assert err is not None
+    ws.close()

@@ -98,3 +98,45 @@ def test_ws_unmask_vectorized_correct():
         mask = os.urandom(4)
         want = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
         assert _unmask(payload, mask) == want, n
+
+
+def test_keepalive_skips_backpressured_reader(monkeypatch):
+    """A handler busy in a long operation (finalize/compile) backpressures
+    the 32-deep reader queue; the keepalive must NOT abort the live client
+    it can no longer hear (round-3 review finding: pongs go unread while the
+    reader is blocked on queue.put, so a stale _last_rx means 'we stopped
+    reading', not 'peer died')."""
+    import json as jsonmod
+    ws_mod = pytest.importorskip("websockets.sync.client")
+    monkeypatch.setenv("WS_PING_INTERVAL_S", "0.5")
+    app = App("backpressure")
+
+    @app.websocket("/slow")
+    async def slow(ws) -> None:
+        await ws.receive_json()          # first frame only
+        await asyncio.sleep(4.0)         # busy — queue fills behind us
+        await ws.send_json({"type": "done"})
+
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.create_task(app.serve("127.0.0.1", 0))
+        loop.run_forever()
+
+    threading.Thread(target=run, daemon=True).start()
+    for _ in range(100):
+        if getattr(app, "port", None):
+            break
+        time.sleep(0.05)
+
+    ws = ws_mod.connect(f"ws://127.0.0.1:{app.port}/slow", open_timeout=10)
+    # flood past the queue depth so the server's reader loop blocks; the
+    # client lib keeps answering pings (it is reading), but the server
+    # cannot observe the pongs
+    for i in range(40):
+        ws.send(jsonmod.dumps({"i": i}))
+    # old behavior: aborted at ~2x ping interval (1 s); must survive to done
+    msg = jsonmod.loads(ws.recv(timeout=30))
+    assert msg == {"type": "done"}
+    ws.close()

@@ -178,7 +178,34 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
     async def _ws_loop(ws: WebSocket, sess, use_llm_default) -> None:
         while True:
             try:
-                data = await ws.receive_json()
+                opcode, payload = await ws.receive_message()
+                if opcode == 0x2:
+                    # BINARY frame = one raw 16 kHz mono s16le PCM chunk —
+                    # the FunASR runtime WS protocol's chunk format
+                    # (reference voice_interface.py:255-296: JSON init +
+                    # binary chunks). Flags persist from prior JSON
+                    # messages; skips base64+WAV decode on the hot path.
+                    import numpy as np
+                    if len(payload) == 0 or len(payload) % 2:
+                        await ws.send_json({
+                            "type": "error",
+                            "message": "二进制帧须为 16 kHz 单声道 s16le PCM",
+                            "code": "INVALID_PCM_FRAME"})
+                        continue
+                    audio_np = (np.frombuffer(payload, "<i2")
+                                .astype(np.float32) / 32768.0)
+                    use_llm = use_llm_default
+                    if sess.is_completed:
+                        sess.reset()
+                    try:
+                        await _process_audio(ws, sess, audio_np, use_llm)
+                    except Exception as e:
+                        logger.exception("audio processing error")
+                        await ws.send_json({"type": "error",
+                                            "message": f"处理音频失败: {e}",
+                                            "code": "PROCESSING_ERROR"})
+                    continue
+                data = json.loads(payload.decode("utf-8"))
             except (json.JSONDecodeError, UnicodeDecodeError):
                 # UnicodeDecodeError: text frame with invalid UTF-8 — same
                 # error-frame-keep-connection contract as malformed JSON
