@@ -196,6 +196,17 @@ class G2P:
             self.words.update(words)
         self.erhua = set(ERHUA_WORDS)
         self._max_word = max(len(w) for w in self.words)
+        # segmentation lexicon (word_segment prosody stream ONLY — never
+        # pronunciations): the authored general list ∪ the pronunciation
+        # compounds ∪ erhua words, with coarse frequency tiers for the DP
+        # segmenter (tts/segmenter.py)
+        from .segwords import general_words
+        self.seg_words = general_words()
+        for w in self.words:
+            self.seg_words.setdefault(w, 3.0)
+        for w in self.erhua:
+            self.seg_words.setdefault(w, 4.0)
+        self._max_seg_word = max(len(w) for w in self.seg_words)
 
     @classmethod
     def with_lexicon_file(cls, path: str) -> "G2P":
@@ -360,28 +371,16 @@ class G2P:
 
     def _word_spans(self, items: List[Tuple[str, Optional[str]]]) -> List[int]:
         """Word length (in items) at each starting item, 0 inside a word —
-        greedy longest-match against the word lexicon over the resolved
-        items (erhua-merged items contribute their full char run, so 一点儿
-        still matches). Single out-of-lexicon syllables count as their own
-        word; ttsfrd's statistical segmenter does better on open text, but
-        the stream format is identical."""
-        n = len(items)
-        span = [1] * n
-        i = 0
-        while i < n:
-            best = 1
-            acc = items[i][0]
-            j = i + 1
-            while j < n and len(acc) <= self._max_word:
-                acc += items[j][0]
-                j += 1
-                if acc in self.words:
-                    best = j - i
-            for k in range(i + 1, i + best):
-                span[k] = 0
-            span[i] = best
-            i += best
-        return span
+        uni-gram Viterbi over the GENERAL segmentation lexicon (round 3c:
+        ~1.9k authored words + the pronunciation compounds, tts/segwords.py;
+        was greedy longest-match over pronunciation compounds only, which
+        marked ordinary words like 我们/医院 as singles and over-committed
+        on 研究生-class prefixes). Erhua-merged items contribute their full
+        char run, so 一点儿 still matches as one node. Segmentation feeds
+        the word_segment prosody stream ONLY — never pronunciations."""
+        from .segmenter import viterbi_spans
+        return viterbi_spans([ch for ch, _ in items], self.seg_words,
+                             self._max_seg_word)
 
     def __call__(self, text: str) -> List[Phone]:
         items = self._resolve(text)
