@@ -570,6 +570,7 @@ def bench_wsload() -> None:
             sys.stderr.write(f"wsload n={n}: {n_ok}/{n} after a green warm "
                              "ladder — transient suspected, one retry\n")
             _quiesce(engines)
+            _poke()   # quiesce idles the device again — re-absorb the stall
             n_ok, p95 = _measure_rung(n)
         if n_ok == n:
             best, best_p95 = n, p95

@@ -28,6 +28,7 @@ import time
 import uuid
 from typing import Any, Dict, Optional
 
+import numpy as np
 from pydantic import ValidationError
 
 from ..asr import session as S
@@ -176,6 +177,9 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
             sess.close()
 
     async def _ws_loop(ws: WebSocket, sess, use_llm_default) -> None:
+        # use_llm persists across messages (docs/API.md: binary frames reuse
+        # the last JSON-set flags); use_wake/use_sv persist inside `sess`
+        use_llm = use_llm_default
         while True:
             try:
                 opcode, payload = await ws.receive_message()
@@ -185,7 +189,6 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
                     # (reference voice_interface.py:255-296: JSON init +
                     # binary chunks). Flags persist from prior JSON
                     # messages; skips base64+WAV decode on the hot path.
-                    import numpy as np
                     if len(payload) == 0 or len(payload) % 2:
                         await ws.send_json({
                             "type": "error",
@@ -194,7 +197,6 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
                         continue
                     audio_np = (np.frombuffer(payload, "<i2")
                                 .astype(np.float32) / 32768.0)
-                    use_llm = use_llm_default
                     if sess.is_completed:
                         sess.reset()
                     try:
@@ -250,8 +252,8 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
                 # (reference WebSocketAudioMessage schema) — persist the
                 # finalize buffers for this session
                 sess.generated_dir = sess.generated_dir or cfg.generated_dir
-            use_llm = bool(data.get("use_llm")) if data.get("use_llm") is not None \
-                else use_llm_default
+            if data.get("use_llm") is not None:
+                use_llm = bool(data["use_llm"])   # persists for later frames
             wav_b64 = data.get("wav_base64") or data.get("audio_data")
             if not wav_b64 or not isinstance(wav_b64, str):
                 await ws.send_json({"type": "error",

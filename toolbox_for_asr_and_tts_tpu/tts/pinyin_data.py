@@ -536,3 +536,32 @@ PINYIN_TABLE.update({
     "默": "mo4", "椎": "zhui1", "耕": "geng1", "馅": "xian4",
     "荷": "he2", "戏": "xi4",
 })
+
+# Round-3 sweep: characters used by the general SEGMENTATION lexicon
+# (tts/segwords.py) that had no pronunciation entry — without these, the
+# word_segment prosody stream could mark a word whose chars synthesize as
+# bare char_<cp> fallbacks (一般/介绍/北京…).
+PINYIN_TABLE.update({
+    "专": "zhuan1", "乒": "ping1", "乓": "pang1", "京": "jing1",
+    "介": "jie4", "仔": "zi3", "俗": "su2", "农": "nong2", "刮": "gua1",
+    "励": "li4", "北": "bei3", "博": "bo2", "卫": "wei4", "咙": "long2",
+    "哺": "bu3", "啤": "pi2", "嘴": "zui3", "圳": "zhen4", "圾": "ji1",
+    "坚": "jian1", "垃": "la1", "塑": "su4", "妆": "zhuang1",
+    "姓": "xing4", "娩": "mian3", "宵": "xiao1", "宾": "bin1",
+    "屿": "yu3", "州": "zhou1", "巧": "qiao3", "广": "guang3",
+    "庆": "qing4", "微": "wei1", "怀": "huai2", "惠": "hui4",
+    "憋": "bie1", "戚": "qi1", "扬": "yang2", "承": "cheng2",
+    "技": "ji4", "抖": "dou3", "抗": "kang4", "抵": "di3", "担": "dan1",
+    "招": "zhao1", "拜": "bai4", "挛": "luan2", "旅": "lv3",
+    "朵": "duo3", "材": "cai2", "棉": "mian2", "楚": "chu3",
+    "橘": "ju2", "汁": "zhi1", "汽": "qi4", "沟": "gou1", "济": "ji4",
+    "浪": "lang4", "淇": "qi2", "漠": "mo4", "烫": "tang4",
+    "熬": "ao2", "玻": "bo1", "璃": "li2", "瓜": "gua1",
+    "痊": "quan2", "皂": "zao4", "磁": "ci2", "礼": "li3",
+    "篮": "lan2", "绍": "shao4", "绩": "ji4", "羽": "yu3",
+    "翻": "fan1", "聘": "pin4", "股": "gu3", "脖": "bo2",
+    "脸": "lian3", "膝": "xi1", "般": "ban1", "英": "ying1",
+    "萄": "tao2", "葡": "pu2", "讨": "tao3", "诗": "shi1",
+    "诺": "nuo4", "趾": "zhi3", "酱": "jiang4", "醋": "cu4",
+    "革": "ge2", "饺": "jiao3", "鼓": "gu3", "龄": "ling2",
+})

@@ -3,9 +3,9 @@
 Replaces the greedy longest-match `_word_spans` (round-2) with a Viterbi
 pass over the item DAG — the algorithm family ttsfrd's statistical
 segmenter uses (tts-service/Dockerfile:61-64), at lexicon scale authored
-in tts/segwords.py. Greedy longest-match commits to 研究生 in 研究生命很
-重要 and strands 命; the DP pass scores whole segmentations, so
-研究/生命 wins on word priors.
+in tts/segwords.py. Greedy longest-match over-commits to 3-char entries —
+生活费 in 生活费用 strands 用, 皮肤科 in 皮肤科学 strands 学; the DP pass
+scores whole segmentations, so the two-word reading wins on word priors.
 
 Scoring: each lexicon word costs `-tier` (higher tier = cheaper; tiers are
 coarse log-frequency classes, segwords.py), single out-of-lexicon items
@@ -20,12 +20,14 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
-# cost of one out-of-lexicon single item; a 2-char tier-3 word (cost -3)
-# must beat two OOV singles (cost 5.0): it does, by 8 points
-OOV_COST = 2.5
 # a lexicon word of tier t costs WORD_BASE - t (so tier 6 ≈ free); WORD_BASE
 # keeps all costs positive for readability, constants cancel in comparisons
 WORD_BASE = 6.5
+# cost of one out-of-lexicon single item. MUST exceed the dearest lexicon
+# word cost (tier 3 → 3.5): if an OOV single were cheaper per item than a
+# word, adjacent real words would mis-segment into word+stranded-OOV
+# (大学|习惯 → 大|学习|惯) — the exact failure the DP exists to prevent.
+OOV_COST = 4.5
 
 
 def viterbi_spans(chars: Sequence[str], words: Dict[str, float],
@@ -41,12 +43,14 @@ def viterbi_spans(chars: Sequence[str], words: Dict[str, float],
     back = [1] * (n + 1)    # items consumed by the chosen last word
     best[0] = 0.0
     for i in range(n):
-        if best[i] is INF:
+        if best[i] == INF:
             continue
-        # single item (word of one item, or OOV char)
+        # single item (word of one item, or OOV char). A single-char lexicon
+        # entry must never cost MORE than an unknown char — listing a char
+        # can only help it.
         one = chars[i]
         tier = words.get(one)
-        c_single = (WORD_BASE - tier) if tier is not None else OOV_COST
+        c_single = min(WORD_BASE - tier, OOV_COST) if tier is not None else OOV_COST
         if best[i] + c_single < best[i + 1]:
             best[i + 1] = best[i] + c_single
             back[i + 1] = 1

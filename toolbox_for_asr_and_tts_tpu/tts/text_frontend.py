@@ -387,11 +387,18 @@ class G2P:
         spans = self._word_spans(items)
         # word-segment position per item (syllable)
         wpos = [0] * len(items)
+
+        def speakable(it: Tuple[str, Optional[str]]) -> bool:
+            ch, sy = it
+            if sy is not None:
+                return True
+            return not (ch in ALL_PUNCT or ch in "！？" or ch.isspace())
+
         i = 0
         while i < len(items):
             ln = max(spans[i], 1)
             if ln == 1:
-                wpos[i] = 4 if items[i][1] is not None else 0
+                wpos[i] = 4 if speakable(items[i]) else 0
             else:
                 for k in range(ln):
                     wpos[i + k] = 1 if k == 0 else (3 if k == ln - 1 else 2)
@@ -412,11 +419,14 @@ class G2P:
                 phones.append(Phone("#sil" if ch in STRONG_PUNCT else "#br",
                                     is_punct=True))
             elif ch.isascii() and ch.isalnum():
-                phones.append(Phone(ch.lower(), word_pos=4))
+                phones.append(Phone(ch.lower(), word_pos=wp))
             elif ch.isspace():
                 continue
             else:
-                phones.append(Phone(f"char_{ord(ch) % 4096}", word_pos=4))
+                # fallback chars keep the COMPUTED word mark: a seg-lexicon
+                # word may contain a char with no pinyin entry, and hardcoding
+                # single(4) here emitted begin-without-end word streams
+                phones.append(Phone(f"char_{ord(ch) % 4096}", word_pos=wp))
         return phones
 
 
