@@ -384,6 +384,34 @@ WORD_PINYIN.update({
     "假期": "jia4 qi1", "病假": "bing4 jia4", "产假": "chan3 jia4",
 })
 
+# round-3b blind-extension closures (docs/G2P.md): the 48-sentence second
+# blind set (24 new chars) missed 9; these are the compound closures, the
+# productive shapes go to postagger round-3b rules
+WORD_PINYIN.update({
+    # 塞 se4 in bound literary compounds (sai1 stays the free default)
+    "堵塞": "du3 se4", "阻塞": "zu3 se4", "闭塞": "bi4 se4",
+    # 角 jue2 (role): the theatrical family
+    "主角": "zhu3 jue2", "配角": "pei4 jue2", "角色": "jue2 se4",
+    "角逐": "jue2 zhu2",
+    # 给 ji3 (supply register)
+    "补给": "bu3 ji3", "供给": "gong1 ji3", "给养": "ji3 yang3",
+    # 脏 zang4 organs beyond the round-2 set
+    "脾脏": "pi2 zang4", "胰脏": "yi2 zang4", "脏器": "zang4 qi4",
+    "五脏": "wu3 zang4",
+    # 散 san3 (loose/powder nominal family)
+    "散文": "san3 wen2", "散装": "san3 zhuang1", "懒散": "lan3 san3",
+    "零散": "ling2 san3",
+    # 缝 feng4 (crack nominal family; feng2 verb stays default)
+    "门缝": "men2 feng4", "缝隙": "feng4 xi4", "夹缝": "jia1 feng4",
+    "接缝": "jie1 feng4", "缝纫": "feng2 ren4",
+    # 铺 pu4 (shop/bunk nominal family; pu1 verb stays default)
+    "店铺": "dian4 pu4", "铺位": "pu4 wei4", "当铺": "dang4 pu4",
+    "卧铺": "wo4 pu4", "铺子": "pu4 zi5",
+    # 卷 juan4 (document nominal family; juan3 verb stays default)
+    "考卷": "kao3 juan4", "试题卷": "shi4 ti2 juan4",
+    "答卷": "da2 juan4", "画卷": "hua4 juan4", "胶卷": "jiao1 juan3",
+})
+
 # lexicalized 儿化 words: the trailing 儿 rhotacizes the previous final
 ERHUA_WORDS = {
     "这儿", "那儿", "哪儿", "一点儿", "有点儿", "一会儿", "等会儿",

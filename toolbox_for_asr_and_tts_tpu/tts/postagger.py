@@ -254,6 +254,28 @@ RULES: Dict[str, List[Rule]] = {
         (lambda c: c.ch(1) in "了过" or c.ch(1) in "体血身尺",
          "liang2"),
     ],
+    # --- round-3b blind-extension closures (docs/G2P.md) ---
+    # 脏 zang1 (dirty — the common bare reading) / zang4 (organ): organs
+    # only occur bound (心脏/内脏…, compounds) or right after a body-part
+    # char; everything else bare is the adjective
+    "脏": [
+        (lambda c: c.ch(-1) in "心肝肾脾肺胰内五", "zang4"),
+        (lambda c: True, "zang1"),
+    ],
+    # 散 san4 (disperse, default) / san3 (loose): a strand-like subject
+    # directly before 散了/散开 means "came undone", not "dispersed"
+    "散": [
+        (lambda c: c.ch(-1) in "带发辫绳线扣髻" and c.ch(1) in "了开",
+         "san3"),
+    ],
+    # 倒 dao3 (fall, default) / dao4 (pour; reverse): pouring licensed by a
+    # container-measure phrase (倒一杯水) or a pourable object; 倒车 stays
+    # dao3 (reversing) via default
+    "倒": [
+        (lambda c: c.ch(1) == "一" and c.ch(2) in "杯碗壶瓶盆桶勺口点些",
+         "dao4"),
+        (lambda c: c.ch(1) in "茶酒油汤药满进出掉", "dao4"),
+    ],
 }
 
 
