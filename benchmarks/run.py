@@ -219,7 +219,9 @@ def bench_chunked_streams() -> None:
     params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
     import os
-    capacity = 64
+    # batch width amortizes the fixed per-tick dispatch cost — raise it to
+    # find the compute knee (CHUNKED_CAPACITY=128/256)
+    capacity = int(os.getenv("CHUNKED_CAPACITY", "64"))
     pipelined = os.getenv("CHUNKED_PIPELINE", "1") in ("1", "true")
     ticker = BatchedChunkedASR(params, cfg,
                                po.OnlineConfig(tokens_per_chunk=4),
@@ -314,6 +316,17 @@ def bench_wsload() -> None:
         level=_logging.WARNING, force=True,
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
     os.environ.setdefault("VOICE_DISABLE_LLM", "1")
+    # ladder rungs. Two extension experiments are settled (2026-08-18, both
+    # logged in RESULTS.md): (a) raising VOICE_BATCH_CAPACITY to cover a
+    # 128 top rung made every rung worse — hub tick cost scales with
+    # capacity and the 1-CPU host then failed even n=64 (24/64); (b) a 96
+    # rung at shipped capacity is CLIENT-bound on this host: 96 client
+    # threads + the server share one core and the connect rendezvous never
+    # completes (all threads break the barrier), and its backlog poisons
+    # the measured rungs below. So the default ladder tops at 64 here;
+    # measure higher rungs on multi-core hosts via WSLOAD_LADDER.
+    ladder = tuple(int(x) for x in os.getenv(
+        "WSLOAD_LADDER", "8,16,32,64").split(","))
     os.environ.setdefault("VOICE_BATCH_CAPACITY", "64")
     os.environ.setdefault("VOICE_HUB_TIMEOUT_S", "600")
     from websockets.sync.client import connect as ws_connect
@@ -359,7 +372,11 @@ def bench_wsload() -> None:
             ws.recv(timeout=30)                          # welcome
             ws.send(json.dumps({"use_wake": False, "use_sv": False,
                                 "use_llm": False}))
-            barrier.wait(timeout=60)
+            # scale the rendezvous with the party: N sequential connects on
+            # a 1-CPU host can near-exceed a flat 60 s, and ONE timeout
+            # breaks the barrier for every thread (seen at n=96:
+            # BrokenBarrierError ×96)
+            barrier.wait(timeout=max(60, 3 * barrier.parties))
             # de-synchronize: real streams don't endpoint in lockstep, and
             # a synchronized finalize storm measures the worst phase only
             time.sleep((idx % 8) * 0.05)
@@ -503,7 +520,7 @@ def bench_wsload() -> None:
     # throwaway pass at each rung compiles whatever is left, so the
     # measured pass below is steady-state (every other bench in this file
     # likewise excludes first-call compiles)
-    for n in (8, 16, 32, 64):
+    for n in ladder:
         out = [None] * n
         barrier = threading.Barrier(n)
         threads = [threading.Thread(target=client,
@@ -557,7 +574,7 @@ def bench_wsload() -> None:
         diar.diarize_batch([np.concatenate([speech] * 5)], need_spk=False)
 
     best, best_p95 = 0, float("nan")
-    for n in (8, 16, 32, 64):
+    for n in ladder:
         _poke()
         n_ok, p95 = _measure_rung(n)
         if n_ok < n and n_ok <= n // 2:
