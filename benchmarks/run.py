@@ -219,9 +219,12 @@ def bench_chunked_streams() -> None:
     params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
     import os
-    # batch width amortizes the fixed per-tick dispatch cost — raise it to
-    # find the compute knee (CHUNKED_CAPACITY=128/256)
-    capacity = int(os.getenv("CHUNKED_CAPACITY", "64"))
+    # batch width amortizes the fixed per-tick dispatch cost. The
+    # 2026-08-18 sweep (RESULTS.md): 64→~200, 128→267-347, 160→392,
+    # 192→334-432 (paired A/B vs 64: +65-75%), 224→415, 256→285 — the
+    # knee is ~192 rows, so that is the default; per-tick wall at 192 is
+    # ~137 ms, still inside the 240 ms real-time budget
+    capacity = int(os.getenv("CHUNKED_CAPACITY", "192"))
     pipelined = os.getenv("CHUNKED_PIPELINE", "1") in ("1", "true")
     ticker = BatchedChunkedASR(params, cfg,
                                po.OnlineConfig(tokens_per_chunk=4),

@@ -27,6 +27,31 @@ def test_profile_knob_sets_differ():
     t, l = at.profile_knobs("tunnel"), at.profile_knobs("local")
     for k in ("tts_mel_group", "tts_group_by_length", "pallas_framing"):
         assert t[k] is False and l[k] is True
+    # hub row count follows the dispatch cost (capacity sweep, RESULTS.md)
+    assert t["batch_capacity"] == 16 and l["batch_capacity"] == 128
+
+
+def test_env_beats_profile_int(monkeypatch):
+    monkeypatch.setenv("TOOLBOX_DISPATCH_PROFILE", "local")
+    at.get_profile(refresh=True)
+    assert at.env_or_profile_int("VOICE_BATCH_CAPACITY",
+                                 "batch_capacity") == 128
+    monkeypatch.setenv("VOICE_BATCH_CAPACITY", "7")
+    assert at.env_or_profile_int("VOICE_BATCH_CAPACITY",
+                                 "batch_capacity") == 7
+
+
+def test_test_engines_pin_small_capacity(monkeypatch):
+    # CPU test hosts probe as "local" (sub-ms dispatch) — the 128-row
+    # production capacity must NOT leak into test engines
+    from toolbox_for_asr_and_tts_tpu.service.engines import _batch_capacity
+    monkeypatch.delenv("VOICE_BATCH_CAPACITY", raising=False)
+    monkeypatch.setenv("TOOLBOX_DISPATCH_PROFILE", "local")
+    at.get_profile(refresh=True)
+    assert _batch_capacity(16) == 16      # caller default wins over profile
+    assert _batch_capacity() == 128       # profile applies without one
+    monkeypatch.setenv("VOICE_BATCH_CAPACITY", "5")
+    assert _batch_capacity(16) == 5       # env beats everything
 
 
 def test_env_beats_profile(monkeypatch):

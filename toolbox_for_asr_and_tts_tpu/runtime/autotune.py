@@ -94,6 +94,13 @@ def profile_knobs(name: str) -> Dict[str, object]:
         "tts_mel_group": local,        # per-mel-bucket dispatch
         "tts_group_by_length": local,  # per-length-bucket batching
         "pallas_framing": local,       # fbank frame/window Pallas kernel
+        # serving-hub row count: the chunked tick amortizes its fixed
+        # dispatch cost over the batch dim — the 2026-08-18 capacity sweep
+        # (benchmarks/RESULTS.md) measured 64→128/192 rows worth +40-120%
+        # streams/chip on-chip, with the knee ~192 and a decline at 256.
+        # On the tunnel the HOST is the binding constraint (wsload), so the
+        # conservative row count stands there.
+        "batch_capacity": 128 if local else 16,
     }
 
 
@@ -104,3 +111,12 @@ def env_or_profile(env_name: str, knob: str) -> bool:
     if v is not None:
         return v in ("1", "true")
     return bool(get_profile()[knob])
+
+
+def env_or_profile_int(env_name: str, knob: str) -> int:
+    """Integer-valued serving knob: explicit env var beats the probed
+    profile."""
+    v = os.getenv(env_name)
+    if v is not None:
+        return int(v)
+    return int(get_profile()[knob])

@@ -22,6 +22,19 @@ import numpy as np
 logger = logging.getLogger("toolbox.engines")
 
 
+def _batch_capacity(default: int = None) -> int:
+    """Serving-hub row count: VOICE_BATCH_CAPACITY env wins; then an
+    explicit caller default (test engines pin 16 — CPU hubs must stay
+    small); otherwise the dispatch profile picks it (tunnel 16 /
+    direct-attached 128 — the 2026-08-18 chunked capacity sweep,
+    benchmarks/RESULTS.md)."""
+    import os as _os
+    if default is not None and _os.getenv("VOICE_BATCH_CAPACITY") is None:
+        return default
+    from ..runtime.autotune import env_or_profile_int
+    return env_or_profile_int("VOICE_BATCH_CAPACITY", "batch_capacity")
+
+
 def build_test_engines():
     """Small random-weight engines for tests/dev (no checkpoints needed)."""
     # same eager dispatch-profile resolution as build_engines: the probe
@@ -51,10 +64,11 @@ def build_test_engines():
     # no model-VAD in test engines: random FSMN-VAD weights fire on silence,
     # which would distort the enrollment FSM's energy-based pacing
     return VoiceEngines(diarizer=diar, kws=kws, verifier=sv,
-                        streaming_factory=_streaming_factory(reco))
+                        streaming_factory=_streaming_factory(reco, capacity=16))
 
 
-def _vad_factory(model_dir: Optional[str] = None):
+def _vad_factory(model_dir: Optional[str] = None,
+                 capacity: Optional[int] = None):
     """Per-session FSMN-VAD stepper factory (per-connection cache, like the
     reference's `session.vad_cache`). Shares one weight pytree, loaded from
     the resolved `fsmn_vad` checkpoint when present (geometry + am.mvn CMVN
@@ -90,8 +104,7 @@ def _vad_factory(model_dir: Optional[str] = None):
         from ..parallel.stream_batcher import AtCapacity
         from .hub import HubVadStepper, VadHub
         hub = VadHub(params, cfg,
-                     capacity=int(os.getenv("VOICE_BATCH_CAPACITY", "16")),
-                     cmvn=cmvn)
+                     capacity=_batch_capacity(capacity), cmvn=cmvn)
         # overflow sessions share ONE compiled program set, warmed under a
         # lock by a throwaway instance: per-instance lazy jits would trace
         # in serving threads concurrently with hub compiles (the
@@ -127,7 +140,7 @@ def _vad_factory(model_dir: Optional[str] = None):
     return factory
 
 
-def _streaming_factory(reco, model_dir=None):
+def _streaming_factory(reco, model_dir=None, capacity=None):
     """Per-session streaming recognizer factory (2-pass partials), DEFAULT-ON
     (VOICE_ENABLE_PARTIALS=0 restores the reference's no-mid-chunk-decode
     behavior, voice_interface.py:1749-1809).
@@ -182,7 +195,7 @@ def _streaming_factory(reco, model_dir=None):
         from .hub import ChunkedHub, HubStreamingRecognizer
         hub = ChunkedHub(reco.params, reco.cfg, OnlineConfig(),
                          reco.tokenizer, cmvn=cmvn,
-                         capacity=int(os.getenv("VOICE_BATCH_CAPACITY", "16")))
+                         capacity=_batch_capacity(capacity))
         # shared overflow program cache + warm-once (same rationale as the
         # VAD overflow path above: no tracing in serving threads, no
         # per-connection recompiles)
