@@ -47,7 +47,7 @@ class BatchedChunkedASR:
     def __init__(self, params, cfg=None, ocfg=None, capacity: int = 16,
                  cmvn: Optional[Tuple[np.ndarray, np.ndarray]] = None,
                  fused: bool = True, partials: bool = False, mesh=None,
-                 pipelined: bool = False):
+                 pipelined: bool = False, bucketed: Optional[bool] = None):
         """fused=True (default): ONE device program per tick — the audio
         ring lives on device and fbank/LFR/CMVN fuse with the encoder+CIF
         (models/paraformer_online.fused_step). fused=False keeps the
@@ -61,7 +61,16 @@ class BatchedChunkedASR:
         pipelined (fused only): double-buffered tick dispatch — results lag
         one tick, the fetch of tick t-1 overlaps tick t's compute. The env
         knob (CHUNKED_PIPELINE) is parsed ONCE at the serving layer
-        (service/hub.py, benchmarks/run.py), not here."""
+        (service/hub.py, benchmarks/run.py), not here.
+        bucketed (fused, single-device — the default there): each tick
+        gathers the OCCUPIED rows' state into a pow-2-sized sub-batch,
+        steps that, and scatters back, so tick cost tracks occupancy
+        instead of capacity. Capacity can then be provisioned high (128+)
+        without every low-occupancy tick paying the full padded batch —
+        the round-3 wsload finding that made VOICE_BATCH_CAPACITY=128
+        double every tick's cost and break n=64. Padding rows index a
+        dedicated scratch row (row `capacity`), so duplicate scatter
+        indices never touch a live session."""
         import jax
         from ..models import paraformer as pf
         from ..models import paraformer_online as po
@@ -89,10 +98,19 @@ class BatchedChunkedASR:
         self.params = params
         self.fused = fused
         self.partials = partials and fused
+        # occupancy bucketing: default ON for the single-device fused path;
+        # the mesh path keeps full-capacity ticks (rows are sharded by
+        # position over the data axis — a dynamic gather would cross shards)
+        self.bucketed = (fused and mesh is None) if bucketed is None \
+            else (bucketed and fused and mesh is None)
         if fused:
             fcfg = self.cfg.frontend
             self.chunk_samples = self.ocfg.c1 * fcfg.lfr_n * fcfg.frame_shift
-            self.state = po.init_fused_state(self.cfg, self.ocfg, b=capacity,
+            # +1 scratch row when bucketed: pad entries of a tick's index
+            # vector all point here, so their zero-input steps scatter into
+            # a row no session owns
+            n_rows = capacity + 1 if self.bucketed else capacity
+            self.state = po.init_fused_state(self.cfg, self.ocfg, b=n_rows,
                                              decode_partials=self.partials)
             if self._row_shard is not None:
                 self.state = jax.tree.map(self._row_shard, self.state)
@@ -103,20 +121,35 @@ class BatchedChunkedASR:
                 import jax.numpy as jnp
                 cm = (jnp.asarray(cmvn[0]), jnp.asarray(cmvn[1]))
 
-            def fstep(p, state, audio, row_active):
-                res = po.fused_step(p, state, audio, c, o, cmvn=cm,
-                                    k_cap=o.tokens_per_chunk,
-                                    decode_partials=dp)
-                new_state, embeds, n = res[0], res[1], res[2]
+            if self.bucketed:
+                def fstep(p, state, idx, audio):
+                    # gather occupied rows → step the sub-batch → scatter
+                    # back. Same per-row math as the full-capacity step
+                    # (every batched op here is row-independent).
+                    sub = jax.tree.map(lambda a: a[idx], state)
+                    res = po.fused_step(p, sub, audio, c, o, cmvn=cm,
+                                        k_cap=o.tokens_per_chunk,
+                                        decode_partials=dp)
+                    merged = jax.tree.map(
+                        lambda full, ns: full.at[idx].set(ns), state, res[0])
+                    if dp:
+                        return merged, res[1], res[2], res[3]
+                    return merged, res[1], res[2]
+            else:
+                def fstep(p, state, audio, row_active):
+                    res = po.fused_step(p, state, audio, c, o, cmvn=cm,
+                                        k_cap=o.tokens_per_chunk,
+                                        decode_partials=dp)
+                    new_state, embeds, n = res[0], res[1], res[2]
 
-                def merge(new, old):
-                    m = row_active.reshape((-1,) + (1,) * (new.ndim - 1))
-                    return jax.numpy.where(m.astype(bool), new, old)
-                merged = jax.tree.map(merge, new_state, state)
-                n = n * row_active.astype(n.dtype)
-                if dp:
-                    return merged, embeds, n, res[3]
-                return merged, embeds, n
+                    def merge(new, old):
+                        m = row_active.reshape((-1,) + (1,) * (new.ndim - 1))
+                        return jax.numpy.where(m.astype(bool), new, old)
+                    merged = jax.tree.map(merge, new_state, state)
+                    n = n * row_active.astype(n.dtype)
+                    if dp:
+                        return merged, embeds, n, res[3]
+                    return merged, embeds, n
 
             self._fused_step = jax.jit(fstep)
         else:
@@ -196,18 +229,21 @@ class BatchedChunkedASR:
         rows, res = self._inflight
         self._inflight = None
         n = np.asarray(res[2])
+        # bucketed ticks emit outputs by POSITION in the tick's row list;
+        # full-capacity ticks emit by slot index
+        pos = {s: (i if self.bucketed else s) for i, s in enumerate(rows)}
         if self.partials:
             ids = np.asarray(res[3])
             for s in rows:
-                if int(n[s]) > 0:
+                if int(n[pos[s]]) > 0:
                     self._carry.setdefault(s, []).extend(
-                        ids[s, : int(n[s])].tolist())
+                        ids[pos[s], : int(n[pos[s]])].tolist())
         else:
             embeds = np.asarray(res[1]).astype(np.float32)
             for s in rows:
-                if int(n[s]) > 0:
+                if int(n[pos[s]]) > 0:
                     self._carry.setdefault(s, []).extend(
-                        embeds[s, : int(n[s])])
+                        embeds[pos[s], : int(n[pos[s]])])
 
     FBANK_QUANTA = 24  # frames per fbank call — FIXED shape, so the program
                        # cache is bounded by group size (CLAUDE.md bucketing
@@ -365,37 +401,43 @@ class BatchedChunkedASR:
                 rows = [s for s, a in self._audio.items() if len(a) >= a_len]
                 if not rows:
                     break
-                batch = np.zeros((self.capacity, a_len), np.float32)
-                row_active = np.zeros((self.capacity,), np.float32)
-                for s in rows:
-                    batch[s] = self._audio[s][:a_len]
-                    self._audio[s] = self._audio[s][a_len:]
-                    row_active[s] = 1.0
-                batch_dev = jnp.asarray(batch)
-                active_dev = jnp.asarray(row_active)
-                if self._row_shard is not None:
-                    batch_dev = self._row_shard(batch_dev)
-                    active_dev = self._row_shard(active_dev)
-                res = self._fused_step(self.params, self.state, batch_dev,
-                                       active_dev)
-                self.state = res[0]   # device-side chain — no host sync
-                if self._pipelined:
-                    self._harvest()                 # previous tick's fetch
-                    self._inflight = (rows, res)    # fetched next tick
-                    continue
-                embeds, n = res[1], np.asarray(res[2])
-                if self.partials:
-                    ids = np.asarray(res[3])
-                    for s in rows:
-                        if int(n[s]) > 0:
-                            fired.setdefault(s, []).extend(
-                                ids[s, : int(n[s])].tolist())
+                if self.bucketed:
+                    # occupancy-bucketed sub-batch: pow-2 rows, pads point
+                    # at the scratch row (row `capacity`) with zero audio.
+                    # Clamped at capacity — 129 rows at capacity 192 must
+                    # run a 192-row program, not a 256-row one
+                    bucket = 1
+                    while bucket < len(rows):
+                        bucket *= 2
+                    bucket = min(bucket, self.capacity)
+                    idx = np.full((bucket,), self.capacity, np.int32)
+                    batch = np.zeros((bucket, a_len), np.float32)
+                    for i, s in enumerate(rows):
+                        idx[i] = s
+                        batch[i] = self._audio[s][:a_len]
+                        self._audio[s] = self._audio[s][a_len:]
+                    res = self._fused_step(self.params, self.state,
+                                           jnp.asarray(idx),
+                                           jnp.asarray(batch))
                 else:
-                    embeds = np.asarray(embeds).astype(np.float32)
+                    batch = np.zeros((self.capacity, a_len), np.float32)
+                    row_active = np.zeros((self.capacity,), np.float32)
                     for s in rows:
-                        if int(n[s]) > 0:
-                            fired.setdefault(s, []).extend(
-                                embeds[s, : int(n[s])])
+                        batch[s] = self._audio[s][:a_len]
+                        self._audio[s] = self._audio[s][a_len:]
+                        row_active[s] = 1.0
+                    batch_dev = jnp.asarray(batch)
+                    active_dev = jnp.asarray(row_active)
+                    if self._row_shard is not None:
+                        batch_dev = self._row_shard(batch_dev)
+                        active_dev = self._row_shard(active_dev)
+                    res = self._fused_step(self.params, self.state,
+                                           batch_dev, active_dev)
+                self.state = res[0]   # device-side chain — no host sync
+                self._harvest()                 # previous dispatch's fetch
+                self._inflight = (rows, res)
+                if not self._pipelined:
+                    self._harvest()             # fetch this tick now
             if self._carry:
                 for s, v in self._carry.items():
                     # carried results are OLDER than this tick's — prepend
