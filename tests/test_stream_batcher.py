@@ -256,6 +256,54 @@ def test_pipelined_tick_matches_unpipelined():
     assert piped_ticks[0][0] == 0
 
 
+def test_bucketed_occupancy_ramp_matches_unbucketed():
+    """Occupancy-bucketed ticks (gather/scatter sub-batch below capacity/2,
+    full masked program above) produce EXACTLY the unbucketed ticker's ids
+    as sessions ramp 1→6 across the hybrid boundary at capacity 8."""
+    import jax
+    import numpy as np
+    from toolbox_for_asr_and_tts_tpu.models import paraformer
+    from toolbox_for_asr_and_tts_tpu.models import paraformer_online as po
+    from toolbox_for_asr_and_tts_tpu.parallel.stream_batcher import (
+        BatchedChunkedASR)
+
+    cfg = paraformer.ParaformerConfig(
+        input_dim=560, d_model=32, n_heads=2, ffn_dim=64,
+        encoder_layers=2, decoder_layers=2, vocab_size=64)
+    ocfg = po.OnlineConfig(c1=4, c2=5, encoder_look_back=2)
+    params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(23)
+    audios = [(rng.standard_normal(12800) * 0.1).astype(np.float32)
+              for _ in range(6)]
+
+    def run(bucketed):
+        t = BatchedChunkedASR(params, cfg, ocfg, capacity=8, partials=True,
+                              bucketed=bucketed)
+        slots = []
+        got = {}
+        for s in range(0, 12800, 3200):
+            k = s // 3200
+            # sessions 1/2/4/6 live on ticks 0/1/2/3: buckets 1,2,4 take
+            # the gather path (bucket*2 ≤ 8), 6 → bucket 8 takes the full
+            # masked path
+            while len(slots) < (1, 2, 4, 6)[k]:
+                slots.append(t.join())
+                got[len(slots) - 1] = []
+            fired = t.tick({slots[i]: audios[i][s:s + 3200]
+                            for i in range(len(slots))})
+            for i, sl in enumerate(slots):
+                got[i].extend(fired.get(sl, []))
+        for i, sl in enumerate(slots):
+            for sl2, ids in t.finalize_slot(sl).items():
+                got[slots.index(sl2)].extend(ids)
+        return got
+
+    plain = run(False)
+    bucketed = run(True)
+    assert bucketed == plain
+    assert any(len(v) for v in plain.values())
+
+
 def test_pipelined_reset_drops_only_that_slot():
     import jax
     import numpy as np

@@ -70,7 +70,10 @@ class BatchedChunkedASR:
         the round-3 wsload finding that made VOICE_BATCH_CAPACITY=128
         double every tick's cost and break n=64. Padding rows index a
         dedicated scratch row (row `capacity`), so duplicate scatter
-        indices never touch a live session."""
+        indices never touch a live session. Ticks past capacity/2
+        occupancy switch to the full mask-merged program — near-full
+        ticks must not pay a full-state gather+scatter just to reorder
+        rows."""
         import jax
         from ..models import paraformer as pf
         from ..models import paraformer_online as po
@@ -121,37 +124,44 @@ class BatchedChunkedASR:
                 import jax.numpy as jnp
                 cm = (jnp.asarray(cmvn[0]), jnp.asarray(cmvn[1]))
 
-            if self.bucketed:
-                def fstep(p, state, idx, audio):
-                    # gather occupied rows → step the sub-batch → scatter
-                    # back. Same per-row math as the full-capacity step
-                    # (every batched op here is row-independent).
-                    sub = jax.tree.map(lambda a: a[idx], state)
-                    res = po.fused_step(p, sub, audio, c, o, cmvn=cm,
-                                        k_cap=o.tokens_per_chunk,
-                                        decode_partials=dp)
-                    merged = jax.tree.map(
-                        lambda full, ns: full.at[idx].set(ns), state, res[0])
-                    if dp:
-                        return merged, res[1], res[2], res[3]
-                    return merged, res[1], res[2]
-            else:
-                def fstep(p, state, audio, row_active):
-                    res = po.fused_step(p, state, audio, c, o, cmvn=cm,
-                                        k_cap=o.tokens_per_chunk,
-                                        decode_partials=dp)
-                    new_state, embeds, n = res[0], res[1], res[2]
+            def fstep_gather(p, state, idx, audio):
+                # gather occupied rows → step the sub-batch → scatter
+                # back. Same per-row math as the full-capacity step
+                # (every batched op here is row-independent).
+                sub = jax.tree.map(lambda a: a[idx], state)
+                res = po.fused_step(p, sub, audio, c, o, cmvn=cm,
+                                    k_cap=o.tokens_per_chunk,
+                                    decode_partials=dp)
+                merged = jax.tree.map(
+                    lambda full, ns: full.at[idx].set(ns), state, res[0])
+                if dp:
+                    return merged, res[1], res[2], res[3]
+                return merged, res[1], res[2]
 
-                    def merge(new, old):
-                        m = row_active.reshape((-1,) + (1,) * (new.ndim - 1))
-                        return jax.numpy.where(m.astype(bool), new, old)
-                    merged = jax.tree.map(merge, new_state, state)
-                    n = n * row_active.astype(n.dtype)
-                    if dp:
-                        return merged, embeds, n, res[3]
-                    return merged, embeds, n
+            def fstep_full(p, state, audio, row_active):
+                res = po.fused_step(p, state, audio, c, o, cmvn=cm,
+                                    k_cap=o.tokens_per_chunk,
+                                    decode_partials=dp)
+                new_state, embeds, n = res[0], res[1], res[2]
 
-            self._fused_step = jax.jit(fstep)
+                def merge(new, old):
+                    m = row_active.reshape((-1,) + (1,) * (new.ndim - 1))
+                    return jax.numpy.where(m.astype(bool), new, old)
+                merged = jax.tree.map(merge, new_state, state)
+                n = n * row_active.astype(n.dtype)
+                if dp:
+                    return merged, embeds, n, res[3]
+                return merged, embeds, n
+
+            # bucketed mode keeps BOTH programs: the gather/scatter step
+            # for sub-capacity occupancy, and the mask-merged full step
+            # once occupancy crosses capacity/2 (a full-width tick should
+            # not pay an extra full-state gather+scatter round of HBM
+            # traffic just to reorder rows)
+            self._fused_step = jax.jit(
+                fstep_gather if self.bucketed else fstep_full)
+            self._fused_step_full = (jax.jit(fstep_full)
+                                     if self.bucketed else None)
         else:
             self.state = po.init_state(self.cfg, self.ocfg, b=capacity)
         self._frontends: Dict[int, object] = {}
@@ -226,12 +236,10 @@ class BatchedChunkedASR:
         """Fetch the in-flight dispatch's outputs into the carry buffer."""
         if self._inflight is None:
             return
-        rows, res = self._inflight
+        pos, res = self._inflight
         self._inflight = None
         n = np.asarray(res[2])
-        # bucketed ticks emit outputs by POSITION in the tick's row list;
-        # full-capacity ticks emit by slot index
-        pos = {s: (i if self.bucketed else s) for i, s in enumerate(rows)}
+        rows = list(pos)
         if self.partials:
             ids = np.asarray(res[3])
             for s in rows:
@@ -401,41 +409,49 @@ class BatchedChunkedASR:
                 rows = [s for s, a in self._audio.items() if len(a) >= a_len]
                 if not rows:
                     break
-                if self.bucketed:
+                bucket = 1
+                while bucket < len(rows):
+                    bucket *= 2
+                if self.bucketed and bucket * 2 <= self.capacity:
                     # occupancy-bucketed sub-batch: pow-2 rows, pads point
                     # at the scratch row (row `capacity`) with zero audio.
-                    # Clamped at capacity — 129 rows at capacity 192 must
-                    # run a 192-row program, not a 256-row one
-                    bucket = 1
-                    while bucket < len(rows):
-                        bucket *= 2
-                    bucket = min(bucket, self.capacity)
+                    # Past capacity/2 occupancy the full masked step below
+                    # wins (no full-state gather+scatter for a near-full
+                    # tick)
                     idx = np.full((bucket,), self.capacity, np.int32)
                     batch = np.zeros((bucket, a_len), np.float32)
+                    pos = {}
                     for i, s in enumerate(rows):
                         idx[i] = s
                         batch[i] = self._audio[s][:a_len]
                         self._audio[s] = self._audio[s][a_len:]
+                        pos[s] = i
                     res = self._fused_step(self.params, self.state,
                                            jnp.asarray(idx),
                                            jnp.asarray(batch))
                 else:
-                    batch = np.zeros((self.capacity, a_len), np.float32)
-                    row_active = np.zeros((self.capacity,), np.float32)
+                    # full-width masked step. In bucketed mode the state
+                    # carries the extra scratch row — the batch matches it
+                    n_rows = int(self.state["cif_mass"].shape[0])
+                    batch = np.zeros((n_rows, a_len), np.float32)
+                    row_active = np.zeros((n_rows,), np.float32)
+                    pos = {}
                     for s in rows:
                         batch[s] = self._audio[s][:a_len]
                         self._audio[s] = self._audio[s][a_len:]
                         row_active[s] = 1.0
+                        pos[s] = s
                     batch_dev = jnp.asarray(batch)
                     active_dev = jnp.asarray(row_active)
                     if self._row_shard is not None:
                         batch_dev = self._row_shard(batch_dev)
                         active_dev = self._row_shard(active_dev)
-                    res = self._fused_step(self.params, self.state,
-                                           batch_dev, active_dev)
+                    full = self._fused_step_full or self._fused_step
+                    res = full(self.params, self.state,
+                               batch_dev, active_dev)
                 self.state = res[0]   # device-side chain — no host sync
                 self._harvest()                 # previous dispatch's fetch
-                self._inflight = (rows, res)
+                self._inflight = (pos, res)
                 if not self._pipelined:
                     self._harvest()             # fetch this tick now
             if self._carry:
