@@ -319,18 +319,27 @@ def bench_wsload() -> None:
         level=_logging.WARNING, force=True,
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
     os.environ.setdefault("VOICE_DISABLE_LLM", "1")
-    # ladder rungs. Two extension experiments are settled (2026-08-18, both
-    # logged in RESULTS.md): (a) raising VOICE_BATCH_CAPACITY to cover a
-    # 128 top rung made every rung worse — hub tick cost scales with
-    # capacity and the 1-CPU host then failed even n=64 (24/64); (b) a 96
-    # rung at shipped capacity is CLIENT-bound on this host: 96 client
-    # threads + the server share one core and the connect rendezvous never
-    # completes (all threads break the barrier), and its backlog poisons
-    # the measured rungs below. So the default ladder tops at 64 here;
-    # measure higher rungs on multi-core hosts via WSLOAD_LADDER.
+    # Load driver: the native epoll client (native/wsload_client, ONE
+    # process/thread for all streams) when built, else Python threads.
+    # The two round-3 host walls this matters for (both logged in
+    # RESULTS.md): (a) pre-bucketing, raising VOICE_BATCH_CAPACITY to
+    # cover a 128 rung made every tick pay the 128-row program and even
+    # n=64 broke — fixed by occupancy-bucketed ticks (stream_batcher); (b)
+    # a 96-rung Python driver is CLIENT-bound on this 1-CPU host (96
+    # threads + server share one core; the connect rendezvous never
+    # completes) — fixed by the native driver. With both fixes the default
+    # ladder extends past 64; the Python fallback keeps the 64 cap.
+    import subprocess
+    import tempfile
+    native_bin = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "toolbox_for_asr_and_tts_tpu", "native", "wsload_client")
+    use_native = (os.getenv("WSLOAD_NATIVE", "1") in ("1", "true")
+                  and os.path.exists(native_bin))
     ladder = tuple(int(x) for x in os.getenv(
-        "WSLOAD_LADDER", "8,16,32,64").split(","))
-    os.environ.setdefault("VOICE_BATCH_CAPACITY", "64")
+        "WSLOAD_LADDER",
+        "8,16,32,64,96,128" if use_native else "8,16,32,64").split(","))
+    os.environ.setdefault("VOICE_BATCH_CAPACITY", str(max(ladder)))
     os.environ.setdefault("VOICE_HUB_TIMEOUT_S", "600")
     from websockets.sync.client import connect as ws_connect
 
@@ -363,6 +372,46 @@ def bench_wsload() -> None:
            False: base64.b64encode(encode_wav_bytes(silence, 16000)).decode()}
     # 3 speech + 7 silence chunks = one 2 s-endpoint utterance cycle
     pattern = [True] * 3 + [False] * 7
+
+    pcm_dir = None
+    if use_native:
+        pcm_dir = tempfile.mkdtemp(prefix="wsload_pcm_")
+        for name, arr in (("speech", speech), ("silence", silence)):
+            (np.clip(arr, -1.0, 1.0) * 32767).astype("<i2").tofile(
+                os.path.join(pcm_dir, name + ".pcm"))
+        sys.stderr.write(f"wsload: native epoll driver ({native_bin})\n")
+
+    def _native_rung(n, cycles, deadline, hard=None):
+        """One rung via the C++ epoll driver: all n streams from one
+        process/thread, binary PCM chunks, zero-key masking. Returns the
+        same out[] rows the Python client fills."""
+        cmd = [native_bin, "--port", str(app.port), "--n", str(n),
+               "--cycles", str(cycles), "--deadline", str(deadline),
+               "--chunk-ms", str(int(chunk_s * 1000)),
+               "--speech", os.path.join(pcm_dir, "speech.pcm"),
+               "--silence", os.path.join(pcm_dir, "silence.pcm")]
+        if hard is not None:
+            cmd += ["--hard-timeout", str(hard)]
+        out = [None] * n
+        budget = max(600.0, float(deadline) * cycles + 300.0)
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=budget)
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"wsload native rung n={n}: driver timeout\n")
+            return out
+        if proc.stderr:
+            sys.stderr.write(proc.stderr[-2000:])
+        for line in proc.stdout.splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "idx" in rec:
+                err = rec.get("err")
+                out[rec["idx"]] = ((rec["ok"], rec["lat"]) if err is None
+                                   else (rec["ok"], rec["lat"], err))
+        return out
 
     def client(n_cycles, out, idx, barrier, deadline=4.0):
         ws = None
@@ -509,12 +558,15 @@ def bench_wsload() -> None:
                 punc.punctuate_many([txt] * nb)
     sys.stderr.write(
         f"wsload server warmup {time.perf_counter() - t_w:.0f}s\n")
-    wout = [None]
-    wbar = threading.Barrier(1)
-    wth = threading.Thread(target=client, args=(1, wout, 0, wbar, 300.0),
-                           daemon=True)
-    wth.start()
-    wth.join(timeout=300)
+    if use_native:
+        wout = _native_rung(1, 1, 300.0, hard=300.0)
+    else:
+        wout = [None]
+        wbar = threading.Barrier(1)
+        wth = threading.Thread(target=client, args=(1, wout, 0, wbar, 300.0),
+                               daemon=True)
+        wth.start()
+        wth.join(timeout=300)
     sys.stderr.write(f"wsload warmup: {wout[0] and wout[0][0]}\n")
 
     # UNCOUNTED full-ladder pass: direct warmup can't anticipate every
@@ -524,16 +576,19 @@ def bench_wsload() -> None:
     # measured pass below is steady-state (every other bench in this file
     # likewise excludes first-call compiles)
     for n in ladder:
-        out = [None] * n
-        barrier = threading.Barrier(n)
-        threads = [threading.Thread(target=client,
-                                    args=(1, out, i, barrier, 600.0),
-                                    daemon=True) for i in range(n)]
         t0 = time.perf_counter()
-        for th in threads:
-            th.start()
-        for th in threads:
-            th.join(timeout=600)
+        if use_native:
+            out = _native_rung(n, 1, 600.0, hard=600.0)
+        else:
+            out = [None] * n
+            barrier = threading.Barrier(n)
+            threads = [threading.Thread(target=client,
+                                        args=(1, out, i, barrier, 600.0),
+                                        daemon=True) for i in range(n)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(timeout=600)
         n_ok = sum(1 for o in out if o and o[0])
         excs = [o[2] for o in out if o and not o[0] and len(o) > 2]
         sys.stderr.write(
@@ -548,15 +603,19 @@ def bench_wsload() -> None:
             break
 
     def _measure_rung(n):
-        out = [None] * n
-        barrier = threading.Barrier(n)
-        threads = [threading.Thread(target=client, args=(2, out, i, barrier),
-                                    daemon=True) for i in range(n)]
         t0 = time.perf_counter()
-        for th in threads:
-            th.start()
-        for th in threads:
-            th.join(timeout=60)
+        if use_native:
+            out = _native_rung(n, 2, 4.0)
+        else:
+            out = [None] * n
+            barrier = threading.Barrier(n)
+            threads = [threading.Thread(target=client,
+                                        args=(2, out, i, barrier),
+                                        daemon=True) for i in range(n)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(timeout=60)
         ok = [o for o in out if o and o[0]]
         lats = [x for o in out if o for x in o[1]]
         p95 = float(np.percentile(lats, 95)) if lats else float("nan")
