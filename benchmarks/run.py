@@ -375,7 +375,10 @@ def bench_wsload() -> None:
 
     pcm_dir = None
     if use_native:
+        import atexit
+        import shutil
         pcm_dir = tempfile.mkdtemp(prefix="wsload_pcm_")
+        atexit.register(shutil.rmtree, pcm_dir, ignore_errors=True)
         for name, arr in (("speech", speech), ("silence", silence)):
             (np.clip(arr, -1.0, 1.0) * 32767).astype("<i2").tofile(
                 os.path.join(pcm_dir, name + ".pcm"))
@@ -388,6 +391,11 @@ def bench_wsload() -> None:
         cmd = [native_bin, "--port", str(app.port), "--n", str(n),
                "--cycles", str(cycles), "--deadline", str(deadline),
                "--chunk-ms", str(int(chunk_s * 1000)),
+               # rendezvous scales with n: N upgrades + hub joins (device
+               # round trips) serialize on one event loop, and the tunnel's
+               # idle-wake stall can add ~11 s — the driver's flat 30 s
+               # default would zero the 96/128 rungs at the handshake
+               "--connect-timeout", str(max(60, 3 * n)),
                "--speech", os.path.join(pcm_dir, "speech.pcm"),
                "--silence", os.path.join(pcm_dir, "silence.pcm")]
         if hard is not None:

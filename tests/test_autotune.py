@@ -84,6 +84,18 @@ def test_synthesizer_runs_under_both_profiles(profile, monkeypatch):
     assert all(d > 0 for d in durs)
 
 
+def test_cpu_platform_keeps_conservative_knobs(monkeypatch):
+    # a CPU host probes sub-ms dispatch ("local") but must not inherit the
+    # TPU-measured aggressive knobs (128-row hubs, Pallas framing)
+    monkeypatch.delenv("TOOLBOX_DISPATCH_PROFILE", raising=False)
+    prof = at.get_profile(refresh=True)
+    assert prof["platform"] == "cpu"      # tests force the CPU backend
+    assert prof["batch_capacity"] == 16
+    assert prof["pallas_framing"] is False
+    # the TPU knob set is still reachable by explicit override
+    assert at.profile_knobs("local", "tpu")["batch_capacity"] == 128
+
+
 def test_probe_failure_falls_back_to_tunnel(monkeypatch):
     def boom(*a, **k):
         raise RuntimeError("no device")

@@ -17,6 +17,9 @@ NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..",
 
 
 def _build():
+    import shutil
+    if shutil.which("g++") is None and shutil.which("c++") is None:
+        pytest.skip("no C++ toolchain on this host")
     r = subprocess.run(["make", "-C", NATIVE_DIR, "wsload_client"],
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stderr

@@ -23,6 +23,20 @@ logger = logging.getLogger("toolbox.stream_batcher")
 
 CAPACITY_BUCKETS = (8, 16, 32, 64, 128)
 
+# ONE process-wide lock for first-time tick-program compiles: jax tracing
+# is not robust under concurrency (an UnexpectedTracerError from two
+# subsystems tracing at once killed 49/64 live WS connections in the
+# round-3 wsload rung), and hubs for VAD/chunked/finalize can all hit a
+# new shape in different serving threads at the same moment.
+_COMPILE_LOCK = threading.Lock()
+
+
+def _pow2(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
 
 class AtCapacity(RuntimeError):
     """All ticker rows are claimed. A DEDICATED type so the serving layer's
@@ -157,11 +171,13 @@ class BatchedChunkedASR:
             # for sub-capacity occupancy, and the mask-merged full step
             # once occupancy crosses capacity/2 (a full-width tick should
             # not pay an extra full-state gather+scatter round of HBM
-            # traffic just to reorder rows)
-            self._fused_step = jax.jit(
-                fstep_gather if self.bucketed else fstep_full)
-            self._fused_step_full = (jax.jit(fstep_full)
-                                     if self.bucketed else None)
+            # traffic just to reorder rows). All tick programs are
+            # AOT-compiled executables cached by bucket size and built
+            # under _COMPILE_LOCK: a serving thread can never trace, and
+            # an aval drift is a loud error instead of a silent retrace.
+            self._fstep_gather = fstep_gather
+            self._fstep_full = fstep_full
+            self._step_execs: Dict[object, object] = {}
         else:
             self.state = po.init_state(self.cfg, self.ocfg, b=capacity)
         self._frontends: Dict[int, object] = {}
@@ -231,6 +247,61 @@ class BatchedChunkedASR:
                 jnp.zeros((1, 1, d), jnp.float32)).compile()
             self._fbank_fns["tail"](self.params, self.state, jnp.asarray(0),
                                     jnp.zeros((1, 1, d), jnp.float32))
+
+    # ------------------------------------------------- tick executables
+    def _gather_exec(self, bucket: int):
+        """Compiled gather/scatter tick program for a pow-2 sub-batch."""
+        ex = self._step_execs.get(bucket)
+        if ex is None:
+            import jax
+            import jax.numpy as jnp
+            with _COMPILE_LOCK:
+                ex = self._step_execs.get(bucket)
+                if ex is None:
+                    idx = jnp.zeros((bucket,), jnp.int32)
+                    audio = jnp.zeros((bucket, self.chunk_samples),
+                                      jnp.float32)
+                    ex = jax.jit(self._fstep_gather).lower(
+                        self.params, self.state, idx, audio).compile()
+                    self._step_execs[bucket] = ex
+        return ex
+
+    def _full_exec(self):
+        """Compiled full-width mask-merged tick program."""
+        ex = self._step_execs.get("full")
+        if ex is None:
+            import jax
+            import jax.numpy as jnp
+            with _COMPILE_LOCK:
+                ex = self._step_execs.get("full")
+                if ex is None:
+                    n_rows = int(self.state["cif_mass"].shape[0])
+                    batch = jnp.zeros((n_rows, self.chunk_samples),
+                                      jnp.float32)
+                    active = jnp.zeros((n_rows,), jnp.float32)
+                    if self._row_shard is not None:
+                        batch = self._row_shard(batch)
+                        active = self._row_shard(active)
+                    ex = jax.jit(self._fstep_full).lower(
+                        self.params, self.state, batch, active).compile()
+                    self._step_execs["full"] = ex
+        return ex
+
+    def warm(self) -> None:
+        """Compile every tick program this ticker can dispatch (all pow-2
+        gather buckets up to capacity/2 plus the full-width step), so load
+        growth at serving time never waits on an XLA compile mid-tick —
+        the first tick at each new occupancy otherwise pays a multi-second
+        (tunnel: multi-minute) compile exactly when sessions are live.
+        Call from startup preload (service/hub.py) or a bench warmup."""
+        if not self.fused:
+            return
+        if self.bucketed:
+            b = 1
+            while b * 2 <= self.capacity:
+                self._gather_exec(b)
+                b *= 2
+        self._full_exec()
 
     def _harvest(self) -> None:
         """Fetch the in-flight dispatch's outputs into the carry buffer."""
@@ -426,9 +497,9 @@ class BatchedChunkedASR:
                         batch[i] = self._audio[s][:a_len]
                         self._audio[s] = self._audio[s][a_len:]
                         pos[s] = i
-                    res = self._fused_step(self.params, self.state,
-                                           jnp.asarray(idx),
-                                           jnp.asarray(batch))
+                    res = self._gather_exec(bucket)(
+                        self.params, self.state,
+                        jnp.asarray(idx), jnp.asarray(batch))
                 else:
                     # full-width masked step. In bucketed mode the state
                     # carries the extra scratch row — the batch matches it
@@ -446,9 +517,8 @@ class BatchedChunkedASR:
                     if self._row_shard is not None:
                         batch_dev = self._row_shard(batch_dev)
                         active_dev = self._row_shard(active_dev)
-                    full = self._fused_step_full or self._fused_step
-                    res = full(self.params, self.state,
-                               batch_dev, active_dev)
+                    res = self._full_exec()(self.params, self.state,
+                                            batch_dev, active_dev)
                 self.state = res[0]   # device-side chain — no host sync
                 self._harvest()                 # previous dispatch's fetch
                 self._inflight = (pos, res)
@@ -502,15 +572,35 @@ class BatchedVadTicker:
         self.threshold = threshold
         self.cmvn = cmvn
         self.capacity = capacity
-        self.cache = fsmn_vad.init_cache(capacity, self.cfg)
+        # +1 scratch row: pad entries of a bucketed tick's index vector all
+        # point here, so their zero-input steps never touch a live session
+        # (same design as BatchedChunkedASR — the round-3 review found the
+        # VAD ticker still paid full-capacity fbank+FSMN programs at any
+        # occupancy once VOICE_BATCH_CAPACITY was provisioned high)
+        self.cache = fsmn_vad.init_cache(capacity + 1, self.cfg)
         self._frontends: Dict[int, object] = {}
         self._audio: Dict[int, np.ndarray] = {}   # per-slot raw-sample tails
         self._fbank_fns: Dict[Tuple, object] = {}
         self._free = list(range(capacity))
         self._lock = threading.Lock()
         cfg_ = self.cfg
-        self._step = jax.jit(
-            lambda p, f, c: fsmn_vad.apply_streaming(p, f, c, cfg_))
+
+        def step_full(p, feats, cache, mask):
+            post, new = fsmn_vad.apply_streaming(p, feats, cache, cfg_)
+            m = mask[:, None, None]
+            merged = [jnp.where(m, nc, oc) for nc, oc in zip(new, cache)]
+            return post, merged
+
+        def step_gather(p, feats, cache, idx):
+            sub = [c[idx] for c in cache]
+            post, new = fsmn_vad.apply_streaming(p, feats, sub, cfg_)
+            merged = [full.at[idx].set(ns)
+                      for full, ns in zip(cache, new)]
+            return post, merged
+
+        self._step_full_fn = step_full
+        self._step_gather_fn = step_gather
+        self._step_execs: Dict[Tuple, object] = {}
         # pre-compile the per-slot reset while construction is single-
         # threaded (same concurrent-trace hazard as BatchedChunkedASR)
         import jax.numpy as jnp
@@ -562,6 +652,19 @@ class BatchedVadTicker:
         if fe is not None:
             fe.reset()
 
+    def _exec(self, key: Tuple, build):
+        """Compiled-executable cache: build() runs under _COMPILE_LOCK so
+        serving threads never trace concurrently, and the cached object is
+        a compiled callable that can never silently retrace."""
+        ex = self._step_execs.get(key)
+        if ex is None:
+            with _COMPILE_LOCK:
+                ex = self._step_execs.get(key)
+                if ex is None:
+                    ex = build()
+                    self._step_execs[key] = ex
+        return ex
+
     LEN_QUANTUM = 1600       # 0.1 s compile-key bucket for buffered length
     MAX_PASS = 1600 * 64     # 6.4 s per device pass; longer buffers loop
 
@@ -596,18 +699,25 @@ class BatchedVadTicker:
                 by_bucket.setdefault(lb, []).append((s, length))
             for lb, rows in by_bucket.items():
                 t_max = fe.num_fbank_frames(lb, fcfg)
-                key = ("fb", lb)
-                if key not in self._fbank_fns:
-                    self._fbank_fns[key] = jax.jit(
-                        lambda a, _t=t_max: fe.fbank(a, fcfg, t_frames=_t))
-                batch = np.zeros((self.capacity, lb), np.float32)
-                for s, length in rows:
-                    batch[s, :length] = self._audio[s][:length]
-                fb = np.asarray(self._fbank_fns[key](jnp.asarray(batch)))
-                for s, length in rows:
+                # rows are packed positionally into a pow-2-sized batch, so
+                # fbank cost tracks occupancy, not capacity (and the
+                # program-cache key space stays bounded)
+                nb = min(_pow2(len(rows)), self.capacity)
+                key = ("fb", nb, lb)
+
+                def build(_t=t_max, _nb=nb, _lb=lb):
+                    return jax.jit(
+                        lambda a: fe.fbank(a, fcfg, t_frames=_t)).lower(
+                            jnp.zeros((_nb, _lb), jnp.float32)).compile()
+
+                batch = np.zeros((nb, lb), np.float32)
+                for i, (s, length) in enumerate(rows):
+                    batch[i, :length] = self._audio[s][:length]
+                fb = np.asarray(self._exec(key, build)(jnp.asarray(batch)))
+                for i, (s, length) in enumerate(rows):
                     n = fe.num_fbank_frames(length, fcfg)
                     self._audio[s] = self._audio[s][n * fcfg.frame_shift:]
-                    parts[s].append(fb[s, :n])
+                    parts[s].append(fb[i, :n])
         empty = np.zeros((0, fcfg.n_mels), np.float32)
         return {s: self._frontends[s].push_fbank(
                     np.concatenate(p) if p else empty)
@@ -628,22 +738,56 @@ class BatchedVadTicker:
         feats = self._batched_feats(list(chunks))
         out = {slot: False for slot in chunks}
         # group rows by emitted frame count; rows outside a group keep their
-        # cache via a masked merge (their zero inputs must not pollute it)
+        # cache (zero inputs must not pollute it). Sub-capacity/2 groups run
+        # the gather/scatter program sized to occupancy; larger groups run
+        # the full mask-merged step (no cache gather/scatter for a
+        # near-full tick) — mirroring BatchedChunkedASR's hybrid.
+        import jax
+        D = self.cfg.input_dim
         lengths = sorted({len(f) for f in feats.values() if len(f) > 0})
         for n in lengths:
             rows = [s for s, f in feats.items() if len(f) == n]
-            batch = np.zeros((self.capacity, n, self.cfg.input_dim),
-                             np.float32)
-            in_group = np.zeros((self.capacity,), bool)
-            for s in rows:
-                batch[s] = feats[s]
-                in_group[s] = True
-            post, new_cache = self._step(self.params, jnp.asarray(batch),
-                                         self.cache)
-            m = jnp.asarray(in_group)[:, None, None]
-            self.cache = [jnp.where(m, nc, oc)
-                          for nc, oc in zip(new_cache, self.cache)]
-            probs = np.asarray(self._fsmn_vad.speech_prob(post, self.cfg))
-            for s in rows:
-                out[s] = bool((probs[s] > self.threshold).any())
+            nb = _pow2(len(rows))
+            if nb * 2 <= self.capacity:
+                idx = np.full((nb,), self.capacity, np.int32)  # scratch row
+                batch = np.zeros((nb, n, D), np.float32)
+                for i, s in enumerate(rows):
+                    idx[i] = s
+                    batch[i] = feats[s]
+                key = ("g", nb, n)
+
+                def build(_nb=nb, _n=n):
+                    return jax.jit(self._step_gather_fn).lower(
+                        self.params, jnp.zeros((_nb, _n, D), jnp.float32),
+                        self.cache, jnp.zeros((_nb,), jnp.int32)).compile()
+
+                post, self.cache = self._exec(key, build)(
+                    self.params, jnp.asarray(batch), self.cache,
+                    jnp.asarray(idx))
+                probs = np.asarray(
+                    self._fsmn_vad.speech_prob(post, self.cfg))
+                for i, s in enumerate(rows):
+                    out[s] = bool((probs[i] > self.threshold).any())
+            else:
+                n_rows = self.capacity + 1
+                batch = np.zeros((n_rows, n, D), np.float32)
+                in_group = np.zeros((n_rows,), bool)
+                for s in rows:
+                    batch[s] = feats[s]
+                    in_group[s] = True
+                key = ("f", n)
+
+                def build(_n=n, _nr=n_rows):
+                    return jax.jit(self._step_full_fn).lower(
+                        self.params, jnp.zeros((_nr, _n, D), jnp.float32),
+                        self.cache,
+                        jnp.zeros((_nr,), bool)).compile()
+
+                post, self.cache = self._exec(key, build)(
+                    self.params, jnp.asarray(batch), self.cache,
+                    jnp.asarray(in_group))
+                probs = np.asarray(
+                    self._fsmn_vad.speech_prob(post, self.cfg))
+                for s in rows:
+                    out[s] = bool((probs[s] > self.threshold).any())
         return out

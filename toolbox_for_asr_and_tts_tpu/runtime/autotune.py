@@ -60,8 +60,15 @@ def get_profile(refresh: bool = False) -> Dict[str, object]:
     forced = os.getenv("TOOLBOX_DISPATCH_PROFILE", "").lower()
     probe_failed = False
     if forced in ("tunnel", "local"):
-        name, rtt = forced, float("nan")
+        # explicit override: take the named knob set at face value
+        # (platform gating is for the probe's inference only)
+        name, rtt, platform = forced, float("nan"), "tpu"
     else:
+        try:
+            import jax
+            platform = jax.default_backend()
+        except Exception:
+            platform = "cpu"
         try:
             rtt = measure_rtt_ms()
         except Exception:
@@ -75,9 +82,10 @@ def get_profile(refresh: bool = False) -> Dict[str, object]:
             rtt = float("inf")
             probe_failed = True
         name = "local" if rtt < TUNNEL_RTT_MS else "tunnel"
-    prof = profile_knobs(name)
+    prof = profile_knobs(name, platform)
     prof["name"] = name
     prof["rtt_ms"] = rtt
+    prof["platform"] = platform
     if not probe_failed:
         _cache.clear()
         _cache.update(prof)
@@ -86,10 +94,13 @@ def get_profile(refresh: bool = False) -> Dict[str, object]:
     return prof
 
 
-def profile_knobs(name: str) -> Dict[str, object]:
+def profile_knobs(name: str, platform: str = "tpu") -> Dict[str, object]:
     """The knob settings each profile implies (env always wins at the
-    consumer)."""
-    local = name == "local"
+    consumer). The aggressive "local" knobs were all measured on a TPU
+    chip; a CPU host also probes sub-ms dispatch ("local") but must NOT
+    inherit them — a 128-row hub or the Pallas framing kernel on a CPU
+    backend would be far past real time (round-3 review finding)."""
+    local = name == "local" and platform == "tpu"
     return {
         "tts_mel_group": local,        # per-mel-bucket dispatch
         "tts_group_by_length": local,  # per-length-bucket batching

@@ -198,6 +198,13 @@ class ChunkedHub:
             params, cfg, ocfg, capacity=capacity, cmvn=cmvn, fused=True,
             partials=True, mesh=mesh,
             pipelined=os.getenv("CHUNKED_PIPELINE", "1") in ("1", "true"))
+        if os.getenv("VOICE_AOT_TICKS", "1") in ("1", "true"):
+            # compile every occupancy-bucket tick program NOW (startup
+            # preload): the first session joining at a new pow-2 occupancy
+            # must not wait on an XLA compile mid-serving (round-3 review
+            # finding — and tracing in serving threads risks the
+            # UnexpectedTracerError documented in stream_batcher)
+            self.ticker.warm()
         self.cfg = cfg   # model geometry (e.g. the ONLINE checkpoint's)
         self.tokenizer = tokenizer
         self.tick_ms = tick_ms

@@ -225,6 +225,9 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
             mtype = data.get("type", "")
             if mtype == "end_conversation":
                 sess.reset()
+                # full session reset restores the server-default LLM flag
+                # too, matching use_wake/use_sv (which live in sess)
+                use_llm = use_llm_default
                 await ws.send_json({"type": "status",
                                     "status": "conversation_ended",
                                     "message": "会话已结束，状态已重置"})
