@@ -454,6 +454,16 @@ PINYIN_TABLE.update({
     "隐": "yin3", "难": "nan2", "露": "lu4", "首": "shou3", "骗": "pian4",
 })
 
+# Round-3c blind-extension closures (docs/G2P.md): 11 common chars had NO
+# table entry at all (char_<cp> fallback) — the third blind set surfaced a
+# coverage class below disambiguation. Standalone-most readings; alternate
+# readings live in WORD_PINYIN round-3c compounds.
+PINYIN_TABLE.update({
+    "钻": "zuan1", "巷": "xiang4", "刹": "sha1", "杆": "gan1",
+    "挨": "ai1", "奔": "ben1", "拧": "ning2", "伺": "si4",
+    "晃": "huang4", "逮": "dai3", "撇": "pie1",
+})
+
 # Round-2d sweep: every CJK character appearing in the repo's own assets
 # (hotwords.txt, SYMS list, demo/test texts) must synthesize without a
 # char_<cp> fallback — these were found missing by scanning those sources.

@@ -412,6 +412,51 @@ WORD_PINYIN.update({
     "答卷": "da2 juan4", "画卷": "hua4 juan4", "胶卷": "jiao1 juan3",
 })
 
+# round-3c blind-extension closures (docs/G2P.md): the 57-sentence third
+# blind set (30 chars) — compound closures for the wrong-reading misses and
+# the alternate readings of the 11 newly-tabled chars
+WORD_PINYIN.update({
+    # 担 dan4 (burden nominal; dan1 verb stays default)
+    "重担": "zhong4 dan4", "担子": "dan4 zi5", "扁担": "bian3 dan5",
+    # 划 hua2 (paddle/scratch verb family; hua4 plan stays default)
+    "划船": "hua2 chuan2", "划桨": "hua2 jiang3", "划算": "hua2 suan4",
+    "划伤": "hua2 shang1",
+    # 撒 sa1 (let-go verb family; sa3 scatter stays default)
+    "撒开": "sa1 kai1", "撒手": "sa1 shou3", "撒谎": "sa1 huang3",
+    "撒娇": "sa1 jiao1", "撒尿了": "sa1 niao4 le5",
+    # 钻 zuan4 (tool/gem nominal; zuan1 verb is the table default)
+    "电钻": "dian4 zuan4", "钻头": "zuan4 tou2", "钻石": "zuan4 shi2",
+    "钻戒": "zuan4 jie4",
+    # 巷 hang4 (mining register)
+    "巷道": "hang4 dao4",
+    # 刹 cha4 (instant register; sha1 brake is the table default)
+    "刹那": "cha4 na4", "一刹": "yi2 cha4",
+    # 杆 gan3 (stalk/rod diminutive + MEDICAL 杆菌; gan1 pole default)
+    "杆菌": "gan3 jun1", "枪杆": "qiang1 gan3", "笔杆": "bi3 gan3",
+    "秤杆": "cheng4 gan3", "杆秤": "gan3 cheng4",
+    # 挨 ai2 (suffer; ai1 next-to is the table default)
+    "挨打": "ai2 da3", "挨骂": "ai2 ma4", "挨饿": "ai2 e4",
+    "挨批": "ai2 pi1",
+    # 奔 ben4 (toward; ben1 run is the table default)
+    "投奔": "tou2 ben4", "奔头": "ben4 tou5", "直奔": "zhi2 ben4",
+    # 拧 ning3 (rotate; ning2 wring is the table default)
+    "拧紧": "ning3 jin3", "拧开": "ning3 kai1", "拧松": "ning3 song1",
+    # 伺 ci4 (serve; si4 watch-for is the table default)
+    "伺候": "ci4 hou5",
+    # 晃 huang3 (dazzle; huang4 sway is the table default)
+    "明晃晃": "ming2 huang3 huang3", "晃眼": "huang3 yan3",
+    # 逮 dai4 (formal arrest; dai3 catch is the table default)
+    "逮捕": "dai4 bu3",
+    # 撇 pie3 (mouth/stroke; pie1 skim/cast-aside is the table default)
+    "撇嘴": "pie3 zui3", "撇着嘴": "pie3 zhe5 zui3",
+    # 吐 tu3 (speak/spit deliberately; tu4 vomit senses)
+    "吐字": "tu3 zi4", "吐痰": "tu3 tan2", "谈吐": "tan2 tu3",
+    "吞吐": "tun1 tu3", "吐露": "tu3 lu4",
+    # 脉 mo4 (reduplicated gaze register)
+    "脉脉": "mo4 mo4",
+})
+
+
 # lexicalized 儿化 words: the trailing 儿 rhotacizes the previous final
 ERHUA_WORDS = {
     "这儿", "那儿", "哪儿", "一点儿", "有点儿", "一会儿", "等会儿",
