@@ -321,14 +321,16 @@ def bench_wsload() -> None:
     os.environ.setdefault("VOICE_DISABLE_LLM", "1")
     # Load driver: the native epoll client (native/wsload_client, ONE
     # process/thread for all streams) when built, else Python threads.
-    # The two round-3 host walls this matters for (both logged in
-    # RESULTS.md): (a) pre-bucketing, raising VOICE_BATCH_CAPACITY to
-    # cover a 128 rung made every tick pay the 128-row program and even
-    # n=64 broke — fixed by occupancy-bucketed ticks (stream_batcher); (b)
-    # a 96-rung Python driver is CLIENT-bound on this 1-CPU host (96
-    # threads + server share one core; the connect rendezvous never
-    # completes) — fixed by the native driver. With both fixes the default
-    # ladder extends past 64; the Python fallback keeps the 64 cap.
+    # The default ladder caps at 64 — the largest rung this 1-CPU tunnel
+    # host has sustained all-green (RESULTS.md). Extending it is opt-in
+    # (WSLOAD_LADDER=8,…,96,128) because capacity follows max(ladder) and
+    # a 128-row hub was MEASURED to break the 64 rung on this host twice:
+    # full-capacity ticks pay the 128-row program (24/64 sustained), and
+    # occupancy-bucketed ticks pay a 64-of-128 row gather+scatter through
+    # HBM each tick (46/64, p95 4.07 s vs the 4 s deadline). The native
+    # driver removes the CLIENT wall (96 Python threads + server on one
+    # core never finished the connect rendezvous), so >64 rungs are
+    # meaningful on a multi-core direct-attached host — just not here.
     import subprocess
     import tempfile
     native_bin = os.path.join(
@@ -337,8 +339,7 @@ def bench_wsload() -> None:
     use_native = (os.getenv("WSLOAD_NATIVE", "1") in ("1", "true")
                   and os.path.exists(native_bin))
     ladder = tuple(int(x) for x in os.getenv(
-        "WSLOAD_LADDER",
-        "8,16,32,64,96,128" if use_native else "8,16,32,64").split(","))
+        "WSLOAD_LADDER", "8,16,32,64").split(","))
     os.environ.setdefault("VOICE_BATCH_CAPACITY", str(max(ladder)))
     os.environ.setdefault("VOICE_HUB_TIMEOUT_S", "600")
     from websockets.sync.client import connect as ws_connect
