@@ -384,6 +384,47 @@ def test_g2p_open_domain_coverage():
         assert len(syls) == len(cjk), (s, len(syls), len(cjk), syls)
 
 
+def test_g2p_round3d_coverage_batch():
+    """Round-3d: the 3c blind eval showed the dominant miss class is chars
+    with NO table entry at all. Every char in the ~320-char coverage batch
+    must resolve to a real syllable, and the polyphones introduced with it
+    must disambiguate through WORD_PINYIN."""
+    from toolbox_for_asr_and_tts_tpu.tts.text_frontend import G2P
+    g = G2P()
+    batch = (
+        "丘丸仰伯侄侬俯俺倦傲兮兰冽凛凰凳凿剁劈叮吻咕咬哉啃喃嘀嘱嘲嚷坡垄"
+        "堵填壤壶姑娘婉婶媳嫂寂寥尘屉屐岭峡峦峨崖嶂巍恋悔悟惭愧憨懊扇扑扛"
+        "抚拇拌拽拾挖挚挡捡捣捶掀掌掐掘掰搀搂搓撕擀攥敷斓斟旎旖旬昼晒晾暮"
+        "曙曦杈杏枣枫柏柚柳柿桃桦桩桶梅梢梨棘椒榴槐橙橱毡汐沼泉泞泵泼泽洋"
+        "洞浩浸涌涛涧淌淳渺湾溅溜溪滚滨滩潭潮瀑瀚灶灸炖炸烘烛焉焚熄熏燎燕"
+        "爹琢璀璨瓣畔疝痘痪痹瘀癣盆眉睫瞒瞳矣砌砸碟磅磕礁礴穗竹笋笼筐筛箩"
+        "篦纱绊绒绚绢绣绸缎缸罐羞肘腌腕腱臀舀舔芦芹芽苇茎茫荆莓莲莺菇菊菠"
+        "萝葱蒜蔓蕊蕾虚虹虾蚓蚕蚯蜗蝉蝶螂螳螺蟀蟋蟹衫裁褥讥讽诚诬诽谣谤谦"
+        "谷豹贬趴跪跺踝踢蹬蹲辩迈逸遮酿钉铲链锤锦锯镂闩闯阀陋陵雀雁雅雕雹"
+        "霁霞霭霾靴韧韭颊颚驳驴驼骄骆骡髓鲤鲨鲫鲸鳄鳖鳗鸥鸦鸽鹉鹊鹤鹦鹰麓"
+    )
+    for ch in batch:
+        syls = g.pinyin(ch)
+        assert len(syls) == 1 and not syls[0].startswith("char_"), (ch, syls)
+    # polyphones introduced by the batch disambiguate in context
+    cases = [
+        ("厨师把油炸花生端了上来", "炸", "zha2"),
+        ("远处传来爆炸的声音", "炸", "zha4"),
+        ("这幅山水画气势磅礴", "磅", "pang2"),
+        ("他用扇子扇风", None, None),  # both registers in one sentence
+    ]
+    for text, ch, want in cases:
+        syls = g.pinyin(text)
+        cjk = [c for c in text if "一" <= c <= "鿿"]
+        assert len(syls) == len(cjk), (text, syls)
+        if ch is not None:
+            got = syls[cjk.index(ch)]
+            assert got == want, (text, ch, got, want)
+    # 扇子 shan4 (noun) vs 扇风 shan1 (verb) in the combined sentence
+    syls = g.pinyin("他用扇子扇风")
+    assert syls[2] == "shan4" and syls[4] == "shan1", syls
+
+
 def test_g2p_erhua_phones_encode():
     """Rhotic finals are first-class vocab symbols (dianr3 etc.)."""
     from toolbox_for_asr_and_tts_tpu.tts.text_frontend import (G2P, PhoneVocab,

@@ -575,3 +575,77 @@ PINYIN_TABLE.update({
     "诺": "nuo4", "趾": "zhi3", "酱": "jiang4", "醋": "cu4",
     "革": "ge2", "饺": "jiao3", "鼓": "gu3", "龄": "ling2",
 })
+
+# Round-3d open-domain coverage batch: the round-3c blind eval showed the
+# dominant miss class is chars with NO table entry at all (char_<cp>
+# fallback), not disambiguation. This batch sweeps ~320 common chars from
+# everyday domains (kinship, body/medical, cooking/household verbs, nature,
+# flora/fauna, utensils, literary particles) with their standalone-most
+# readings. Polyphones introduced here keep compounds in WORD_PINYIN
+# (round-3d markers): 炸 zha4 default / zha2 cooking, 磅礴 pang2 bo2.
+PINYIN_TABLE.update({
+    "丘": "qiu1", "丸": "wan2", "幅": "fu2", "仰": "yang3", "伯": "bo2", "侄": "zhi2",
+    "侬": "nong2", "俯": "fu3", "俺": "an3", "倦": "juan4", "傲": "ao4",
+    "兮": "xi1", "兰": "lan2", "冽": "lie4", "凛": "lin3", "凰": "huang2",
+    "凳": "deng4", "凿": "zao2", "剁": "duo4", "劈": "pi1", "叮": "ding1",
+    "吻": "wen3", "咕": "gu1", "咬": "yao3", "哉": "zai1", "啃": "ken3",
+    "喃": "nan2", "嘀": "di2", "嘱": "zhu3", "嘲": "chao2", "嚷": "rang3",
+    "坡": "po1", "垄": "long3", "堵": "du3", "填": "tian2", "壤": "rang3",
+    "壶": "hu2", "姑": "gu1", "娘": "niang2", "婉": "wan3", "婶": "shen3",
+    "媳": "xi2", "嫂": "sao3", "寂": "ji4", "寥": "liao2", "尘": "chen2",
+    "屉": "ti4", "屐": "ji1", "岭": "ling3", "峡": "xia2", "峦": "luan2",
+    "峨": "e2", "崖": "ya2", "嶂": "zhang4", "巍": "wei1", "恋": "lian4",
+    "悔": "hui3", "悟": "wu4", "惭": "can2", "愧": "kui4", "憨": "han1",
+    "懊": "ao4", "扇": "shan4", "扑": "pu1", "扛": "kang2", "抚": "fu3",
+    "拇": "mu3", "拌": "ban4", "拽": "zhuai4", "拾": "shi2", "挖": "wa1",
+    "挚": "zhi4", "挡": "dang3", "捡": "jian3", "捣": "dao3", "捶": "chui2",
+    "掀": "xian1", "掌": "zhang3", "掐": "qia1", "掘": "jue2", "掰": "bai1",
+    "搀": "chan1", "搂": "lou3", "搓": "cuo1", "撕": "si1", "擀": "gan3",
+    "攥": "zuan4", "敷": "fu1", "斓": "lan2", "斟": "zhen1", "旎": "ni3",
+    "旖": "yi3", "旬": "xun2", "昼": "zhou4", "晒": "shai4", "晾": "liang4",
+    "暮": "mu4", "曙": "shu3", "曦": "xi1", "杈": "cha4", "杏": "xing4",
+    "枣": "zao3", "枫": "feng1", "柏": "bai3", "柚": "you4", "柳": "liu3",
+    "柿": "shi4", "桃": "tao2", "桦": "hua4", "桩": "zhuang1", "桶": "tong3",
+    "梅": "mei2", "梢": "shao1", "梨": "li2", "棘": "ji2", "椒": "jiao1",
+    "榴": "liu2", "槐": "huai2", "橙": "cheng2", "橱": "chu2", "毡": "zhan1",
+    "汐": "xi1", "沼": "zhao3", "泉": "quan2", "泞": "ning4", "泵": "beng4",
+    "泼": "po1", "泽": "ze2", "洋": "yang2", "洞": "dong4", "浩": "hao4",
+    "浸": "jin4", "涌": "yong3", "涛": "tao1", "涧": "jian4", "淌": "tang3",
+    "淳": "chun2", "渺": "miao3", "湾": "wan1", "溅": "jian4", "溜": "liu1",
+    "溪": "xi1", "滚": "gun3", "滨": "bin1", "滩": "tan1", "潭": "tan2",
+    "潮": "chao2", "瀑": "pu4", "瀚": "han4", "灶": "zao4", "灸": "jiu3",
+    "炖": "dun4", "炸": "zha4", "烘": "hong1", "烛": "zhu2", "焉": "yan1",
+    "焚": "fen2", "熄": "xi1", "熏": "xun1", "燎": "liao2", "燕": "yan4",
+    "爹": "die1", "琢": "zhuo2", "璀": "cui3", "璨": "can4", "瓣": "ban4",
+    "畔": "pan4", "疝": "shan4", "痘": "dou4", "痪": "huan4", "痹": "bi4",
+    "瘀": "yu1", "癣": "xuan3", "盆": "pen2", "眉": "mei2", "睫": "jie2",
+    "瞒": "man2", "瞳": "tong2", "矣": "yi3", "砌": "qi4", "砸": "za2",
+    "碟": "die2", "磅": "bang4", "磕": "ke1", "礁": "jiao1", "礴": "bo2",
+    "穗": "sui4", "竹": "zhu2", "笋": "sun3", "笼": "long2", "筐": "kuang1",
+    "筛": "shai1", "箩": "luo2", "篦": "bi4", "纱": "sha1", "绊": "ban4",
+    "绒": "rong2", "绚": "xuan4", "绢": "juan4", "绣": "xiu4", "绸": "chou2",
+    "缎": "duan4", "缸": "gang1", "罐": "guan4", "羞": "xiu1", "肘": "zhou3",
+    "腌": "yan1", "腕": "wan4", "腱": "jian4", "臀": "tun2", "舀": "yao3",
+    "舔": "tian3", "芦": "lu2", "芹": "qin2", "芽": "ya2", "苇": "wei3",
+    "茎": "jing1", "茫": "mang2", "荆": "jing1", "莓": "mei2", "莲": "lian2",
+    "莺": "ying1", "菇": "gu1", "菊": "ju2", "菠": "bo1", "萝": "luo2",
+    "葱": "cong1", "蒜": "suan4", "蔓": "man4", "蕊": "rui3", "蕾": "lei3",
+    "虚": "xu1", "虹": "hong2", "虾": "xia1", "蚓": "yin3", "蚕": "can2",
+    "蚯": "qiu1", "蜗": "wo1", "蝉": "chan2", "蝶": "die2", "螂": "lang2",
+    "螳": "tang2", "螺": "luo2", "蟀": "shuai4", "蟋": "xi1", "蟹": "xie4",
+    "衫": "shan1", "裁": "cai2", "褥": "ru4", "讥": "ji1", "讽": "feng3",
+    "诚": "cheng2", "诬": "wu1", "诽": "fei3", "谣": "yao2", "谤": "bang4",
+    "谦": "qian1", "谷": "gu3", "豹": "bao4", "贬": "bian3", "趴": "pa1",
+    "跪": "gui4", "跺": "duo4", "踝": "huai2", "踢": "ti1", "蹬": "deng1",
+    "蹲": "dun1", "辩": "bian4", "迈": "mai4", "逸": "yi4", "遮": "zhe1",
+    "酿": "niang4", "钉": "ding1", "铲": "chan3", "链": "lian4", "锤": "chui2",
+    "锦": "jin3", "锯": "ju4", "镂": "lou4", "闩": "shuan1", "闯": "chuang3",
+    "阀": "fa2", "陋": "lou4", "陵": "ling2", "雀": "que4", "雁": "yan4",
+    "雅": "ya3", "雕": "diao1", "雹": "bao2", "霁": "ji4", "霞": "xia2",
+    "霭": "ai3", "霾": "mai2", "靴": "xue1", "韧": "ren4", "韭": "jiu3",
+    "颊": "jia2", "颚": "e4", "驳": "bo2", "驴": "lv2", "驼": "tuo2",
+    "骄": "jiao1", "骆": "luo4", "骡": "luo2", "髓": "sui3", "鲤": "li3",
+    "鲨": "sha1", "鲫": "ji4", "鲸": "jing1", "鳄": "e4", "鳖": "bie1",
+    "鳗": "man2", "鸥": "ou1", "鸦": "ya1", "鸽": "ge1", "鹉": "wu3",
+    "鹊": "que4", "鹤": "he4", "鹦": "ying1", "鹰": "ying1", "麓": "lu4",
+})

@@ -456,6 +456,24 @@ WORD_PINYIN.update({
     "脉脉": "mo4 mo4",
 })
 
+# round-3d coverage-batch polyphones: alternate readings for chars whose
+# table default was added by the round-3d sweep (pinyin_data.py)
+WORD_PINYIN.update({
+    # 炸 zha2 (cooking register; zha4 explode is the table default)
+    "油炸": "you2 zha2", "炸鸡": "zha2 ji1", "炸酱": "zha2 jiang4",
+    "炸糕": "zha2 gao1", "炸油条": "zha2 you2 tiao2", "炸丸子": "zha2 wan2 zi5",
+    # 磅 pang2 (磅礴; bang4 weight is the table default)
+    "磅礴": "pang2 bo2",
+    # 扇 shan1 (verb fan/slap; shan4 noun is the table default)
+    "扇风": "shan1 feng1", "扇了": "shan1 le5", "扇动": "shan1 dong4",
+    # 笼 long3 (cover register; long2 cage is the table default)
+    "笼罩": "long3 zhao4", "笼统": "long3 tong3",
+    # 柏 bo2 (transliteration register; bai3 tree is the table default)
+    "柏林": "bo2 lin2",
+    # 燕 yan1 (place-name register; yan4 bird is the table default)
+    "燕京": "yan1 jing1", "燕山": "yan1 shan1",
+})
+
 
 # lexicalized 儿化 words: the trailing 儿 rhotacizes the previous final
 ERHUA_WORDS = {
