@@ -481,3 +481,39 @@ ERHUA_WORDS = {
     "玩儿", "味儿", "劲儿", "事儿", "花儿", "鸟儿", "个儿", "份儿",
     "头儿", "门儿", "面儿", "边儿", "小孩儿", "大伙儿", "没事儿",
 }
+
+# Round-3e coverage-batch polyphones: alternate readings for chars whose
+# table default was added (or corrected) by the round-3e collation sweep.
+WORD_PINYIN.update({
+    # 膀 bang3 is now the table default (肩膀/翅膀); 膀胱 keeps pang2
+    "膀胱": "pang2 guang1",
+    # 斗 dou4 (fight register is the table default); measure/ladle nouns dou3
+    "北斗": "bei3 dou3", "烟斗": "yan1 dou3", "漏斗": "lou4 dou3",
+    "筋斗": "jin1 dou3",
+    # 勒 le4 (compel/Le- transliteration default); lei1 tighten register
+    "勒紧": "lei1 jin3",
+    # 畜 chu4 (牲畜 noun default); xu4 verb/husbandry register
+    "畜牧": "xu4 mu4", "畜养": "xu4 yang3",
+    # 纤 xian1 (纤维 default); qian4 tow-rope register
+    "纤夫": "qian4 fu1", "拉纤": "la1 qian4",
+    # 辟 pi4 (开辟 default); bi4 monarch register
+    "复辟": "fu4 bi4",
+    # 殷 yin1 (殷勤/殷商 default); yan1 dark-red register
+    "殷红": "yan1 hong2",
+    # 番 fan1 default; 番禺 place name pan1
+    "番禺": "pan1 yu2",
+    # 俩 lia3 default; 伎俩 reads liang3
+    "伎俩": "ji4 liang3",
+    # 甚 shen4 (甚至 default); interrogative register shen2
+    "甚么": "shen2 me5",
+    # 著 zhu4 (著名/著作 default); zhuo2 in 执著 (variant of 执着)
+    "执著": "zhi2 zhuo2",
+    # 蒙 meng2 default; meng3 ethnonym, meng1 deceive register
+    "蒙古": "meng3 gu3", "蒙骗": "meng1 pian4",
+    # 踏 ta4 default; 踏实 reads ta1
+    "踏实": "ta1 shi5",
+    # 轴 zhou2 default; 压轴 reads zhou4
+    "压轴": "ya1 zhou4",
+    # 炮 pao4 (artillery default); pao2 process-herbs register
+    "炮制": "pao2 zhi4",
+})
