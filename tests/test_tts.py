@@ -500,3 +500,50 @@ def test_g2p_round3e_coverage_batch():
         assert len(syls) == len(cjk), (text, syls)
         got = syls[cjk.index(ch)]
         assert got == want, (text, ch, got, want)
+
+
+def test_g2p_round3f_coverage_batch():
+    """Round-3f: closes the jieba frequency-ranked top-2500 (312 chars;
+    201 collation-group vote + 8 polyphone-voter overrides + 111
+    hand-authored). Every char resolves; batch polyphones disambiguate."""
+    from toolbox_for_asr_and_tts_tpu.tts.text_frontend import G2P
+    g = G2P()
+    batch = (
+        "丐丞丫亥仆仲伪佐佣佸侦侨俞倡傻僚僭儒兑兹冤冻凑刃劣劫勃勋匈匾卓卦卿厦"
+        "厮叩吟吩呵哊哨唇喀喇喻嗣嘿坑坝坟坤塘墩夕契奠妄妥妨姻姿娇娱嫌宅宙宛宠"
+        "宰宴宸尉屁屠屡履屯屼屽屾峻崩巩帖幻庞庸廉弓弗彪怔怖怜恼悦惑惟惩惹愚慎"
+        "慨戈扮押拐拓挪挽捐捞捧掏掠掷摊摘撑撰擒攀斋斥斩旭旱昂昔昭朕朴杉杩枯柄"
+        "柯栖株栽桐棍棚棣槸槽檐歼毅氛氢氯沃沔沪泌洒浣浦涔涵渊渴滞澶炭焕煌熔爪"
+        "爵爽牺狭玛珊珞琉瑜瑶璇璋瓷甫甸畴疯皱盯盲瞪矩砂硅硕硫碧碱磷祀祯禀禅禧"
+        "秩稷稻窑窟竖竴笉簡糟绵缠罕罩翅翠翰耻肆肖肴膨舆舟舱艳艾芒芙芝芬苍苯茂"
+        "茨菱葛蒂蓄蓉蓬蚀蜀蜜蜡衍衔衷袍裕裹誓讼诞谅谊谐谨贞贩贪赌赐趁蹈轩轿辐"
+        "辰逊逝逢郧酬酷醇鈥鍙鍦鏄鏈钦钧钩铅铭铸锐镑阙陀陛隋隙雇雌霉霖霸顽颠饲"
+        "饶饿鳍鳞鹏鼎"
+    )
+    for ch in batch:
+        syls = g.pinyin(ch)
+        assert len(syls) == 1 and not syls[0].startswith("char_"), (ch, syls)
+    cases = [
+        ("我肚子很饿", "饿", "e4"),               # vote-override chars
+        ("母亲呵护着孩子", "呵", "he1"),
+        ("古代士兵手持长戈作战", "戈", "ge1"),
+        ("这座大厦有五十层", "厦", "sha4"),
+        ("厦门是一座海滨城市", "厦", "xia4"),
+        ("家里请了一位仆人", "仆", "pu2"),
+        ("他的成绩很卓越", "卓", "zhuo2"),
+        ("他在论坛上发了一个帖子", "帖", "tie3"),
+        ("他买了一本字帖练书法", "帖", "tie4"),
+        ("事情安排得很妥帖", "帖", "tie1"),
+        ("公司支付了中介佣金", "佣", "yong4"),
+        ("诸葛亮足智多谋", "葛", "ge3"),
+        ("小猫的爪子很锋利", "爪", "zhua3"),
+        ("他对禅宗文化很感兴趣", "禅", "chan2"),
+        ("古代禅让制度的故事流传至今", "禅", "shan4"),
+        ("他怔住了，半天说不出话", "怔", "zheng4"),
+    ]
+    for text, ch, want in cases:
+        syls = g.pinyin(text)
+        cjk = [c for c in text if "一" <= c <= "鿿"]
+        assert len(syls) == len(cjk), (text, syls)
+        got = syls[cjk.index(ch)]
+        assert got == want, (text, ch, got, want)

@@ -517,3 +517,27 @@ WORD_PINYIN.update({
     # 炮 pao4 (artillery default); pao2 process-herbs register
     "炮制": "pao2 zhi4",
 })
+
+# Round-3f coverage-batch polyphones: alternate readings for chars whose
+# table default was added by the round-3f top-2500 sweep.
+WORD_PINYIN.update({
+    # 厦 sha4 (大厦 default); 厦门 place name xia4
+    "厦门": "xia4 men2",
+    # 拓 tuo4 (开拓/拓展 default); ta4 rubbing register
+    "拓片": "ta4 pian4", "拓本": "ta4 ben3",
+    # 帖 tie3 (帖子/请帖 default); tie1 settled, tie4 calligraphy-model
+    "妥帖": "tuo3 tie1", "服帖": "fu2 tie1",
+    "字帖": "zi4 tie4", "碑帖": "bei1 tie4", "画帖": "hua4 tie4",
+    # 仆 pu2 (仆人 default); pu1 fall-forward register
+    "前仆后继": "qian2 pu1 hou4 ji4", "仆倒": "pu1 dao3",
+    # 佣 yong1 (佣人 default); yong4 commission
+    "佣金": "yong4 jin1",
+    # 葛 ge2 (plant/藤葛 default); ge3 surname register
+    "诸葛": "zhu1 ge3",
+    # 爪 zhao3 (鹰爪/爪牙 default); zhua3 colloquial register
+    "爪子": "zhua3 zi5", "鸡爪": "ji1 zhua3", "爪尖": "zhua3 jian1",
+    # 禅 chan2 (禅宗 default); shan4 abdication register
+    "禅让": "shan4 rang4", "封禅": "feng1 shan4",
+    # 怔 zheng1 (怔忪 default); zheng4 colloquial daze register
+    "发怔": "fa1 zheng4", "怔住": "zheng4 zhu4",
+})

@@ -261,6 +261,10 @@ class G2P:
             else the adverb zhi3 ("only").
         数: before the aspect particles 了/过/着 → the verb shu3
             (数了数), else the noun shu4.
+        子: noun-suffix 子 neutralizes (本子/帖子/桌子 → zi5) — which also
+            stops the 3-3 sandhi a full zi3 would wrongly trigger (本子
+            must be ben3 zi5, not ben2 zi3); literary/scientific compounds
+            keep the full tone (电子/学子/男子 — _ZI_FULL_TONE_PREV).
         """
         out = list(items)
         n = len(out)
@@ -293,6 +297,10 @@ class G2P:
             elif ch == "数":
                 if nxt in "了过着":
                     out[i] = (ch, "shu3")      # verb: 数了数/数过
+            elif ch == "子":
+                if (sy == "zi3" and i and out[i - 1][1]
+                        and prev not in _ZI_FULL_TONE_PREV):
+                    out[i] = (ch, "zi5")       # noun suffix: 本子/帖子
         return out
 
     def _apply_erhua(self, items: List[Tuple[str, Optional[str]]]
@@ -446,6 +454,10 @@ _ADJ_COMPLEMENT = set(
 _SUBJ_BEFORE_DEI = set("我你他她它们咱谁都也还就总先可人家这那必")
 # numerals/determiners that turn a following 只 into the measure word zhi1
 _DETERMINERS = set("一二两三四五六七八九十几每这那哪0123456789")
+# chars before which suffix-子 keeps its FULL tone (literary/scientific
+# compounds: 电子/原子/学子/男子/独生子/棋子…); everything else neutralizes
+_ZI_FULL_TONE_PREV = set("电原分量离中质粒光核精卵男女王公孔孟诸父母妻独生"
+                         "长次幼嫡学弟君才天赤游骄棋孝")
 
 
 class PhoneVocab:
