@@ -547,3 +547,46 @@ def test_g2p_round3f_coverage_batch():
         assert len(syls) == len(cjk), (text, syls)
         got = syls[cjk.index(ch)]
         assert got == want, (text, ch, got, want)
+
+
+def test_g2p_round3g_coverage_batch():
+    """Round-3g: closes the jieba frequency-ranked top-3000 (348 chars;
+    239 collation-group vote + 6 polyphone-voter overrides + 109
+    hand-authored). Every char resolves; batch polyphones disambiguate."""
+    from toolbox_for_asr_and_tts_tpu.tts.text_frontend import G2P
+    g = G2P()
+    batch = (
+        "乖乞亨仑仕伽佑侮倚傚傛兀冀凄凸凹剅剿勘募勫勿匀匪卞卤厄厢吁吼呐咋咒哇"
+        "哗哟啸喧嗤嘻囚圭坎坪垒垜垮垱埔堕塌奢妓妾姥娟娥婢媚嫣宦寇寓寝寮寰尬尴"
+        "屑岃岱嵋嵌嶅巫帆帜庐庵庶弊弘弧彝彦徙怡怯恍恕恳惶愉愣憾懒戟扒拂拘拚拢"
+        "挫揪揽搁搅摧敞斌斐斧旷晌暇朽枉柬栋栗桓梭棕棱棵樊橡歪歹毙氮汰沐沛沦沧"
+        "沽沾泣浏浴涅涡涯淀淑淘淫渝湁湪溯滥潇澄濂瀛瀹灏灿炕炬炳烯烹焰牡犁犬狄"
+        "玲琐琦琳琼瑙瑰璧甩痴皖盏眷睹瞄瞅瞻硝碌祁祠禄禹禽禾秃窃窜窦笅笛篷簇粑"
+        "粟粤粥粪粬粹糯綘繖绑绮缁缅缔缚缮缴羲翊翔耍耸耽耿肪胚胪胳胺腥膊膛膳舵"
+        "舶芷苑荫莎莽菩萍蒲蔽蕃蕲蕴薯藩虏蠢衢衬衮裔裘裸褐襟觅詹諲讳讶诀诈诛诡"
+        "诧诵谎谏谕谜谴豚購贮贿赠赣赦趟跋蹄蹇躬躯辜迦迭逛遏邢郝郢鄙酶釜鍏鍐鍑"
+        "鍒鍚鎴鎵鏃鏉鐪钊钓钞钠钾铃锣锥锰镖闸闽阮陂陌陡隅隧雍鞍鞑鞘颂颖驿骇骚"
+        "魁魄魅鲍鲟鹃麋黔"
+    )
+    for ch in batch:
+        syls = g.pinyin(ch)
+        assert len(syls) == 1 and not syls[0].startswith("char_"), (ch, syls)
+    cases = [
+        ("战士们在阵地上呐喊", "呐", "na4"),      # vote-override chars
+        ("小偷怯生生地低下了头", "怯", "qie4"),
+        ("他因盗窃被警方拘留", "窃", "qie4"),
+        ("他的胳膊受伤了", "膊", "bo2"),
+        ("政府呼吁大家节约用水", "吁", "yu4"),     # compounds
+        ("他长吁了一口气", "吁", "xu1"),
+        ("图书馆里禁止喧哗", "哗", "hua2"),
+        ("雨哗啦啦地下个不停", "哗", "hua1"),
+        ("车站上要提防扒手", "扒", "pa2"),
+        ("他扒开草丛找到了钥匙", "扒", "ba1"),
+        ("他每天练习瑜伽", "伽", "jia1"),
+    ]
+    for text, ch, want in cases:
+        syls = g.pinyin(text)
+        cjk = [c for c in text if "一" <= c <= "鿿"]
+        assert len(syls) == len(cjk), (text, syls)
+        got = syls[cjk.index(ch)]
+        assert got == want, (text, ch, got, want)

@@ -541,3 +541,20 @@ WORD_PINYIN.update({
     # 怔 zheng1 (怔忪 default); zheng4 colloquial daze register
     "发怔": "fa1 zheng4", "怔住": "zheng4 zhu4",
 })
+
+# Round-3g coverage-batch polyphones: alternate readings for chars whose
+# table default was added by the round-3g top-3000 sweep.
+WORD_PINYIN.update({
+    # 吁 xu1 (长吁短叹 default); yu4 appeal register
+    "呼吁": "hu1 yu4",
+    # 哗 hua1 (哗啦 onomatopoeia default); hua2 clamor register
+    "喧哗": "xuan1 hua2", "哗然": "hua2 ran2",
+    # 扒 ba1 (扒开 default); pa2 pickpocket/rake register
+    "扒手": "pa2 shou3",
+    # 拚 pan4 (舍弃 default); pin1 as variant of 拼 in 拚命
+    "拚命": "pin1 ming4",
+    # 陂 bei1 (陂塘 default); 黄陂 place name pi2
+    "黄陂": "huang2 pi2",
+    # 伽 jia1 (瑜伽 default); ga1 gamma transliteration, qie2 伽蓝
+    "伽马": "ga1 ma3", "伽蓝": "qie2 lan2",
+})
