@@ -590,3 +590,27 @@ def test_g2p_round3g_coverage_batch():
         assert len(syls) == len(cjk), (text, syls)
         got = syls[cjk.index(ch)]
         assert got == want, (text, ch, got, want)
+
+
+def test_g2p_zhuyin_audit_fixes():
+    """Zhuyin cross-collation audit (round 3g): group-coherence against
+    Unicode::Collate::CJK::Zhuyin flagged two stale table defaults, fixed
+    here — 粘 is the normative verb zhan1 (the adjective is 黏), bare 匙
+    is chi2 (钥匙 keeps lexical shi5) — plus 咯's onomatopoeia registers."""
+    from toolbox_for_asr_and_tts_tpu.tts.text_frontend import G2P
+    g = G2P()
+    cases = [
+        ("伤口粘在纱布上", "粘", "zhan1"),
+        ("粘膜充血", "粘", "nian2"),
+        ("这把汤匙是新的", "匙", "chi2"),
+        ("他拿出钥匙开门", "匙", "shi5"),
+        ("他在琢磨这个问题", "琢", "zuo2"),
+        ("这件玉器经过精心雕琢", "琢", "zhuo2"),
+        ("他心里咯噔一下", "咯", "ge1"),
+    ]
+    for text, ch, want in cases:
+        syls = g.pinyin(text)
+        cjk = [c for c in text if "一" <= c <= "鿿"]
+        assert len(syls) == len(cjk), (text, syls)
+        got = syls[cjk.index(ch)]
+        assert got == want, (text, ch, got, want)

@@ -558,3 +558,14 @@ WORD_PINYIN.update({
     # 伽 jia1 (瑜伽 default); ga1 gamma transliteration, qie2 伽蓝
     "伽马": "ga1 ma3", "伽蓝": "qie2 lan2",
 })
+
+# Zhuyin cross-collation audit (round 3g): group-coherence check of the
+# whole table against Unicode::Collate::CJK::Zhuyin surfaced two stale
+# defaults (粘 nian2→zhan1 — normative verb reading, the adjective is 黏;
+# 匙 shi5→chi2 — bare 匙 is chi2, 钥匙 shi5 stays lexical) and two
+# missing onomatopoeia registers for 咯 (table default ka3 is the
+# medical 咯血 register).
+WORD_PINYIN.update({
+    "琢磨": "zuo2 mo5",
+    "咯噔": "ge1 deng1", "咯咯": "ge1 ge1",
+})
