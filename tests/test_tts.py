@@ -81,9 +81,12 @@ def test_lexicon_no_unk():
     from toolbox_for_asr_and_tts_tpu.tts.pinyin_data import PINYIN_TABLE
     from toolbox_for_asr_and_tts_tpu.tts.text_frontend import (
         G2P, PhoneVocab, text_to_phone_ids)
+    from toolbox_for_asr_and_tts_tpu.tts.text_frontend import \
+        _derived_word_lexicon
     g, vocab = G2P(), PhoneVocab.default()
     bad = []
-    for w in list(WORD_PINYIN) + list(PINYIN_TABLE):
+    for w in (list(WORD_PINYIN) + list(PINYIN_TABLE)
+              + list(_derived_word_lexicon())):
         syms = [vocab.symbols[i] for i in text_to_phone_ids(w, g, vocab)]
         if vocab.UNK in syms:
             bad.append((w, syms))
@@ -614,3 +617,42 @@ def test_g2p_zhuyin_audit_fixes():
         assert len(syls) == len(cjk), (text, syls)
         got = syls[cjk.index(ch)]
         assert got == want, (text, ch, got, want)
+
+
+def test_g2p_derived_pos_lexicon():
+    """The POS-derived statistical word lexicon (ROADMAP #11: the ttsfrd
+    tagger's signal compiled offline from jieba word-POS data by
+    tools/build_polyphone_lexicon.py) loads under authored WORD_PINYIN
+    precedence and resolves the bare-polyphone tail the window rules
+    could not see."""
+    from toolbox_for_asr_and_tts_tpu.tts.text_frontend import (
+        G2P, _derived_word_lexicon)
+    from toolbox_for_asr_and_tts_tpu.tts.polyphones import WORD_PINYIN
+    lex = _derived_word_lexicon()
+    assert len(lex) >= 250, len(lex)
+    # authored entries always win: no derived word may shadow WORD_PINYIN
+    assert not set(lex) & set(WORD_PINYIN)
+    g = G2P()
+    cases = [
+        ("他还手了", "还", "huan2"),             # verb word, not 还给
+        ("你还没吃饭吗", "还", "hai2"),
+        ("他弹奏了一首曲子", "弹", "tan2"),
+        ("防弹衣挡住了子弹", "防弹衣", None),     # dan4 both positions
+        ("他使出浑身解数", "解", "xie4"),
+        ("名不见经传", "传", "zhuan4"),
+        ("裁缝在缝补衣服", "缝", None),           # feng5 (tailor) vs feng2
+        ("农民在地里种菜", "种", "zhong4"),
+        ("少数服从多数", "数", "shu4"),
+        ("他数了数零钱", "数", "shu3"),
+    ]
+    for text, ch, want in cases:
+        syls = g.pinyin(text)
+        cjk = [c for c in text if "一" <= c <= "鿿"]
+        assert len(syls) == len(cjk), (text, syls)
+        if want is not None and len(ch) == 1:
+            got = syls[cjk.index(ch)]
+            assert got == want, (text, ch, got, want)
+    assert g.pinyin("防弹衣挡住了子弹")[1] == "dan4"
+    assert g.pinyin("防弹衣挡住了子弹")[-1] == "dan4"
+    assert g.pinyin("裁缝在缝补衣服")[1] == "feng5"
+    assert g.pinyin("裁缝在缝补衣服")[3] == "feng2"

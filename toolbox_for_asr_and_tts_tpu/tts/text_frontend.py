@@ -28,6 +28,33 @@ ALL_PUNCT = STRONG_PUNCT + WEAK_PUNCT + "\n"
 
 
 # ------------------------------------------------------------- normalize
+_DERIVED_LEXICON: Optional[Dict[str, str]] = None
+
+
+def _derived_word_lexicon() -> Dict[str, str]:
+    """POS-derived polyphone words (assets/polyphone_lexicon.tsv), loaded
+    once per process. Returns a fresh dict so callers may mutate. Missing
+    or unreadable file → empty (the asset is optional at runtime)."""
+    global _DERIVED_LEXICON
+    if _DERIVED_LEXICON is None:
+        import os
+        path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                            "polyphone_lexicon.tsv")
+        lex: Dict[str, str] = {}
+        try:
+            with open(path, encoding="utf-8") as f:
+                for ln in f:
+                    if ln.startswith("#"):
+                        continue
+                    parts = ln.rstrip("\n").split("\t")
+                    if len(parts) >= 2:
+                        lex[parts[0]] = parts[1]
+        except OSError:
+            pass
+        _DERIVED_LEXICON = lex
+    return dict(_DERIVED_LEXICON)
+
+
 def normalize_text(text: str) -> str:
     """Reference `_normalize_text` semantics (tts_service.py:230-266)."""
     t = (text or "").strip()
@@ -191,7 +218,13 @@ class G2P:
         self.lexicon = dict(PINYIN_TABLE)
         if lexicon:
             self.lexicon.update(lexicon)
-        self.words = dict(WORD_PINYIN)
+        # word precedence (low→high): POS-derived statistical lexicon
+        # (assets/polyphone_lexicon.tsv, compiled offline from jieba's
+        # word-POS data by tools/build_polyphone_lexicon.py — the ttsfrd
+        # tagger's signal without a runtime tagger) < authored WORD_PINYIN
+        # < caller-supplied words
+        self.words = _derived_word_lexicon()
+        self.words.update(WORD_PINYIN)
         if words:
             self.words.update(words)
         self.erhua = set(ERHUA_WORDS)
