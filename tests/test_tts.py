@@ -656,3 +656,42 @@ def test_g2p_derived_pos_lexicon():
     assert g.pinyin("防弹衣挡住了子弹")[-1] == "dan4"
     assert g.pinyin("裁缝在缝补衣服")[1] == "feng5"
     assert g.pinyin("裁缝在缝补衣服")[3] == "feng2"
+
+
+def test_g2p_round3h_blind_eval_closures():
+    """Round-3h blind eval (docs/G2P.md): 39 scored held-out sentences over
+    the round-3 machinery, 27/39 at first contact. Every miss is closed and
+    locked here, plus non-regression probes for the contexts the new rules
+    must NOT capture."""
+    from toolbox_for_asr_and_tts_tpu.tts.text_frontend import G2P
+    g = G2P()
+    cases = [
+        # closures
+        ("他一拳还了回去", "还", "huan2"),
+        ("欠的人情总要还的", "还", "huan2"),
+        ("这笔钱我下个月还你", "还", "huan2"),
+        ("借的书他昨天还了", "还", "huan2"),
+        ("他把钱还我了", "还", "huan2"),
+        ("他数得很仔细", "数", "shu3"),
+        ("院子里种着一棵枣树", "种", "zhong4"),
+        ("墙缝里钻出一株小草", "缝", "feng4"),
+        ("这首歌的曲比词好", "曲", "qu2"),       # qu3 + 3-3 sandhi before 比
+        ("小偷扒窃时被抓住", "扒", "pa2"),
+        ("他怔怔地望着窗外", "怔", "zheng4"),
+        ("考古队拓印了碑文", "拓", "ta4"),
+        # the locked-word guard: 还+了 must not fire across 了解/了结
+        ("你还了解他吗", "还", "hai2"),
+        # non-regression probes
+        ("钱还不够用", "还", "hai2"),
+        ("这笔账还没算清", "还", "hai2"),
+        ("这种花很香", "种", "zhong3"),
+        ("他缝了三针", "缝", "feng2"),
+        ("山路弯曲难走", "曲", "qu1"),
+        ("他还在弹琴", "还", "hai2"),
+    ]
+    for text, ch, want in cases:
+        syls = g.pinyin(text)
+        cjk = [c for c in text if "一" <= c <= "鿿"]
+        assert len(syls) == len(cjk), (text, syls)
+        got = syls[cjk.index(ch)]
+        assert got == want, (text, ch, got, want)

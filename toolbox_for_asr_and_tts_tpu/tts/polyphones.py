@@ -569,3 +569,12 @@ WORD_PINYIN.update({
     "琢磨": "zuo2 mo5",
     "咯噔": "ge1 deng1", "咯咯": "ge1 ge1",
 })
+
+# Round-3h blind-eval closures (docs/G2P.md): compound misses from the
+# first-contact evaluation of the round-3e/3f/3g batches.
+WORD_PINYIN.update({
+    "扒窃": "pa2 qie4",
+    "怔怔": "zheng4 zheng4",
+    "拓印": "ta4 yin4",
+    "墙缝": "qiang2 feng4",
+})

@@ -78,12 +78,20 @@ def tag_items(items: Sequence[Item]) -> List[str]:
 class Ctx:
     """Window view the rule predicates consume."""
 
-    __slots__ = ("items", "tags", "i")
+    __slots__ = ("items", "tags", "i", "locked")
 
-    def __init__(self, items: Sequence[Item], tags: Sequence[str], i: int):
+    def __init__(self, items: Sequence[Item], tags: Sequence[str], i: int,
+                 locked: frozenset = frozenset()):
         self.items = items
         self.tags = tags
         self.i = i
+        self.locked = locked
+
+    def locked_at(self, off: int) -> bool:
+        """True if the neighbour at `off` was produced by a word-lexicon
+        match — its char belongs to that word, not to this char's phrase
+        (还+了 must not fire on 还|了解)."""
+        return (self.i + off) in self.locked
 
     def ch(self, off: int) -> str:
         j = self.i + off
@@ -110,18 +118,32 @@ RULES: Dict[str, List[Rule]] = {
     "还": [
         (lambda c: c.ch(1) == "给", "huan2"),
         (lambda c: c.ch(-1) in "把被偿归退交奉送", "huan2"),
-        (lambda c: c.ch(1) == "了" and c.tag(2) in ("NUM", "OTHER", "PRON",
-                                                    "DET"), "huan2"),
+        (lambda c: c.ch(1) == "了" and not c.locked_at(1)
+         and c.tag(2) in ("NUM", "OTHER", "PRON", "DET"), "huan2"),
         # sentence-final 还了 with a 把-phrase earlier: 他把借的书还了
-        (lambda c: c.ch(1) == "了" and c.tag(2) in ("EOS", "PUNCT")
+        (lambda c: c.ch(1) == "了" and not c.locked_at(1)
+         and c.tag(2) in ("EOS", "PUNCT")
          and any(c.ch(-k) == "把" for k in range(1, 9)), "huan2"),
         (lambda c: c.ch(1) in "钱款债账书礼情愿本息贷" , "huan2"),
+        # --- round-3h blind-eval closures (docs/G2P.md) ---
+        # 还了回去: the directional complement after 还了 marks the verb
+        (lambda c: c.ch(1) == "了" and not c.locked_at(1)
+         and c.ch(2) in "回过", "huan2"),
+        # a debt word anywhere in the left clause + a completion/recipient
+        # right-neighbour: 借的书他昨天还了 / 欠的人情总要还的 /
+        # 这笔钱我下个月还你
+        (lambda c: c.ch(1) in "了的你我他她它您" and not c.locked_at(1)
+         and any(c.ch(-k) in "借欠贷钱债款账" for k in range(1, 9)),
+         "huan2"),
+        # distant 把: 他把钱还我了 (the existing rule only sees prev==把)
+        (lambda c: c.ch(1) in "了你我他她它您给" and not c.locked_at(1)
+         and any(c.ch(-k) == "把" for k in range(1, 7)), "huan2"),
         (lambda c: True, "hai2"),
     ],
     # 曲 qu1 (bent, default) / qu3 (tune): nominal after a classifier/music
     # noun or before tune-ish suffixes
     "曲": [
-        (lambda c: c.ch(-1) in "歌乐戏名舞编作谱套散此首一支那这",
+        (lambda c: c.ch(-1) in "歌乐戏名舞编作谱套散此首一支那这的",
          "qu3"),
         (lambda c: c.ch(1) in "子调目谱艺终", "qu3"),
         (lambda c: c.tag(-1) == "CLF", "qu3"),
@@ -209,7 +231,7 @@ RULES: Dict[str, List[Rule]] = {
     # 数 shu4 (number, default) / shu3 (to count) — extends the aspect rule
     # in _apply_context with object-taking shapes: 数不清 / 数一数
     "数": [
-        (lambda c: c.ch(1) in "了过着一不", "shu3"),
+        (lambda c: c.ch(1) in "了过着一不得", "shu3"),
     ],
     # --- round-3 eval-extension closures (first-contact misses recorded in
     # docs/G2P.md; these rules lock the productive shapes) ---
@@ -223,6 +245,9 @@ RULES: Dict[str, List[Rule]] = {
         (lambda c: c.tag(1) == "OTHER"
          and (c.tag(-1) in ("VERB", "PREP", "BOS", "PUNCT")
               or c.ch(-1) in "里地田园中来去"), "zhong4"),
+        # round-3h: aspect right-neighbour marks the verb (院子里种着枣树);
+        # determiner contexts were already consumed by the rules above
+        (lambda c: c.ch(1) in "了着过", "zhong4"),
     ],
     # 教 jiao4 (noun/religion, default) / jiao1 (to teach): direct
     # pronoun/person object licenses the verb
@@ -268,6 +293,12 @@ RULES: Dict[str, List[Rule]] = {
         (lambda c: c.ch(-1) in "带发辫绳线扣髻" and c.ch(1) in "了开",
          "san3"),
     ],
+    # 缝 feng2 (to sew, default) / feng4 (crack/seam): a surface noun on
+    # the left or a locative on the right marks the seam noun (round-3h)
+    "缝": [
+        (lambda c: c.ch(-1) in "墙门窗牙石岩裂夹砖指甲桌地板", "feng4"),
+        (lambda c: c.ch(1) in "里中隙间儿", "feng4"),
+    ],
     # 倒 dao3 (fall, default) / dao4 (pour; reverse): pouring licensed by a
     # container-measure phrase (倒一杯水) or a pourable object; 倒车 stays
     # dao3 (reversing) via default
@@ -289,7 +320,7 @@ def disambiguate(items: List[Item], locked: set) -> List[Item]:
         rules = RULES.get(ch)
         if not rules:
             continue
-        ctx = Ctx(out, tags, i)
+        ctx = Ctx(out, tags, i, locked)
         for pred, reading in rules:
             try:
                 if pred(ctx):
