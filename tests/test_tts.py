@@ -695,3 +695,35 @@ def test_g2p_round3h_blind_eval_closures():
         assert len(syls) == len(cjk), (text, syls)
         got = syls[cjk.index(ch)]
         assert got == want, (text, ch, got, want)
+
+
+def test_g2p_round3i_coverage_batch():
+    """Round-3i: high-confidence slice of the jieba top-3500 tail (160
+    chars whose single collation group is labeled by >=2 agreeing voters;
+    4 review overrides 杠/犲/狸/驯)."""
+    from toolbox_for_asr_and_tts_tpu.tts.text_frontend import G2P
+    g = G2P()
+    batch = (
+        "丕乍佃佬佹侈侗侣俭倪倭偅傝傣兘兢冥劾勬匕匣吆吱呻咏咚咦嗕嗗圻坞垣垦堝"
+        "変妒姝姹娌娴婿嫔嬪孜孢寞岀岄岔峙崛嶆庇彬彰徊後怠怦悍戎扳扼抒拣挟捎摹"
+        "撼攘敕昧晖晦杞杠栅桨梍棠榆氣汛汹沅洼浼渤渭溉漕漳澜烩牒犲狡狩狸玫玺珂"
+        "瑕睦睿矫碘祈祷祺秭笃篆紊绅绉绽缆缕羡耙肇胥胧腑舜芥芭苔茬荤莹萌蓦蚌蜿"
+        "裴褂觑诲豌辫迄逍逾邑钛閲闺阜隘饵饷馒驯驹骞骸鸠鹧"
+    )
+    for ch in batch:
+        syls = g.pinyin(ch)
+        assert len(syls) == 1 and not syls[0].startswith("char_"), (ch, syls)
+    cases = [
+        ("狐狸的尾巴很蓬松", "狸", "li2"),
+        ("这匹马被驯服了", "驯", "xun4"),
+        ("他在单杠上做引体向上", "杠", "gang4"),
+        ("医生看了看他的舌苔", "苔", "tai1"),
+        ("岸边的青苔很滑", "苔", "tai2"),
+        ("他用耙子搂了搂落叶", "耙", "pa2"),
+    ]
+    for text, ch, want in cases:
+        syls = g.pinyin(text)
+        cjk = [c for c in text if "一" <= c <= "鿿"]
+        assert len(syls) == len(cjk), (text, syls)
+        got = syls[cjk.index(ch)]
+        assert got == want, (text, ch, got, want)

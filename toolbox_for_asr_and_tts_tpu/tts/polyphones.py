@@ -578,3 +578,13 @@ WORD_PINYIN.update({
     "拓印": "ta4 yin4",
     "墙缝": "qiang2 feng4",
 })
+
+# Round-3i coverage-batch polyphones.
+WORD_PINYIN.update({
+    # 苔 tai2 (苔藓 default); 舌苔 medical register tai1
+    "舌苔": "she2 tai1",
+    # 蚌 bang4 (clam default); 蚌埠 place name beng4
+    "蚌埠": "beng4 bu4",
+    # 耙 ba4 (耙地 verb default); pa2 rake-tool register
+    "耙子": "pa2 zi5", "钉耙": "ding1 pa2",
+})
