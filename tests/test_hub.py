@@ -343,3 +343,92 @@ def test_finalize_hub_propagates_errors():
             hub.diarize(np.zeros(1600, np.float32))
     finally:
         hub.close()
+
+
+def _kws_window(seed: int, secs: float = 1.6) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(16000 * secs)) / 16000
+    return (0.3 * np.sin(2 * np.pi * (200 + 20 * seed) * t)
+            + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+def test_kws_batch_matches_single():
+    """detect_audio_batch == detect_audio row-for-row (the correctness
+    contract KwsHub relies on), across mixed window lengths."""
+    from toolbox_for_asr_and_tts_tpu.models.kws_ctc import KeywordSpotter
+    kws = KeywordSpotter.random(threshold=0.0)
+    windows = [_kws_window(i) for i in range(3)] + [_kws_window(9, secs=0.8)]
+    singles = [kws.detect_audio(w) for w in windows]
+    batched = kws.detect_audio_batch(windows)
+    assert len(batched) == len(windows)
+    for (gd, gs), (wd, ws) in zip(batched, singles):
+        assert gd == wd
+        np.testing.assert_allclose(gs, ws, rtol=1e-4, atol=1e-5)
+
+
+def test_kws_hub_batches_and_matches():
+    """Concurrent detect_audio calls through the hub coalesce into fewer
+    device batches and return the unbatched spotter's exact decisions."""
+    from toolbox_for_asr_and_tts_tpu.models.kws_ctc import KeywordSpotter
+    from toolbox_for_asr_and_tts_tpu.service.hub import KwsHub
+    kws = KeywordSpotter.random(threshold=0.0)
+    windows = [_kws_window(i) for i in range(4)]
+    singles = [kws.detect_audio(w) for w in windows]
+    hub = KwsHub(kws, window_ms=80.0)
+    try:
+        # proxying: session code reads .keyword/.threshold off engines.kws
+        assert hub.keyword == kws.keyword
+        assert hub.threshold == kws.threshold
+        out = [None] * 4
+        ths = [threading.Thread(
+            target=lambda i=i: out.__setitem__(i, hub.detect_audio(windows[i])))
+            for i in range(4)]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join(timeout=120)
+        assert hub.requests == 4
+        assert hub.batches <= 3     # concurrent submits coalesced
+        for got, want in zip(out, singles):
+            assert got is not None
+            assert got[0] == want[0]
+            np.testing.assert_allclose(got[1], want[1], rtol=1e-4, atol=1e-5)
+    finally:
+        hub.close()
+
+
+def test_kws_hub_propagates_errors():
+    from toolbox_for_asr_and_tts_tpu.service.hub import KwsHub
+
+    class Broken:
+        def detect_audio_batch(self, windows):
+            raise RuntimeError("kws boom")
+
+    hub = KwsHub(Broken(), window_ms=10.0)
+    try:
+        with pytest.raises(RuntimeError, match="kws boom"):
+            hub.detect_audio(np.zeros(25600, np.float32))
+    finally:
+        hub.close()
+
+
+def test_wake_session_runs_through_kws_hub():
+    """A session in WAITING_FOR_WAKEUP drives engines.kws (the hub) and the
+    wake → enrollment transition still fires once the window is full."""
+    from toolbox_for_asr_and_tts_tpu.asr import session as S
+    from toolbox_for_asr_and_tts_tpu.service import engines as E
+    eng = E.build_test_engines()
+    try:
+        from toolbox_for_asr_and_tts_tpu.service.hub import KwsHub
+        assert isinstance(eng.kws, KwsHub)   # default-on batched serving
+        eng.kws.inner.threshold = -1e9       # random weights: force a wake
+        sess = S.StreamingASRSession(eng, use_wake=True, use_sv=True)
+        woke = False
+        for i in range(4):                   # 4 × 400 ms fills the FIFO
+            woke = sess.process_wakeup_chunk(_kws_window(i, secs=0.4))
+        assert woke
+        assert sess.mode == S.WAITING_FOR_ENROLLMENT
+        assert eng.kws.requests >= 1
+        sess.close()
+    finally:
+        eng.close()

@@ -73,7 +73,7 @@ class VoiceEngines:
         """Stop the shared serving hubs this bundle owns (the batched-
         serving default spawns FinalizeHub / VadHub / ChunkedHub threads per
         build — a process that rebuilds engines must release the old set)."""
-        for obj in (self.diarizer,
+        for obj in (self.diarizer, self.kws,
                     getattr(self.streaming_factory, "hub", None),
                     getattr(self.vad_factory, "hub", None)):
             fn = getattr(obj, "close", None)

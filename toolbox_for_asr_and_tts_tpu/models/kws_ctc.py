@@ -289,3 +289,72 @@ class KeywordSpotter:
         score = float(self._fns[key](self.params, jnp.asarray(window),
                                      self._labels, self._label_len))
         return score > self.threshold, score
+
+    # ------------------------------------------------------ batched path
+    def _batch_fn(self, nb: int, window_len: int):
+        """Fused batched scorer: [nb, window_len] raw audio → [nb] keyword
+        log-odds (fbank → LFR → DFSMN → vmapped CTC forward), one device
+        program per (pow-2 batch, window length). Serving hubs call this so
+        S waiting sessions cost ONE dispatch per tick instead of S
+        (service/hub.py::KwsHub — the wake-mode analogue of VadHub).
+        Tracing is serialized via the process-wide compile lock; a hub
+        thread compiling here must not race another hub's trace."""
+        key = ("audio_batch", nb, window_len)
+        if key not in self._fns:
+            from ..ops import frontend as fe
+            from ..parallel.stream_batcher import _COMPILE_LOCK
+            with _COMPILE_LOCK:
+                if key not in self._fns:
+                    cfg, fcfg = self.cfg, self.cfg.frontend
+                    t_fb = fe.num_fbank_frames(window_len, fcfg)
+                    t_lfr = fe.num_lfr_frames(t_fb, fcfg.lfr_n)
+
+                    def run(params, wavs, labels, label_len):
+                        feats = fe.fbank(wavs, fcfg, t_frames=t_fb)
+                        feats = fe.apply_lfr(feats, fcfg.lfr_m, fcfg.lfr_n,
+                                             t_out=t_lfr)
+                        logp = forward(params, feats, cfg)
+                        return jax.vmap(
+                            lambda lp: kws_score(
+                                lp, labels, label_len,
+                                jnp.asarray(t_lfr, np.int32),
+                                cfg.blank_id))(logp)
+
+                    self._fns[key] = jax.jit(run).lower(
+                        self.params, jnp.zeros((nb, window_len), jnp.float32),
+                        self._labels, self._label_len).compile()
+        return self._fns[key]
+
+    def detect_audio_batch(self, windows) -> list:
+        """Score many windows in one fused device program per (pow-2 batch,
+        length) group; returns [(detected, score), …] aligned with the
+        input. Numerics match detect_audio row-for-row (same fbank/LFR/
+        forward math on a wider batch axis)."""
+        if not windows:
+            return []
+        out: list = [None] * len(windows)
+        by_len: Dict[int, list] = {}
+        for i, w in enumerate(windows):
+            by_len.setdefault(len(w), []).append(i)
+        for length, idxs in by_len.items():
+            nb = 1 << (len(idxs) - 1).bit_length()
+            batch = np.zeros((nb, length), np.float32)
+            for j, i in enumerate(idxs):
+                batch[j] = windows[i]
+            scores = np.asarray(self._batch_fn(nb, length)(
+                self.params, jnp.asarray(batch), self._labels,
+                self._label_len))
+            for j, i in enumerate(idxs):
+                s = float(scores[j])
+                out[i] = (s > self.threshold, s)
+        return out
+
+    def warm(self, max_batch: int = 64,
+             window_len: int = int(1.6 * 16000)) -> None:
+        """Pre-compile every pow-2 batched program for the standard 1600 ms
+        FIFO window (voice_interface.py:1126) so no wake-mode tick ever
+        compiles mid-serving (a tunnel compile takes minutes)."""
+        nb = 1
+        while nb <= max_batch:
+            self._batch_fn(nb, window_len)
+            nb *= 2

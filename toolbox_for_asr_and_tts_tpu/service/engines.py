@@ -61,6 +61,9 @@ def build_test_engines():
         from .hub import FinalizeHub
         diar = FinalizeHub(diar)
     kws = KeywordSpotter.random(threshold=1e9)  # random weights: never fires
+    if os.getenv("VOICE_BATCH_SERVING", "1") in ("1", "true"):
+        from .hub import KwsHub
+        kws = KwsHub(kws)
     # no model-VAD in test engines: random FSMN-VAD weights fire on silence,
     # which would distort the enrollment FSM's energy-based pacing
     return VoiceEngines(diarizer=diar, kws=kws, verifier=sv,
@@ -297,8 +300,19 @@ def build_engines(model_dir: Optional[str] = None, use_mesh: bool = True):
     if os.getenv("VOICE_BATCH_SERVING", "1") in ("1", "true"):
         # cross-session finalize batching: concurrent finalize buffers meet
         # in one diarize_batch (batched recognition + one embedding call)
-        from .hub import FinalizeHub
+        from .hub import FinalizeHub, KwsHub
         diar = FinalizeHub(diar)
+        if kws is not None:
+            # wake-word batching: S waiting sessions' window scores meet in
+            # one fused program per tick (wrap AFTER set_keyword so the
+            # env-keyword resolution above acts on the bare spotter)
+            kws = KwsHub(kws)
+            if os.getenv("VOICE_KWS_AOT", "0") in ("1", "true"):
+                # wake-enabled deployments pre-compile the pow-2 batch
+                # programs at boot (a mid-serving tunnel compile takes
+                # minutes); off by default because most deployments keep
+                # wake gating disabled until a real KWS checkpoint mounts
+                kws.warm()
     return VoiceEngines(diarizer=diar, kws=kws, verifier=sv,
                         vad_factory=_vad_factory(model_dir),
                         streaming_factory=_streaming_factory(reco, model_dir))
