@@ -270,9 +270,10 @@ def _quiesce(engines, timeout_s: float = 240.0) -> None:
     finalize hub is not enough: the backlog usually sits UPSTREAM, as
     queued speech chunks in the chunked/VAD hubs."""
     hubs = [h for h in (
-        engines.diarizer,
+        engines.diarizer, engines.kws,
         getattr(engines.streaming_factory, "hub", None),
-        getattr(engines.vad_factory, "hub", None)) if h is not None]
+        getattr(engines.vad_factory, "hub", None))
+        if h is not None and hasattr(h, "_pending")]
     deadline = time.time() + timeout_s
     t_quiet = None
     last = None
@@ -686,18 +687,345 @@ def bench_wsload() -> None:
         pass
 
 
+# deterministic wake-FSM pacing (all chunks 0.4 s):
+#   wake: 4 speech chunks fill the 1600 ms KWS FIFO → fires on chunk 4
+#   enroll: wake seeds 1.6 s; 8 speech + 5 silence satisfy the ≥5 s-speech
+#           ∧ ≥2 s-silence AND-rule (voice.py:527-548); buffer = 6.8 s
+#   asr: 3 speech + silence until the 2 s endpoint → SV-gated finalize
+WAKE_N_WAKE, WAKE_N_ENROLL_SP, WAKE_N_ENROLL_SIL = 4, 8, 8
+WAKE_ASR_PATTERN = [True] * 3 + [False] * 7
+
+
+def wake_client(port, b64, n_cycles, out, idx, barrier,
+                deadline=4.0, chunk_s=0.4):
+    """One wake-mode WS stream: wake → enrollment → start_asr → SV-gated
+    ASR cycles (the reference's full 4-mode FSM, voice.py:375-663).
+    Module-level so tests/test_wsload_wake.py drives it against test-size
+    engines; bench_wsload_wake fans N of these out as threads."""
+    from websockets.sync.client import connect as ws_connect
+    ws = None
+    phase = "connect"
+    lats = {"wake": [], "enroll": [], "result": []}
+    try:
+        ws = ws_connect(f"ws://127.0.0.1:{port}/api/v1/voice/asr/ws",
+                        open_timeout=60, ping_interval=None)
+        ws.recv(timeout=60)                          # welcome
+        barrier.wait(timeout=max(60, 3 * barrier.parties))
+        time.sleep((idx % 8) * 0.05)                 # de-synchronize
+        flags = {"use_wake": True, "use_sv": True, "use_llm": False}
+        seen = {"wakeup": False, "enrolled": False}
+        t_send = time.perf_counter()
+
+        def paced_send(is_speech, extra=None):
+            """Send one chunk, then drain frames for the REST of the pace
+            window (latency = arrival − send, bench_wsload's
+            from-the-most-recent-chunk-send convention).
+            Returns [(msg, latency_s), …]."""
+            nonlocal t_send
+            t_send = time.perf_counter()
+            body = {"audio_data": b64[is_speech]}
+            if extra:
+                body.update(extra)
+                extra.clear()
+            ws.send(json.dumps(body))
+            frames = []
+            while True:
+                left = chunk_s - (time.perf_counter() - t_send)
+                if left <= 0:
+                    return frames
+                try:
+                    msg = json.loads(ws.recv(timeout=left))
+                except TimeoutError:
+                    continue
+                except Exception:
+                    time.sleep(max(0.0, chunk_s
+                                   - (time.perf_counter() - t_send)))
+                    return frames
+                frames.append((msg, time.perf_counter() - t_send))
+
+        def await_frame(pred, phase_deadline):
+            """Block (paced sends stopped) until pred(msg); latency counts
+            from the most recent chunk send. None ⇒ abandoned."""
+            while True:
+                if time.perf_counter() - t_send > max(60.0, phase_deadline):
+                    return None
+                try:
+                    msg = json.loads(ws.recv(timeout=0.2))
+                except Exception:
+                    continue
+                if pred(msg):
+                    return time.perf_counter() - t_send
+
+        for cycle in range(n_cycles):
+            grace = cycle == 0 and n_cycles > 1
+            dl = 600.0 if grace else deadline
+            # ---- phase 1: wake (first cycle only — stays activated) ----
+            if not seen["wakeup"]:
+                phase = "wake"
+                for k in range(WAKE_N_WAKE):
+                    for m, lat in paced_send(True, extra=dict(flags)):
+                        if m.get("type") == "wakeup":
+                            seen["wakeup"] = True
+                            lats["wake"].append(lat)
+                if not seen["wakeup"]:
+                    lat = await_frame(lambda m: m.get("type") == "wakeup", dl)
+                    if lat is None:
+                        out[idx] = (False, lats, f"no wakeup (cycle {cycle})")
+                        return
+                    seen["wakeup"] = True
+                    lats["wake"].append(lat)
+                if lats["wake"][-1] > dl:
+                    out[idx] = (False, lats, "wake late")
+                    return
+            # ---- phase 2: enrollment (first cycle only — persists) -----
+            if not seen["enrolled"]:
+                phase = "enroll"
+                for k in range(WAKE_N_ENROLL_SP):
+                    paced_send(True)
+                for k in range(WAKE_N_ENROLL_SIL):
+                    for m, lat in paced_send(False):
+                        if m.get("type") == "enrollment_completed":
+                            seen["enrolled"] = True
+                            lats["enroll"].append(lat)
+                    if seen["enrolled"]:
+                        break
+                if not seen["enrolled"]:
+                    lat = await_frame(
+                        lambda m: m.get("type") == "enrollment_completed", dl)
+                    if lat is None:
+                        out[idx] = (False, lats, "no enrollment_completed")
+                        return
+                    seen["enrolled"] = True
+                    lats["enroll"].append(lat)
+                # ---- phase 3: confirm ----------------------------------
+                phase = "confirm"
+                t_send = time.perf_counter()
+                ws.send(json.dumps({"type": "start_asr"}))
+                if await_frame(
+                        lambda m: m.get("status") == "asr_started", dl) is None:
+                    out[idx] = (False, lats, "no asr_started")
+                    return
+            # ---- phase 4: SV-gated ASR ---------------------------------
+            phase = "asr"
+            got_result = False
+            for is_speech in WAKE_ASR_PATTERN:
+                for m, lat in paced_send(is_speech):
+                    if m.get("type") == "result":
+                        got_result = True
+                        if not grace:
+                            lats["result"].append(lat)
+            if not got_result:
+                lat = await_frame(lambda m: m.get("type") == "result", dl)
+                if lat is None:
+                    out[idx] = (False, lats, "no result")
+                    return
+                if not grace:
+                    lats["result"].append(lat)
+                    if lat > deadline:
+                        out[idx] = (False, lats, "result late")
+                        return
+        out[idx] = (True, lats)
+    except Exception as e:
+        out[idx] = (False, lats, f"{phase}: {type(e).__name__}: {e}"[:160])
+    finally:
+        try:
+            if ws is not None:
+                ws.close()
+        except Exception:
+            pass
+
+
+def bench_wsload_wake() -> None:
+    """Wake-gated service load (VERDICT round-3 #1): N real WS clients each
+    drive the FULL 4-mode FSM — wake (1600 ms KWS FIFO → KwsHub batch) →
+    enrollment (≥5 s speech + 2 s silence AND-rule; model VAD through
+    VadHub) → start_asr → SV-gated ASR with finalize through FinalizeHub's
+    need_spk path + per-speaker verify. This is the reference's default
+    medical deployment shape (VOICE_REQUIRE_WAKE,
+    voice_interface.py:1277-1486) which round-3 load tests always disabled
+    (use_wake=False, use_sv=False).
+
+    Random weights are neutralized, not bypassed — the DEVICE WORK is real:
+    VOICE_KWS_THRESHOLD=-1e9 (every full window scores; the first fires),
+    VOICE_VAD_THRESHOLD=2.0 (VAD ticks every enrollment chunk; the decision
+    stays energy-based so the FSM paces deterministically). Python-thread
+    clients only: the native epoll driver speaks the plain ASR cycle, not
+    the enrollment handshake."""
+    import asyncio
+    import base64
+    import logging as _logging
+    import os
+    import threading
+
+    _logging.basicConfig(
+        level=_logging.WARNING, force=True,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    os.environ.setdefault("VOICE_DISABLE_LLM", "1")
+    os.environ.setdefault("VOICE_KWS_THRESHOLD", "-1e9")
+    os.environ.setdefault("VOICE_KWS_AOT", "1")
+    os.environ.setdefault("VOICE_VAD_THRESHOLD", "2.0")
+    ladder = tuple(int(x) for x in os.getenv(
+        "WSLOAD_LADDER", "8,16,32,64").split(","))
+    os.environ.setdefault("VOICE_BATCH_CAPACITY", str(max(ladder)))
+    os.environ.setdefault("VOICE_HUB_TIMEOUT_S", "600")
+
+    from toolbox_for_asr_and_tts_tpu.service.voice_app import create_app
+    from toolbox_for_asr_and_tts_tpu.service.engines import build_engines
+    from toolbox_for_asr_and_tts_tpu.utils.audio import encode_wav_bytes
+
+    engines = build_engines(None, use_mesh=False)
+    app = create_app(engines=engines)
+    loop = asyncio.new_event_loop()
+
+    def _serve():
+        asyncio.set_event_loop(loop)
+        loop.create_task(app.serve("127.0.0.1", 0, ready=asyncio.Event()))
+        loop.run_forever()
+
+    threading.Thread(target=_serve, daemon=True).start()
+    for _ in range(200):
+        if getattr(app, "port", None):
+            break
+        time.sleep(0.05)
+
+    chunk_s = 0.4
+    rng = np.random.default_rng(0)
+    t = np.arange(int(16000 * chunk_s)) / 16000
+    speech = (0.3 * np.sin(2 * np.pi * 260 * t)
+              + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+    silence = np.zeros_like(speech)
+    b64 = {True: base64.b64encode(encode_wav_bytes(speech, 16000)).decode(),
+           False: base64.b64encode(encode_wav_bytes(silence, 16000)).decode()}
+
+    # ---- server-side warmup (same rationale as bench_wsload) ----------
+    t_w = time.perf_counter()
+    if engines.vad_factory is not None:
+        stepper = engines.vad_factory()
+        for _ in range(3):
+            stepper(speech)
+        if hasattr(stepper, "close"):
+            stepper.close()
+    if engines.streaming_factory is not None:
+        sr = engines.streaming_factory()
+        for _ in range(3):
+            sr.push_audio(speech)
+        sr.finalize()
+        if hasattr(sr, "close"):
+            sr.close()
+    # KWS batch programs were AOT-compiled at boot (VOICE_KWS_AOT=1)
+    diar = getattr(engines.diarizer, "inner", engines.diarizer)
+    # SV finalize path: need_spk diarize at both session-buffer buckets and
+    # every pow-2 batch the FinalizeHub can form, plus the enrollment-
+    # embedding (6.8 s → 8 s bucket) and segment-verify embeds
+    for n_chunks in (5, 6):
+        fin_wav = np.concatenate([speech] * n_chunks)
+        for nb in (1, 2, 4, 8, 16, 32, 64):
+            diar.diarize_batch([fin_wav] * nb)
+    for nb in (1, 2, 4, 8, 16, 32, 64):
+        for dur in (14400, 30000, 38400):   # → 1 s / 2 s / 4 s buckets
+            engines.verifier.embed([np.zeros(dur, np.float32)] * nb)
+    engines.verifier.embed([np.zeros(16000 * 7, np.float32)])  # 8 s bucket
+    punc = getattr(diar, "punctuator", None)
+    if punc is not None:
+        for nb in (1, 2, 4, 8, 16, 32, 64):
+            for txt in ("热", "热" * 28):
+                punc.punctuate_many([txt] * nb)
+    sys.stderr.write(
+        f"wsload-wake server warmup {time.perf_counter() - t_w:.0f}s\n")
+
+    def _run_rung(n, cycles, deadline):
+        out = [None] * n
+        barrier = threading.Barrier(n)
+        threads = [threading.Thread(
+            target=wake_client,
+            args=(app.port, b64, cycles, out, i, barrier, deadline),
+            daemon=True) for i in range(n)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=1200 if deadline > 10 else 240)
+        return out
+
+    # uncounted warm-ladder pass (compiles whatever direct warmup missed)
+    for n in ladder:
+        t0 = time.perf_counter()
+        out = _run_rung(n, 1, 600.0)
+        n_ok = sum(1 for o in out if o and o[0])
+        excs = [o[2] for o in out if o and not o[0] and len(o) > 2]
+        sys.stderr.write(
+            f"wsload-wake warm-ladder n={n}: {n_ok}/{n} in "
+            f"{time.perf_counter() - t0:.1f}s"
+            + (f" (exc sample: {excs[0]} ×{len(excs)})" if excs else "")
+            + "\n")
+        _quiesce(engines)
+        if n_ok < n:
+            break
+
+    def _poke():
+        diar.diarize_batch([np.concatenate([speech] * 5)])
+
+    def _measure(n):
+        t0 = time.perf_counter()
+        out = _run_rung(n, 2, 4.0)
+        ok = [o for o in out if o and o[0]]
+        res = [x for o in out if o for x in o[1]["result"]]
+        wake = [x for o in out if o for x in o[1]["wake"]]
+        p95 = float(np.percentile(res, 95)) if res else float("nan")
+        p95w = float(np.percentile(wake, 95)) if wake else float("nan")
+        excs = [o[2] for o in out if o and not o[0] and len(o) > 2]
+        sys.stderr.write(
+            f"wsload-wake n={n}: {len(ok)}/{n} sustained, result "
+            f"p95={p95 * 1e3:.0f} ms, wake p95={p95w * 1e3:.0f} ms, wall "
+            f"{time.perf_counter() - t0:.1f}s"
+            + (f" (exc sample: {excs[0]} ×{len(excs)})" if excs else "")
+            + "\n")
+        return len(ok), p95, p95w
+
+    best, best_p95, best_p95w = 0, float("nan"), float("nan")
+    for n in ladder:
+        _poke()
+        n_ok, p95, p95w = _measure(n)
+        if n_ok < n and n_ok <= n // 2:
+            sys.stderr.write(f"wsload-wake n={n}: {n_ok}/{n} after a green "
+                             "warm ladder — transient suspected, one retry\n")
+            _quiesce(engines)
+            _poke()
+            n_ok, p95, p95w = _measure(n)
+        if n_ok == n:
+            best, best_p95, best_p95w = n, p95, p95w
+        else:
+            break
+        _quiesce(engines)
+    from toolbox_for_asr_and_tts_tpu.runtime.prom import REGISTRY
+    sys.stderr.write("\n".join(
+        ln for ln in REGISTRY.render().splitlines()
+        if ln.startswith(("toolbox_hub_", "toolbox_asr_"))) + "\n")
+    print(json.dumps({"metric": "ws_wake_sv_streams_sustained",
+                      "value": best, "unit": "streams",
+                      "p95_result_latency_s": round(best_p95, 3),
+                      "p95_wake_latency_s": round(best_p95w, 3),
+                      "vs_baseline": round(best / 20.0, 3)}))
+    try:
+        asyncio.run_coroutine_threadsafe(app.shutdown(), loop).result(10)
+        loop.call_soon_threadsafe(loop.stop)
+        time.sleep(0.5)
+        engines.close()
+    except Exception:
+        pass
+
+
 ALL = {"offline": bench_offline, "batch": bench_batch,
        "streaming": bench_streaming, "tts": bench_tts,
        "voiceloop": bench_voiceloop, "chunked": bench_chunked_streams,
-       "wsload": bench_wsload, "longform": bench_longform,
-       "ttfa": bench_ttfa}
+       "wsload": bench_wsload, "wsload-wake": bench_wsload_wake,
+       "longform": bench_longform, "ttfa": bench_ttfa}
 
 
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which == "all":
         for name, fn in ALL.items():
-            if name == "wsload":
+            if name.startswith("wsload"):
                 continue   # ~30 min (service boot + ladder) — run explicitly
             fn()
     else:

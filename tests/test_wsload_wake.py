@@ -1,0 +1,94 @@
+"""Service-layer test of the wake-mode load client (benchmarks/run.py
+`wake_client`): two concurrent WS streams drive the FULL 4-mode FSM — wake
+(KWS FIFO → KwsHub) → enrollment AND-rule → start_asr → SV-gated finalize —
+against a live service on test-size engines. This is the CI face of
+`benchmarks/run.py wsload-wake` (VERDICT round-3 #1)."""
+import asyncio
+import base64
+import importlib.util
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+_RUN_PY = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                       "run.py")
+
+
+def _load_run():
+    spec = importlib.util.spec_from_file_location("bench_run", _RUN_PY)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def wake_server():
+    os.environ.setdefault("VOICE_DISABLE_LLM", "1")
+    from toolbox_for_asr_and_tts_tpu.service.engines import build_test_engines
+    from toolbox_for_asr_and_tts_tpu.service.hub import KwsHub
+    from toolbox_for_asr_and_tts_tpu.service.voice_app import create_app
+
+    engines = build_test_engines()
+    assert isinstance(engines.kws, KwsHub)
+    # random weights never cross the default 1e9 threshold; the client flow
+    # needs the wake to fire once the 1600 ms FIFO fills
+    engines.kws.inner.threshold = -1e9
+    app = create_app(engines=engines)
+    loop = asyncio.new_event_loop()
+
+    def _serve():
+        asyncio.set_event_loop(loop)
+        loop.create_task(app.serve("127.0.0.1", 0, ready=asyncio.Event()))
+        loop.run_forever()
+
+    threading.Thread(target=_serve, daemon=True).start()
+    for _ in range(200):
+        if getattr(app, "port", None):
+            break
+        time.sleep(0.05)
+    yield app, engines
+    try:
+        asyncio.run_coroutine_threadsafe(app.shutdown(), loop).result(10)
+        loop.call_soon_threadsafe(loop.stop)
+        engines.close()
+    except Exception:
+        pass
+
+
+def test_wake_client_full_fsm(wake_server):
+    app, engines = wake_server
+    run = _load_run()
+    from toolbox_for_asr_and_tts_tpu.utils.audio import encode_wav_bytes
+
+    rng = np.random.default_rng(0)
+    t = np.arange(int(16000 * 0.4)) / 16000
+    speech = (0.3 * np.sin(2 * np.pi * 260 * t)
+              + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+    b64 = {True: base64.b64encode(
+               encode_wav_bytes(speech, 16000)).decode(),
+           False: base64.b64encode(
+               encode_wav_bytes(np.zeros_like(speech), 16000)).decode()}
+
+    n = 2
+    out = [None] * n
+    barrier = threading.Barrier(n)
+    # deadline 600: CPU test engines pay first compiles in-line
+    ths = [threading.Thread(target=run.wake_client,
+                            args=(app.port, b64, 1, out, i, barrier, 600.0),
+                            daemon=True) for i in range(n)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join(timeout=600)
+    for o in out:
+        assert o is not None, "client thread hung"
+        assert o[0], f"stream failed: {o[2] if len(o) > 2 else o}"
+        lats = o[1]
+        assert len(lats["wake"]) == 1      # woke exactly once
+        assert len(lats["enroll"]) == 1    # enrolled exactly once
+        assert len(lats["result"]) >= 1    # SV-gated finalize answered
+    # the wake scores actually went through the shared KWS hub
+    assert engines.kws.requests >= n

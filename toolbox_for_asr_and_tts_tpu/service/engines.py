@@ -102,12 +102,18 @@ def _vad_factory(model_dir: Optional[str] = None,
         cfg = fsmn_vad.FsmnVadConfig()
         params = fsmn_vad.init_params(jax.random.PRNGKey(7), cfg)
 
+    # speech-probability threshold (FunASR speech_2_noise_ratio-family knob):
+    # >1.0 makes the model's DECISION always-False while the device work
+    # still runs — what the wake-mode load bench uses to keep random-weight
+    # VAD from stalling the enrollment AND-rule (benchmarks/run.py)
+    threshold = float(os.getenv("VOICE_VAD_THRESHOLD", "0.5"))
+
     if os.getenv("VOICE_BATCH_SERVING", "1") in ("1", "true"):
         from ..asr.vad import StreamingVadStepper
         from ..parallel.stream_batcher import AtCapacity
         from .hub import HubVadStepper, VadHub
-        hub = VadHub(params, cfg,
-                     capacity=_batch_capacity(capacity), cmvn=cmvn)
+        hub = VadHub(params, cfg, capacity=_batch_capacity(capacity),
+                     threshold=threshold, cmvn=cmvn)
         # overflow sessions share ONE compiled program set, warmed under a
         # lock by a throwaway instance: per-instance lazy jits would trace
         # in serving threads concurrently with hub compiles (the
@@ -126,11 +132,13 @@ def _vad_factory(model_dir: Optional[str] = None,
                                "a per-session stepper")
                 with ovf_lock:
                     if "step" not in ovf_fns:
-                        warm = StreamingVadStepper(params, cfg, cmvn=cmvn,
-                                                   fns=ovf_fns)
+                        warm = StreamingVadStepper(params, cfg,
+                                                   threshold=threshold,
+                                                   cmvn=cmvn, fns=ovf_fns)
                         warm(np.zeros(6400, np.float32))
-                    return StreamingVadStepper(params, cfg, cmvn=cmvn,
-                                               fns=ovf_fns)
+                    return StreamingVadStepper(params, cfg,
+                                               threshold=threshold,
+                                               cmvn=cmvn, fns=ovf_fns)
 
         factory.hub = hub
         return factory
@@ -138,7 +146,8 @@ def _vad_factory(model_dir: Optional[str] = None,
     from ..asr.vad import StreamingVadStepper
 
     def factory():
-        return StreamingVadStepper(params, cfg, cmvn=cmvn)
+        return StreamingVadStepper(params, cfg, threshold=threshold,
+                                   cmvn=cmvn)
 
     return factory
 
