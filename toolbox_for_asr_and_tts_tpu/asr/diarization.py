@@ -161,12 +161,62 @@ def cluster_embeddings(embeddings: np.ndarray, threshold: float = 0.60,
     return out
 
 
+def _majority3(v: List[int]) -> List[int]:
+    """3-tap majority smoothing (kills single-window label flaps)."""
+    if len(v) < 3:
+        return list(v)
+    out = list(v)
+    for i in range(len(v)):
+        a = v[max(0, i - 1): i + 2]
+        out[i] = max(set(a), key=a.count)
+    return out
+
+
+def _split_runs(winners: List[int], min_run: int = 2) -> List[List[int]]:
+    """Contiguous same-label runs; runs shorter than min_run merge into the
+    previous (or following, for a short head) run."""
+    runs: List[List[int]] = []
+    for i, w in enumerate(winners):
+        if runs and winners[i - 1] == w:
+            runs[-1].append(i)
+        else:
+            runs.append([i])
+    merged: List[List[int]] = []
+    for r in runs:
+        if len(r) < min_run and merged:
+            merged[-1].extend(r)
+        elif len(r) < min_run and not merged and len(runs) > 1:
+            runs[1][:0] = r   # fold the short head into the next run
+        else:
+            merged.append(r)
+    return merged if merged else [list(range(len(winners)))]
+
+
+def _split_sentence(s: Sentence, runs: List[List[int]],
+                    run_lbls: List[int], w_start: List[int], win: int,
+                    sample_rate: int) -> List[Sentence]:
+    """Cut a sentence at the midpoints between adjacent window runs' boundary
+    windows (end of prev run's last window / start of next run's first
+    window); text divided proportionally by duration."""
+    mids = [int((w_start[nxt[0]] + w_start[prv[-1]] + win)
+                / 2 * 1000 / sample_rate)
+            for prv, nxt in zip(runs, runs[1:])]
+    bounds = [s.start_ms] + mids + [s.end_ms]
+    total = max(bounds[-1] - bounds[0], 1)
+    cuts = [0] + [round(len(s.text) * (bounds[k + 1] - bounds[0]) / total)
+                  for k in range(len(runs) - 1)] + [len(s.text)]
+    return [Sentence(text=s.text[cuts[k]:cuts[k + 1]],
+                     start_ms=bounds[k], end_ms=bounds[k + 1],
+                     spk=int(run_lbls[k]))
+            for k in range(len(runs))]
+
+
 def refine_overlap(wav: np.ndarray, sents: List[Sentence],
                    sent_emb: np.ndarray, labels: np.ndarray, verifier,
                    sample_rate: int = 16000, win_ms: int = 1000,
                    hop_ms: int = 500, min_sent_ms: int = 1500,
-                   margin: float = 0.05, reassign_frac: float = 0.7
-                   ) -> List[Sentence]:
+                   margin: float = 0.05, reassign_frac: float = 0.7,
+                   change_split: bool = False) -> List[Sentence]:
     """Overlap / within-sentence speaker-change detection (second pass).
 
     A sentence whose span contains two voices gets ONE mixture embedding at
@@ -179,6 +229,15 @@ def refine_overlap(wav: np.ndarray, sents: List[Sentence],
     secondary speaker → recorded in `overlap_spk`; if ≥ reassign_frac of
     windows vote for one other speaker, the sentence's own embedding was
     mixture-dominated and `spk` is reassigned to the window majority.
+
+    change_split=True additionally SPLITS a sentence whose windows vote in
+    time-contiguous runs for different speakers (a rapid A→B turn change
+    that fell inside one <gap_split_ms pause): the sentence becomes one
+    Sentence per run, cut at the midpoint between the runs' boundary
+    windows, text divided proportionally by duration. This is finer than
+    the reference's sentence_info granularity (one spk per sentence,
+    voice_interface.py:2108-2170) and is what keeps DER low on fast
+    turn-taking (tools/der.py synthetic harness).
     """
     k = int(labels.max()) + 1 if len(labels) else 0
     if k < 2 or len(np.unique(labels)) < 2:
@@ -193,6 +252,7 @@ def refine_overlap(wav: np.ndarray, sents: List[Sentence],
     hop = int(hop_ms * sample_rate / 1000)
     windows: List[np.ndarray] = []
     owners: List[int] = []
+    w_starts: List[int] = []
     for si, s in enumerate(sents):
         if s.end_ms - s.start_ms < min_sent_ms:
             continue
@@ -204,6 +264,7 @@ def refine_overlap(wav: np.ndarray, sents: List[Sentence],
         for w in starts:
             windows.append(np.asarray(wav[w: w + win], np.float32))
             owners.append(si)
+            w_starts.append(w)
     if not windows:
         return sents
     # pow-2 pad the window COUNT: it depends on sentence spans (content),
@@ -217,9 +278,21 @@ def refine_overlap(wav: np.ndarray, sents: List[Sentence],
     sim[:, counts == 0] = -np.inf   # empty clusters can't win votes
     best = sim.argmax(1)
     owners_arr = np.asarray(owners)
+    replacement: Dict[int, List[Sentence]] = {}
     for si in sorted(set(owners)):
         rows = np.flatnonzero(owners_arr == si)
         own = sents[si].spk
+        if change_split and len(rows) >= 4:
+            winners = _majority3([int(best[r]) for r in rows])
+            runs = _split_runs(winners)
+            run_lbls = [winners[r[0]] for r in runs]
+            if len(runs) >= 2 and len(set(run_lbls)) >= 2:
+                replacement[si] = _split_sentence(
+                    sents[si], runs, run_lbls,
+                    [w_starts[r] for r in rows], win, sample_rate)
+                logger.info("speaker change inside sentence %d: split "
+                            "into %d turns %s", si, len(runs), run_lbls)
+                continue
         others: Dict[int, int] = {}
         for r in rows:
             b_lbl = int(best[r])
@@ -236,7 +309,12 @@ def refine_overlap(wav: np.ndarray, sents: List[Sentence],
             sents[si].spk = dom
         logger.info("overlap in sentence %d: spk=%d others=%s",
                     si, sents[si].spk, sents[si].overlap_spk)
-    return sents
+    if not replacement:
+        return sents
+    out: List[Sentence] = []
+    for si, s in enumerate(sents):
+        out.extend(replacement.get(si, [s]))
+    return out
 
 
 class Diarizer:
@@ -245,12 +323,16 @@ class Diarizer:
     def __init__(self, recognizer, verifier, punctuator=None,
                  cluster_threshold: float = 0.60,
                  gap_split_ms: int = 800, method: str = "spectral",
-                 overlap_detection: bool = True):
+                 overlap_detection: bool = True,
+                 change_split: bool = True,
+                 win_ms: int = 1000, hop_ms: int = 500):
         """gap_split_ms mirrors the reference's >800 ms-gap heuristic speaker
         split (voice_interface.py:2108-2170). method: "spectral" (FunASR's
         algorithm family, default) or "agglomerative". overlap_detection
         runs the windowed second pass (refine_overlap) on multi-speaker
-        audio — one extra batched embed call."""
+        audio — one extra batched embed call. change_split additionally
+        splits sentences at within-sentence speaker changes detected by
+        that pass (see refine_overlap; measured by tools/der.py)."""
         self.recognizer = recognizer
         self.verifier = verifier
         self.punctuator = punctuator
@@ -258,6 +340,9 @@ class Diarizer:
         self.gap_split_ms = gap_split_ms
         self.method = method
         self.overlap_detection = overlap_detection
+        self.change_split = change_split
+        self.win_ms = win_ms
+        self.hop_ms = hop_ms
 
     def _sentences_from_tokens(self, result) -> List[Sentence]:
         """Split a TranscribeResult into sentences at predicted sentence-final
@@ -353,44 +438,129 @@ class Diarizer:
                                                for sents in all_sents]
             self._punctuate_all(out_nospk)
             return out_nospk
-        segs, owner = [], []
+        # Window-level speaker modeling (round 4): 1 s / 0.5 s-hop windows
+        # over every sentence span, embedded in ONE batched device call and
+        # CLUSTERED AT WINDOW LEVEL. Sentence-level embeddings mix speakers
+        # whenever a turn change falls inside one <gap_split_ms pause; the
+        # mixtures blur the affinity matrix and make the eigengap
+        # underestimate the speaker count (measured on tools/der.py's
+        # synthetic mixtures: pooled DER 1.01 sentence-level → ~0.04
+        # window-level). Windows are ~pure, so the cluster structure
+        # survives; sentences take the majority label of their windows,
+        # split at within-sentence label runs (change_split), and record
+        # residual off-label windows as overlap_spk. This also REPLACES the
+        # former two-call design (sentence embed + refine_overlap
+        # re-embed) with a single embed call.
+        win = int(self.win_ms * sample_rate / 1000)
+        hop = int(self.hop_ms * sample_rate / 1000)
+        windows: List[np.ndarray] = []
+        w_owner: List[int] = []
+        w_sent: List[int] = []
+        w_start: List[int] = []
         for i, sents in enumerate(all_sents):
-            for s in sents:
+            for si, s in enumerate(sents):
                 a = int(s.start_ms * sample_rate / 1000)
-                b = int(s.end_ms * sample_rate / 1000)
-                b = max(b, a + sample_rate // 10)  # ≥100 ms for an embedding
-                segs.append(np.asarray(wavs[i][a:b], np.float32))
-                owner.append(i)
-        if segs:
-            # same power-of-two padding for the embedding batch (segment
-            # COUNT varies with speech content; lengths bucket inside embed)
-            n_pad = _next_pow2(len(segs)) - len(segs)
-            embs = self.verifier.embed(
-                segs + [np.zeros(1600, np.float32)] * n_pad)[: len(segs)]
-        else:
-            embs = None
+                b = min(int(s.end_ms * sample_rate / 1000), len(wavs[i]))
+                b = max(b, a + sample_rate // 10)  # ≥100 ms embedding
+                starts = list(range(a, b - win + 1, hop))
+                if starts and starts[-1] != b - win:
+                    starts.append(b - win)   # right-align the last window
+                if not starts:
+                    starts = [a]             # short sentence: whole span
+                for w in starts:
+                    windows.append(np.asarray(
+                        wavs[i][w: min(w + win, b)], np.float32))
+                    w_owner.append(i)
+                    w_sent.append(si)
+                    w_start.append(w)
+        if windows:
+            # power-of-two pad the window COUNT (it varies with speech
+            # content; lengths bucket inside embed)
+            n_pad = _next_pow2(len(windows)) - len(windows)
+            wemb = np.asarray(self.verifier.embed(
+                windows + [np.zeros(win, np.float32)] * n_pad
+            )[: len(windows)], np.float64)
+            wemb = wemb / (np.linalg.norm(wemb, axis=1, keepdims=True)
+                           + 1e-9)
         out: List[List[Sentence]] = []
         for i, sents in enumerate(all_sents):
             if not sents:
                 out.append([])
                 continue
-            emb = embs[[j for j, o in enumerate(owner) if o == i]]
+            rows = [j for j, o in enumerate(w_owner) if o == i]
+            emb_i = wemb[rows]
             if self.method == "spectral":
-                labels = spectral_cluster(emb)
+                labels = spectral_cluster(emb_i)
             else:
-                labels = cluster_embeddings(emb, self.cluster_threshold)
-            for s, l in zip(sents, labels):
-                s.spk = int(l)
-            if self.overlap_detection and len(sents) and labels.max() > 0:
-                try:
-                    sents = refine_overlap(wavs[i], sents, emb, labels,
-                                           self.verifier,
-                                           sample_rate=sample_rate)
-                except Exception:
-                    logger.exception(
-                        "overlap refinement failed; sentence labels")
-            out.append(sents)
+                labels = cluster_embeddings(emb_i, self.cluster_threshold)
+            out.append(self._label_sentences(
+                sents, labels, emb_i, [w_sent[j] for j in rows],
+                [w_start[j] for j in rows], win, sample_rate))
         self._punctuate_all(out)
+        return out
+
+    def _label_sentences(self, sents: List[Sentence], labels: np.ndarray,
+                         emb: np.ndarray, sent_idx: List[int],
+                         w_start: List[int], win: int,
+                         sample_rate: int) -> List[Sentence]:
+        """Window cluster labels → sentence speaker labels.
+
+        Majority window label per sentence; ≥2 time-contiguous label runs
+        (3-tap smoothed, min 2 windows each) split the sentence at the run
+        boundary (change_split); off-majority windows whose cluster
+        centroid beats the majority centroid by ≥0.05 cosine mark
+        overlap_spk — same margin rule as refine_overlap. Speaker ids are
+        renumbered by first appearance in sentence order (stable ids like
+        the reference's sentence_info)."""
+        k = int(labels.max()) + 1 if len(labels) else 0
+        counts = np.bincount(labels, minlength=max(k, 1))
+        cent = np.stack([emb[labels == j].mean(0) if counts[j]
+                         else np.zeros(emb.shape[1]) for j in range(k)])
+        cent = cent / (np.linalg.norm(cent, axis=1, keepdims=True) + 1e-9)
+        sim = emb @ cent.T
+        sim[:, counts == 0] = -np.inf
+        out: List[Sentence] = []
+        for si, s in enumerate(sents):
+            rows = [r for r, owner in enumerate(sent_idx) if owner == si]
+            raw = [int(labels[r]) for r in rows]
+            if not raw:
+                out.append(s)
+                continue
+            winners = _majority3(raw)
+            runs = _split_runs(winners)
+            run_lbls = [winners[r[0]] for r in runs]
+            if (self.change_split and len(rows) >= 4
+                    and len(set(run_lbls)) >= 2):
+                pieces = _split_sentence(
+                    s, runs, run_lbls, [w_start[r] for r in rows], win,
+                    sample_rate)
+                logger.info("speaker change inside sentence %d: split "
+                            "into %d turns %s", si, len(pieces), run_lbls)
+                out.extend(pieces)
+                continue
+            own = max(set(raw), key=raw.count)
+            s.spk = int(own)
+            if self.overlap_detection and k >= 2:
+                others: Dict[int, int] = {}
+                for r in rows:
+                    b_lbl = int(sim[r].argmax())
+                    if b_lbl != own and sim[r, b_lbl] - sim[r, own] >= 0.05:
+                        others[b_lbl] = others.get(b_lbl, 0) + 1
+                if others:
+                    s.overlap_spk = sorted(others)
+                    logger.info("overlap in sentence %d: spk=%d others=%s",
+                                si, s.spk, s.overlap_spk)
+            out.append(s)
+        # stable speaker ids: renumber by first appearance in final order
+        order: Dict[int, int] = {}
+        for s in out:
+            order.setdefault(int(s.spk), len(order))
+        for s in out:
+            s.spk = order[int(s.spk)]
+            if s.overlap_spk:
+                s.overlap_spk = sorted(
+                    order.setdefault(int(o), len(order))
+                    for o in s.overlap_spk)
         return out
 
     def _punctuate_all(self, out: List[List[Sentence]]) -> None:

@@ -1,0 +1,336 @@
+"""Diarization Error Rate (DER) — the missing quality metric for the
+speaker side of finalize.
+
+The reference's finalize path lives or dies on diarization + SV
+(voice-service/app/services/voice_interface.py:2040-2263: sentence_info →
+group-by-speaker → per-speaker SV), but the reference ships no quality
+harness for it. This tool provides one with standard NIST md-eval
+semantics:
+
+- **collar** (default 0.25 s): a no-score zone around every reference
+  turn boundary, excluded from both the error numerator and the scored
+  denominator (md-eval's ``-c 0.25``).
+- **permutation-invariant mapping**: reference↔hypothesis speaker labels
+  are matched by maximum scored overlap time (Hungarian assignment),
+  never by label value.
+- **overlap-aware accounting**: regions where R reference speakers talk
+  at once contribute R× to the denominator; MISS/FA/CONFUSION follow the
+  md-eval definitions (miss = ref speakers beyond hyp count, fa = hyp
+  speakers beyond ref count, confusion = matched-count shortfall).
+
+    DER = (MISS + FA + CONFUSION) / total reference speaker time
+
+CLI (RTTM in, JSON out):
+
+    python -m toolbox_for_asr_and_tts_tpu.tools.der \
+        --ref ref.rttm --hyp hyp.rttm [--collar 0.25]
+    python -m toolbox_for_asr_and_tts_tpu.tools.der --synthetic
+
+``--synthetic`` runs the full-pipeline evaluation harness: synthesized
+2–4-speaker mixtures with controlled overlap are driven through the real
+``asr.diarization.Diarizer`` (gap splitting, clustering, overlap second
+pass) with CAM++-statistics synthetic embeddings, and the resulting
+sentence labels are scored against ground truth. This is the number
+``benchmarks/RESULTS.md`` cites and ``tests/test_der.py`` regresses.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import itertools
+import json
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Turn:
+    spk: str
+    start: float   # seconds
+    end: float
+
+    @property
+    def dur(self) -> float:
+        return self.end - self.start
+
+
+# --------------------------------------------------------------- metric
+
+def _assign(overlap: Dict[Tuple[str, str], float], refs: List[str],
+            hyps: List[str]) -> Dict[str, str]:
+    """Max-overlap one-to-one speaker mapping (Hungarian; brute-force
+    fallback for tiny label sets when scipy is unavailable)."""
+    if not refs or not hyps:
+        return {}
+    try:
+        import numpy as np
+        from scipy.optimize import linear_sum_assignment
+        cost = np.zeros((len(refs), len(hyps)))
+        for (r, h), t in overlap.items():
+            cost[refs.index(r), hyps.index(h)] = -t
+        ri, hi = linear_sum_assignment(cost)
+        return {refs[i]: hyps[j] for i, j in zip(ri, hi)
+                if overlap.get((refs[i], hyps[j]), 0.0) > 0.0}
+    except ImportError:  # pragma: no cover - scipy is in the image
+        small, large = (refs, hyps) if len(refs) <= len(hyps) else (hyps, refs)
+        best, best_map = -1.0, {}
+        for perm in itertools.permutations(large, len(small)):
+            pairs = list(zip(small, perm))
+            score = sum(overlap.get((r, h) if small is refs else (h, r), 0.0)
+                        for r, h in pairs)
+            if score > best:
+                best = score
+                best_map = {(r if small is refs else h):
+                            (h if small is refs else r) for r, h in pairs}
+        return {r: h for r, h in best_map.items()
+                if overlap.get((r, h), 0.0) > 0.0}
+
+
+def _scored_intervals(ref: Sequence[Turn], hyp: Sequence[Turn],
+                      collar: float) -> List[Tuple[float, float]]:
+    """Elementary intervals covering all turns, minus the ±collar no-score
+    zones around every REFERENCE turn boundary."""
+    points = set()
+    for t in ref:
+        points.update((t.start - collar, t.start + collar,
+                       t.end - collar, t.end + collar))
+    for t in hyp:
+        points.update((t.start, t.end))
+    pts = sorted(points)
+    noscore: List[Tuple[float, float]] = []
+    for t in ref:
+        noscore.append((t.start - collar, t.start + collar))
+        noscore.append((t.end - collar, t.end + collar))
+    out = []
+    for a, b in zip(pts, pts[1:]):
+        if b - a <= 1e-12:
+            continue
+        mid = (a + b) / 2.0
+        if any(lo < mid < hi for lo, hi in noscore):
+            continue
+        out.append((a, b))
+    return out
+
+
+def _active(turns: Sequence[Turn], a: float, b: float) -> List[str]:
+    mid = (a + b) / 2.0
+    return [t.spk for t in turns if t.start < mid < t.end]
+
+
+def der(ref: Sequence[Turn], hyp: Sequence[Turn], collar: float = 0.25
+        ) -> Dict[str, object]:
+    """DER with md-eval semantics. Returns miss/fa/confusion/total seconds,
+    the der ratio, and the speaker mapping used."""
+    intervals = _scored_intervals(ref, hyp, collar)
+    # pass 1: scored overlap time per (ref spk, hyp spk) → optimal mapping
+    overlap: Dict[Tuple[str, str], float] = {}
+    for a, b in intervals:
+        for r in _active(ref, a, b):
+            for h in _active(hyp, a, b):
+                overlap[(r, h)] = overlap.get((r, h), 0.0) + (b - a)
+    refs = sorted({t.spk for t in ref})
+    hyps = sorted({t.spk for t in hyp})
+    mapping = _assign(overlap, refs, hyps)
+    # pass 2: accumulate errors per elementary interval
+    miss = fa = conf = total = 0.0
+    for a, b in intervals:
+        dur = b - a
+        ra = _active(ref, a, b)
+        ha = set(_active(hyp, a, b))
+        nr, nh = len(ra), len(ha)
+        matched = sum(1 for r in set(ra) if mapping.get(r) in ha)
+        total += dur * nr
+        miss += dur * max(0, nr - nh)
+        fa += dur * max(0, nh - nr)
+        conf += dur * (min(nr, nh) - matched)
+    d = (miss + fa + conf) / total if total > 0 else 0.0
+    return {"der": d, "miss": miss, "fa": fa, "confusion": conf,
+            "total": total, "mapping": mapping, "collar": collar}
+
+
+# ------------------------------------------------------------ conversion
+
+def turns_from_sentences(sents: Iterable, prefix: str = "spk") -> List[Turn]:
+    """asr.diarization.Sentence list → turns. A sentence's span is one turn
+    for its assigned speaker; overlap_spk speakers (the windowed second
+    pass's within-sentence detections) each get a turn over the same span —
+    sentence granularity is the finest the pipeline emits."""
+    out: List[Turn] = []
+    for s in sents:
+        a, b = s.start_ms / 1000.0, s.end_ms / 1000.0
+        out.append(Turn(f"{prefix}{int(s.spk)}", a, b))
+        for o in (s.overlap_spk or []):
+            if int(o) != int(s.spk):
+                out.append(Turn(f"{prefix}{int(o)}", a, b))
+    return out
+
+
+def read_rttm(path: str) -> List[Turn]:
+    """SPEAKER <file> <chan> <tbeg> <tdur> <ortho> <stype> <name> ..."""
+    out: List[Turn] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0].upper() != "SPEAKER":
+                continue
+            tbeg, tdur, name = float(parts[3]), float(parts[4]), parts[7]
+            out.append(Turn(name, tbeg, tbeg + tdur))
+    return out
+
+
+def write_rttm(path: str, turns: Sequence[Turn], file_id: str = "f0") -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        for t in sorted(turns, key=lambda t: t.start):
+            f.write(f"SPEAKER {file_id} 1 {t.start:.3f} {t.dur:.3f} "
+                    f"<NA> <NA> {t.spk} <NA> <NA>\n")
+
+
+# ---------------------------------------------- synthetic pipeline harness
+
+def synth_mixture(n_spk: int, seed: int, n_turns: int = 14,
+                  overlap_frac: float = 0.15, sr: int = 16000):
+    """Ground-truth turn script + a speaker-coded waveform.
+
+    Each sample's amplitude encodes the ACTIVE SPEAKER BITMASK
+    (0.02 × mask), so the synthetic verifier below can recover exactly who
+    talks inside any window — including overlap regions, where two bits are
+    set. Turn lengths 1.6–4.0 s, inter-turn gaps 0–1.4 s (some exceed the
+    800 ms gap-split heuristic, some don't — both splitting regimes are
+    exercised); with probability overlap_frac a turn starts 0.4–0.9 s
+    before the previous one ends."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    turns: List[Turn] = []
+    t = 0.3
+    prev_spk = -1
+    prev_end = t
+    for i in range(n_turns):
+        spk = int(rng.integers(n_spk))
+        if spk == prev_spk:                       # force speaker changes
+            spk = (spk + 1) % n_spk
+        dur = float(rng.uniform(1.6, 4.0))
+        if turns and rng.random() < overlap_frac:
+            start = max(0.0, prev_end - float(rng.uniform(0.4, 0.9)))
+        else:
+            start = prev_end + float(rng.uniform(0.0, 1.4))
+        turns.append(Turn(f"spk{spk}", start, start + dur))
+        prev_end = start + dur
+        prev_spk = spk
+    total_s = prev_end + 0.5
+    mask = np.zeros(int(total_s * sr), np.int32)
+    for t_ in turns:
+        s_i = int(t_.start * sr)
+        e_i = int(t_.end * sr)
+        mask[s_i:e_i] |= 1 << int(t_.spk[3:])
+    return turns, (0.02 * mask).astype(np.float32)
+
+
+class SyntheticVerifier:
+    """CAM++-statistics embedder over speaker-coded waveforms: decodes the
+    per-sample speaker bitmask, embeds as the noise-perturbed sum of
+    per-speaker unit anchors weighted by airtime. noise=0.5 puts
+    within-speaker cosine ≈ 0.8, the regime real CAM++ scores live in
+    (same calibration as tests/test_diarization_cluster.py)."""
+
+    def __init__(self, n_spk: int = 8, d: int = 192, noise: float = 0.5,
+                 seed: int = 1234):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        self.anchors = rng.standard_normal((n_spk, d))
+        self.anchors /= np.linalg.norm(self.anchors, axis=1, keepdims=True)
+        self.noise = noise
+        self._rng = rng
+
+    def embed(self, segs):
+        import numpy as np
+        out = []
+        for s in segs:
+            mask = np.round(np.abs(np.asarray(s, np.float64)) / 0.02
+                            ).astype(np.int64)
+            w = np.zeros(len(self.anchors))
+            for k in range(len(self.anchors)):
+                w[k] = float(np.count_nonzero(mask & (1 << k)))
+            if w.sum() == 0:
+                w[0] = 1.0                       # silence → arbitrary
+            e = (w / w.sum()) @ self.anchors
+            e /= np.linalg.norm(e) + 1e-12
+            g = self._rng.standard_normal(self.anchors.shape[1])
+            e = e + g / np.linalg.norm(g) * self.noise
+            out.append(e / np.linalg.norm(e))
+        return np.stack(out)
+
+
+class SyntheticRecognizer:
+    """Emits one token per 360 ms of coded speech with true timestamps, so
+    the Diarizer's sentence splitting (>800 ms gap heuristic,
+    asr/diarization.py::_sentences_from_tokens) runs exactly as it would on
+    real Paraformer output."""
+
+    token_ms = 360
+
+    def transcribe(self, wavs, sr: int = 16000):
+        import numpy as np
+        from ..asr.recognizer import TranscribeResult
+        out = []
+        step = int(self.token_ms * sr / 1000)
+        for w in wavs:
+            speech = np.abs(np.asarray(w)) > 1e-6
+            toks, ts, spans = [], [], []
+            for i in range(0, len(w) - step + 1, step):
+                if speech[i:i + step].mean() > 0.5:
+                    toks.append("字")
+                    ts.append(int((i + step // 2) * 1000 / sr))
+                    spans.append((int(i * 1000 / sr),
+                                  int((i + step) * 1000 / sr)))
+            out.append(TranscribeResult(
+                text="".join(toks), tokens=toks,
+                token_ids=[0] * len(toks), timestamps_ms=ts,
+                timestamp=spans, audio_s=len(w) / sr))
+        return out
+
+
+def synthetic_eval(n_mixtures: int = 6, collar: float = 0.25,
+                   seed0: int = 0) -> Dict[str, object]:
+    """Drive the REAL Diarizer (clustering + overlap second pass + gap
+    splitting) over synthesized 2/3/4-speaker mixtures; score sentence
+    labels against ground truth. Returns per-mixture and pooled DER."""
+    from ..asr.diarization import Diarizer
+    ver = SyntheticVerifier()
+    diar = Diarizer(SyntheticRecognizer(), ver, punctuator=None)
+    per = []
+    pooled_err = pooled_total = 0.0
+    for i in range(n_mixtures):
+        n_spk = 2 + (i % 3)                      # 2, 3, 4 speakers
+        truth, wav = synth_mixture(n_spk, seed=seed0 + i)
+        sents = diar.diarize(wav)
+        got = turns_from_sentences(sents)
+        m = der(truth, got, collar=collar)
+        per.append({"n_spk": n_spk, "der": round(m["der"], 4),
+                    "miss": round(m["miss"], 3), "fa": round(m["fa"], 3),
+                    "confusion": round(m["confusion"], 3),
+                    "total": round(m["total"], 3)})
+        pooled_err += m["miss"] + m["fa"] + m["confusion"]
+        pooled_total += m["total"]
+    return {"pooled_der": pooled_err / max(pooled_total, 1e-9),
+            "collar": collar, "mixtures": per}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--ref", help="reference RTTM")
+    ap.add_argument("--hyp", help="hypothesis RTTM")
+    ap.add_argument("--collar", type=float, default=0.25)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="run the synthetic full-pipeline harness")
+    args = ap.parse_args()
+    if args.synthetic:
+        print(json.dumps(synthetic_eval(collar=args.collar),
+                         ensure_ascii=False))
+        return
+    if not (args.ref and args.hyp):
+        ap.error("--ref and --hyp required (or --synthetic)")
+    m = der(read_rttm(args.ref), read_rttm(args.hyp), collar=args.collar)
+    print(json.dumps(m, ensure_ascii=False))
+
+
+if __name__ == "__main__":
+    main()
