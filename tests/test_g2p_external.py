@@ -1,0 +1,74 @@
+"""G2P accuracy on the EXTERNALLY-AUTHORED polyphone set (VERDICT-r3 #5).
+
+tests/data/polyphone_eval_external.tsv quotes published sources (proverbs,
+chengyu, Tang/Song poetry, public-domain modern prose) with per-line
+citations — sentences nobody in this repo wrote, making the G2P accuracy
+claim falsifiable. First-contact accuracy was 64.0% (71/111, recorded in
+docs/G2P.md before any fixes); the chengyu-lexicon closures took it to
+96.4%. The 4 remaining misses are classical-register items that need
+parsing, not lexicon (朝如青丝 / 为异客 / 还故乡 / 同行十二年), and are
+asserted as KNOWN so any silent fix or regression surfaces here.
+"""
+import os
+
+from toolbox_for_asr_and_tts_tpu.tts.text_frontend import G2P
+
+EVAL = os.path.join(os.path.dirname(__file__), "data",
+                    "polyphone_eval_external.tsv")
+
+KNOWN_MISSES = {
+    ("朝如青丝暮成雪", 0),          # 朝 zhao1: bare temporal before simile
+    ("独在异乡为异客", 4),          # 为 wei2: copular before bare NP
+    ("愿驰千里足，送儿还故乡", 8),   # 还 huan2: verb before bare place NP
+    ("同行十二年，不知木兰是女郎", 1),  # 行 xing2 vs 同行 hang2 homograph
+}
+
+
+def _load():
+    cases = []
+    with open(EVAL, encoding="utf-8") as f:
+        for ln in f:
+            ln = ln.rstrip("\n")
+            if not ln or ln.startswith("#"):
+                continue
+            marked, gold, src = ln.split("\t")
+            pos = marked.index("[")
+            text = marked.replace("[", "").replace("]", "")
+            cases.append((text, pos, marked[pos + 1], gold, src))
+    return cases
+
+
+def _predicted(g2p, text, pos):
+    at = 0
+    for chars, sy in g2p._resolve(text):
+        if at <= pos < at + len(chars):
+            return sy
+        at += len(chars)
+    return None
+
+
+def test_external_set_well_formed():
+    cases = _load()
+    assert len(cases) >= 100
+    # every line carries a citation and exactly one mark
+    for text, pos, ch, gold, src in cases:
+        assert src.strip(), (text,)
+        assert gold[-1].isdigit() or gold[-1] == "5", (text, gold)
+
+
+def test_external_polyphone_accuracy():
+    g = G2P()
+    cases = _load()
+    hits, misses = 0, []
+    for text, pos, ch, gold, src in cases:
+        if _predicted(g, text, pos) == gold:
+            hits += 1
+        else:
+            misses.append((text, pos))
+    acc = hits / len(cases)
+    unexpected = [m for m in misses if m not in KNOWN_MISSES]
+    silently_fixed = [m for m in KNOWN_MISSES if m not in misses]
+    assert not unexpected, (acc, unexpected)
+    assert acc >= 0.93, (acc, misses)
+    # a fixed known-miss is progress — update KNOWN_MISSES and docs/G2P.md
+    assert not silently_fixed, silently_fixed

@@ -108,6 +108,17 @@ class Ctx:
 
 Rule = Tuple[Callable[[Ctx], bool], str]
 
+
+def _wei_er_frame(c: Ctx) -> bool:
+    """为…而 benefactive frame (为人民利益而死 / 为理想而奋斗): scan right
+    to the clause edge for 而."""
+    for k in range(1, 10):
+        if c.ch(k) == "而":
+            return True
+        if c.tag(k) in ("PUNCT", "EOS"):
+            return False
+    return False
+
 # Ordered per-char rules; first predicate that fires picks the reading.
 # Keyed on the coarse tags + tiny char classes — the shapes a real POS
 # tagger would license, hand-compiled for the high-frequency tail.
@@ -197,6 +208,8 @@ RULES: Dict[str, List[Rule]] = {
         (lambda c: c.ch(1) == "了" or c.ch(-1) in "因", "wei4"),
         (lambda c: c.ch(-1) in "选称封拜视立行成作认以变分列定",
          "wei2"),
+        # round-4 external-eval closure (docs/G2P.md)
+        (_wei_er_frame, "wei4"),
         (lambda c: c.ch(1) in "生人期止首主" and c.tag(-1) in
          ("PUNCT", "BOS", "OTHER"), "wei2"),
     ],
