@@ -204,3 +204,89 @@ def test_itn_golden_table(src, want):
 
 def test_itn_decimal_with_measure_unit():
     assert apply_itn("体重三点二千克") == "体重3.2千克"
+
+
+# -------------------------------------------- mic-capture FSM (round 4)
+def test_vad_stream_equals_offline_segments():
+    """The incremental stream() FSM (the --mic path) and the offline
+    segments() path produce identical segments for the same audio."""
+    rec_a, rec_b = VADRecorder(), VADRecorder()
+    rec_a.calibrate(np.full(16000, 1e-4, np.float32))
+    rec_b.energy_threshold = rec_a.energy_threshold
+    audio = np.concatenate([
+        np.zeros(8000, np.float32), _tone(300, 2.0),
+        np.zeros(24000, np.float32), _tone(400, 1.2, seed=2),
+        np.zeros(20000, np.float32), _tone(250, 0.6, seed=3),
+    ])
+    frame = 16000 * 30 // 1000
+    frames = (audio[i:i + frame]
+              for i in range(0, len(audio) - frame + 1, frame))
+    got_stream = list(rec_a.stream(frames))
+    got_off = list(rec_b.segments(audio))
+    assert len(got_stream) == len(got_off) >= 2
+    for a, b in zip(got_stream, got_off):
+        assert a.start_s == b.start_s and a.end_s == b.end_s
+        assert np.array_equal(a.audio, b.audio)
+
+
+def test_vad_stream_yields_incrementally():
+    """A live source must get each segment at its endpoint, not at end of
+    stream: the first segment arrives before the generator is drained."""
+    rec = VADRecorder()
+    rec.calibrate(np.full(16000, 1e-4, np.float32))
+    audio = np.concatenate([
+        _tone(300, 2.0), np.zeros(24000, np.float32),
+        _tone(400, 2.0, seed=1), np.zeros(24000, np.float32),
+    ])
+    frame = 16000 * 30 // 1000
+    consumed = [0]
+
+    def frames():
+        for i in range(0, len(audio) - frame + 1, frame):
+            consumed[0] = i
+            yield audio[i:i + frame]
+
+    it = rec.stream(frames())
+    first = next(it)
+    total = len(audio)
+    assert consumed[0] < total * 0.6, (consumed[0], total)
+    # 2 s speech + the 1 s endpoint silence the buffer carries
+    assert 1.5 < len(first.audio) / 16000 <= 3.1
+    assert len(list(it)) == 1
+
+
+def test_vad_max_segment_cap_splits():
+    rec = VADRecorder(max_segment_s=2.0)
+    rec.calibrate(np.full(16000, 1e-4, np.float32))
+    segs = list(rec.segments(np.concatenate(
+        [_tone(300, 5.0), np.zeros(20000, np.float32)])))
+    assert len(segs) >= 2
+    assert all(len(s.audio) / 16000 <= 2.05 for s in segs)
+
+
+def test_vad_calibration_rule():
+    """threshold = background rms × 2.5, floored at 0.005
+    (reference full_voice_demo.py:151-171)."""
+    rec = VADRecorder()
+    bg = np.full(16000, 0.02, np.float32)
+    rec.calibrate(bg)
+    assert abs(rec.energy_threshold - 0.05) < 1e-6
+    rec.calibrate(np.zeros(16000, np.float32))
+    assert rec.energy_threshold == 0.005
+
+
+def test_run_mic_without_sounddevice_raises(monkeypatch):
+    import builtins
+    real_import = builtins.__import__
+
+    def no_sd(name, *a, **k):
+        if name == "sounddevice":
+            raise ImportError("nope")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_sd)
+    loop = VoiceAgentLoop(build_test_engines(), use_sv=False,
+                          use_wake=False)
+    import pytest
+    with pytest.raises(RuntimeError, match="sounddevice"):
+        loop.run_mic()

@@ -56,16 +56,20 @@ class VADRecorder:
         self.energy_threshold = max(rms * 2.5, 0.005)
         logger.info("VAD calibrated: threshold=%.4f", self.energy_threshold)
 
-    def segments(self, audio: np.ndarray) -> Iterator[Segment]:
-        """Offline segmentation of a whole recording via the same FSM."""
-        frames = [audio[i:i + FRAME] for i in range(0, len(audio) - FRAME + 1,
-                                                    FRAME)]
+    def stream(self, frames: Iterator[np.ndarray]) -> Iterator[Segment]:
+        """INCREMENTAL endpointing over a live iterator of 30 ms frames —
+        the same FSM the reference's VADRecorder runs on the sounddevice
+        callback queue (full_voice_demo.py:194-249). Yields each Segment
+        as soon as its endpoint (1 s silence / 60 s cap) fires, so a mic
+        source gets results mid-stream; a trailing open segment is flushed
+        when the iterator ends."""
         state = "waiting"
         voiced_run = 0
         silence_run = 0
         buf: List[np.ndarray] = []
         pre: List[np.ndarray] = []
         start_idx = 0
+        idx = -1
         for idx, f in enumerate(frames):
             rms = float(np.sqrt(np.mean(np.square(f)) + 1e-12))
             voiced = rms > self.energy_threshold
@@ -90,7 +94,12 @@ class VADRecorder:
                     voiced_run = silence_run = 0
         if state == "recording" and buf:
             yield Segment(np.concatenate(buf), start_idx * FRAME_MS / 1000,
-                          len(frames) * FRAME_MS / 1000)
+                          (idx + 1) * FRAME_MS / 1000)
+
+    def segments(self, audio: np.ndarray) -> Iterator[Segment]:
+        """Offline segmentation of a whole recording via the same FSM."""
+        return self.stream(audio[i:i + FRAME]
+                           for i in range(0, len(audio) - FRAME + 1, FRAME))
 
 
 class VoiceAgentLoop:
@@ -168,20 +177,75 @@ class VoiceAgentLoop:
                 break
         return self.transcript
 
+    def run_mic(self, device=None, calibrate_s: float = 1.0,
+                max_minutes: float = 30.0) -> List[dict]:
+        """LIVE microphone loop (reference full_voice_demo.py:97-280):
+        capture 30 ms frames via sounddevice, calibrate the energy
+        threshold from `calibrate_s` of leading background (rms × 2.5),
+        then run the same endpointing FSM incrementally — 300 ms pre-roll,
+        1 s silence endpoint, 60 s max segment. sounddevice is an OPTIONAL
+        dependency (absent in server images); a clear error is raised if
+        it is missing. Say 退出 to stop."""
+        try:
+            import sounddevice as sd
+        except ImportError as e:  # pragma: no cover - not in server images
+            raise RuntimeError(
+                "--mic needs the sounddevice package (pip install "
+                "sounddevice); in server images use the WAV-file mode"
+            ) from e
+        import queue
+        q: "queue.Queue[np.ndarray]" = queue.Queue()
+
+        def on_block(indata, frames, time_info, status):  # pragma: no cover
+            if status:
+                logger.warning("mic: %s", status)
+            q.put(indata[:, 0].copy())
+
+        with sd.InputStream(samplerate=SR, channels=1, dtype="float32",
+                            blocksize=FRAME, device=device,
+                            callback=on_block):   # pragma: no cover
+            rec = VADRecorder()
+            logger.info("calibrating background noise (%.1f s) — stay "
+                        "quiet...", calibrate_s)
+            cal = [q.get() for _ in range(int(calibrate_s * 1000 / FRAME_MS))]
+            rec.calibrate(np.concatenate(cal))
+            logger.info("listening (say 退出 to stop)")
+            deadline_frames = int(max_minutes * 60 * 1000 / FRAME_MS)
+
+            def mic_frames():
+                for _ in range(deadline_frames):
+                    yield q.get()
+
+            for seg in rec.stream(mic_frames()):
+                if self.handle_segment(seg) == "__EXIT__":
+                    break
+        return self.transcript
+
 
 def main() -> None:
     import argparse
     logging.basicConfig(level=logging.INFO)
-    ap = argparse.ArgumentParser(description="file-driven voice agent demo")
-    ap.add_argument("wav", help="input 16k WAV recording")
+    ap = argparse.ArgumentParser(description="voice agent demo "
+                                 "(WAV file or live microphone)")
+    ap.add_argument("wav", nargs="?", help="input 16k WAV recording")
+    ap.add_argument("--mic", action="store_true",
+                    help="capture from the default microphone "
+                         "(needs sounddevice)")
+    ap.add_argument("--device", default=None,
+                    help="sounddevice input device for --mic")
     ap.add_argument("--no-sv", action="store_true")
     ap.add_argument("--no-wake", action="store_true")
     args = ap.parse_args()
+    if bool(args.wav) == bool(args.mic):
+        ap.error("give a WAV path or --mic (exactly one)")
     from ..service.engines import build_engines
     engines = build_engines()
     loop = VoiceAgentLoop(engines, use_sv=not args.no_sv,
                           use_wake=not args.no_wake)
-    transcript = loop.run_file(args.wav)
+    if args.mic:
+        transcript = loop.run_mic(device=args.device)
+    else:
+        transcript = loop.run_file(args.wav)
     for turn in transcript:
         print(f"[{turn['role']}] {turn['text']}")
 
