@@ -1,0 +1,129 @@
+"""Prosodic phrase-break prediction (tts/prosody.py, VERDICT-r3 #7):
+break positions on long clauses + duration effect through the synthesizer.
+Matches ttsfrd's #2/#3 phrasing role (tts-service/Dockerfile:61-64)."""
+import numpy as np
+
+from toolbox_for_asr_and_tts_tpu.tts.prosody import predict_breaks
+from toolbox_for_asr_and_tts_tpu.tts.text_frontend import G2P, LingVocab
+
+
+def _breaks(g2p, text):
+    items = g2p._resolve(text)
+    return items, predict_breaks(items, g2p._word_spans(items))
+
+
+def _char_positions(items, brk):
+    """Map break item indices → character offsets for readable asserts."""
+    out = {}
+    at = 0
+    for i, (ch, _) in enumerate(items):
+        at += len(ch)
+        if i in brk:
+            out[at] = brk[i]
+    return out
+
+
+G = G2P()
+
+
+def test_short_clauses_get_no_breaks():
+    for text in ["你好", "今天天气很好", "请坐", "血压正常"]:
+        _, brk = _breaks(G, text)
+        assert not brk, (text, brk)
+
+
+def test_long_clause_gets_breaks_before_preposition():
+    text = "我们明天下午三点在人民医院门诊大厅集合"
+    items, brk = _breaks(G, text)
+    assert brk, "19-syllable clause must be phrased"
+    pos = _char_positions(items, brk)
+    # the strongest cut lands BEFORE the 在-phrase (after char 8 = 三点|在)
+    assert 8 in pos and pos[8] == 3, pos
+
+
+def test_break_before_conjunction_he():
+    text = "患者目前的血压和血糖水平都已经恢复到了正常范围之内"
+    items, brk = _breaks(G, text)
+    pos = _char_positions(items, brk)
+    assert 7 in pos, pos                    # 血压 | 和血糖…
+    assert pos[7] == 3
+
+
+def test_no_break_after_clitic_de():
+    """的/地/得 bind the following phrase — no break may follow them."""
+    text = "患者目前的血压和血糖水平都已经恢复到了正常范围之内"
+    items, brk = _breaks(G, text)
+    for i in brk:
+        assert items[i][0][-1] not in "的地得", (i, items[i])
+        assert items[i + 1][0][0] not in "的地得", (i, items[i + 1])
+
+
+def test_breaks_only_at_word_boundaries():
+    """A break may never split a segmentation word (e.g. 医院/大厅)."""
+    text = "我们明天下午三点在人民医院门诊大厅集合"
+    items = G._resolve(text)
+    spans = G._word_spans(items)
+    brk = predict_breaks(items, spans)
+    word_ends = set()
+    i = 0
+    while i < len(items):
+        ln = max(spans[i], 1)
+        word_ends.add(i + ln - 1)
+        i += ln
+    assert set(brk) <= word_ends, (brk, word_ends)
+
+
+def test_phrase_lengths_bounded():
+    """No phrase between breaks exceeds max_phrase+wordlen slack."""
+    text = "这种药物每天饭后服用两次每次两片连续服用七天不能随意停药"
+    items, brk = _breaks(G, text)
+    sylpos = [i for i, (ch, sy) in enumerate(items) if sy is not None]
+    cuts = sorted(brk) + [len(items)]
+    start = 0
+    for c in cuts:
+        n = sum(1 for i in sylpos if start <= i <= c)
+        assert n <= 13, (start, c, n)
+        start = c + 1
+
+
+def test_punctuation_resets_phrasing():
+    """Clauses already split by punctuation below the threshold stay
+    break-free."""
+    text = "你好，今天天气很好，请坐，血压正常。"
+    _, brk = _breaks(G, text)
+    assert not brk, brk
+
+
+def test_breaks_surface_as_sp_br_phones_and_ling_rows():
+    text = "我们明天下午三点在人民医院门诊大厅集合"
+    phones = G(text)
+    syms = [p.symbol for p in phones]
+    assert "#br" in syms or "#sp" in syms
+    # they ride the ling stream like other specials (valid sy ids)
+    vocab = LingVocab.default()
+    rows = vocab.encode(phones)
+    unk = vocab.to_id[vocab.UNK]
+    for p, row in zip(phones, rows):
+        if p.symbol in ("#sp", "#br"):
+            assert row[0] != unk
+            assert row[1] == 0 and row[3] == 0      # no tone, no word mark
+
+
+def test_disable_flag_removes_breaks():
+    g_off = G2P(phrase_breaks=False)
+    text = "我们明天下午三点在人民医院门诊大厅集合"
+    syms = [p.symbol for p in g_off(text)]
+    assert "#sp" not in syms and "#br" not in syms
+
+
+def test_breaks_lengthen_synthesized_audio():
+    """Duration assertion (VERDICT ask): the same long clause synthesizes
+    MORE frames with phrase breaks than without — the inserted #sp/#br
+    rows get real nonzero durations from the duration predictor."""
+    from toolbox_for_asr_and_tts_tpu.tts.synthesizer import Synthesizer
+    text = "患者目前的血压和血糖水平都已经恢复到了正常范围之内"
+    s_on = Synthesizer.random(tiny=True, g2p=G2P())
+    s_off = Synthesizer.random(tiny=True, g2p=G2P(phrase_breaks=False))
+    a_on = s_on.synthesize(text).wav
+    a_off = s_off.synthesize(text).wav
+    assert len(a_on) > len(a_off), (len(a_on), len(a_off))

@@ -213,8 +213,12 @@ class G2P:
     """
 
     def __init__(self, lexicon: Optional[Dict[str, str]] = None,
-                 words: Optional[Dict[str, str]] = None):
+                 words: Optional[Dict[str, str]] = None,
+                 phrase_breaks: bool = True):
         from .polyphones import ERHUA_WORDS, WORD_PINYIN
+        # prosodic #2/#3 phrase-break prediction inside long
+        # punctuation-free clauses (tts/prosody.py; ttsfrd's phrasing role)
+        self.phrase_breaks = phrase_breaks
         self.lexicon = dict(PINYIN_TABLE)
         if lexicon:
             self.lexicon.update(lexicon)
@@ -426,6 +430,12 @@ class G2P:
     def __call__(self, text: str) -> List[Phone]:
         items = self._resolve(text)
         spans = self._word_spans(items)
+        # prosodic phrase breaks (#2 → #sp, #3 → #br) for long clauses —
+        # item idx → level, emitted after that item's phones below
+        brk: Dict[int, int] = {}
+        if self.phrase_breaks:
+            from .prosody import predict_breaks
+            brk = predict_breaks(items, spans)
         # word-segment position per item (syllable)
         wpos = [0] * len(items)
 
@@ -468,6 +478,9 @@ class G2P:
                 # word may contain a char with no pinyin entry, and hardcoding
                 # single(4) here emitted begin-without-end word streams
                 phones.append(Phone(f"char_{ord(ch) % 4096}", word_pos=wp))
+            if idx in brk:
+                phones.append(Phone("#sp" if brk[idx] == 2 else "#br",
+                                    is_punct=True))
         return phones
 
 
