@@ -358,3 +358,69 @@ def test_join_setup_failure_returns_row(params, monkeypatch):
     # both rows still available: the failed join returned its slot
     a, b = ticker.join(), ticker.join()
     ticker.tick({a: _chunk(1), b: _chunk(2)})
+
+
+def test_packed_compaction_leave_midstream_matches_unbucketed():
+    """Round-4 packed-state compaction: leave() relocates the last live
+    row into the vacated one. Sessions that leave mid-stream must not
+    disturb the SURVIVORS' results — their ids must match an unbucketed
+    run of the same join/leave schedule — and the packed invariant (live
+    rows form [0, n_live)) must hold after every transition."""
+    import jax
+    import numpy as np
+    from toolbox_for_asr_and_tts_tpu.models import paraformer
+    from toolbox_for_asr_and_tts_tpu.models import paraformer_online as po
+    from toolbox_for_asr_and_tts_tpu.parallel.stream_batcher import (
+        BatchedChunkedASR)
+
+    cfg = paraformer.ParaformerConfig(
+        input_dim=560, d_model=32, n_heads=2, ffn_dim=64,
+        encoder_layers=2, decoder_layers=2, vocab_size=64)
+    ocfg = po.OnlineConfig(c1=4, c2=5, encoder_look_back=2)
+    params = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(31)
+    audios = [(rng.standard_normal(12800) * 0.1).astype(np.float32)
+              for _ in range(5)]
+
+    def check_invariant(t):
+        if not t.bucketed:
+            return
+        rows = sorted(t._slot_row.values())
+        assert rows == list(range(t._n_live)), (rows, t._n_live)
+        assert {t._row_slot[r] for r in rows} == set(t._slot_row)
+
+    def run(bucketed):
+        t = BatchedChunkedASR(params, cfg, ocfg, capacity=8, partials=True,
+                              bucketed=bucketed)
+        slots = [t.join() for _ in range(5)]
+        check_invariant(t)
+        got = {i: [] for i in range(5)}
+        live = set(range(5))
+        for k, s in enumerate(range(0, 12800, 3200)):
+            if k == 2:
+                # drop sessions 0 and 3 mid-stream: slot 0's row receives
+                # the relocated tail row; slot 3's vacates again after
+                for i in (0, 3):
+                    t.leave(slots[i])
+                    live.discard(i)
+                check_invariant(t)
+            fired = t.tick({slots[i]: audios[i][s:s + 3200] for i in live})
+            for i in live:
+                got[i].extend(fired.get(slots[i], []))
+        for i in sorted(live):
+            for sl2, ids in t.finalize_slot(slots[i]).items():
+                got[slots.index(sl2)].extend(ids)
+            t.leave(slots[i])
+            live.discard(i)
+            check_invariant(t)
+        # the freed rows are reusable: new joins land on the prefix again
+        s_new = t.join()
+        check_invariant(t)
+        t.leave(s_new)
+        return got
+
+    plain = run(False)
+    packed = run(True)
+    for i in (1, 2, 4):         # survivors must match exactly
+        assert packed[i] == plain[i], (i, packed[i], plain[i])
+    assert any(len(plain[i]) for i in (1, 2, 4))

@@ -76,18 +76,17 @@ class BatchedChunkedASR:
         one tick, the fetch of tick t-1 overlaps tick t's compute. The env
         knob (CHUNKED_PIPELINE) is parsed ONCE at the serving layer
         (service/hub.py, benchmarks/run.py), not here.
-        bucketed (fused, single-device — the default there): each tick
-        gathers the OCCUPIED rows' state into a pow-2-sized sub-batch,
-        steps that, and scatters back, so tick cost tracks occupancy
-        instead of capacity. Capacity can then be provisioned high (128+)
-        without every low-occupancy tick paying the full padded batch —
-        the round-3 wsload finding that made VOICE_BATCH_CAPACITY=128
-        double every tick's cost and break n=64. Padding rows index a
-        dedicated scratch row (row `capacity`), so duplicate scatter
-        indices never touch a live session. Ticks past capacity/2
-        occupancy switch to the full mask-merged program — near-full
-        ticks must not pay a full-state gather+scatter just to reorder
-        rows."""
+        bucketed (fused, single-device — the default there): PACKED-STATE
+        occupancy bucketing (round 4, ROADMAP #7). Live sessions occupy
+        the contiguous device-row prefix [0, n_live) — leave() relocates
+        the last live row into the vacated one — so each tick SLICES a
+        pow-2-sized prefix (static offset 0), steps it mask-merged, and
+        writes it back in place (the state buffer is donated). Tick HBM
+        traffic is exactly the stepped rows: capacity can be provisioned
+        high (128+) without low-occupancy ticks paying the padded batch
+        OR the full-state scatter copy the round-3 gather design paid
+        (`full.at[idx].set(ns)` copies all capacity rows per tick — the
+        wall that broke the n=64 wsload rung at capacity 128)."""
         import jax
         from ..models import paraformer as pf
         from ..models import paraformer_online as po
@@ -123,10 +122,7 @@ class BatchedChunkedASR:
         if fused:
             fcfg = self.cfg.frontend
             self.chunk_samples = self.ocfg.c1 * fcfg.lfr_n * fcfg.frame_shift
-            # +1 scratch row when bucketed: pad entries of a tick's index
-            # vector all point here, so their zero-input steps scatter into
-            # a row no session owns
-            n_rows = capacity + 1 if self.bucketed else capacity
+            n_rows = capacity
             self.state = po.init_fused_state(self.cfg, self.ocfg, b=n_rows,
                                              decode_partials=self.partials)
             if self._row_shard is not None:
@@ -138,19 +134,37 @@ class BatchedChunkedASR:
                 import jax.numpy as jnp
                 cm = (jnp.asarray(cmvn[0]), jnp.asarray(cmvn[1]))
 
-            def fstep_gather(p, state, idx, audio):
-                # gather occupied rows → step the sub-batch → scatter
-                # back. Same per-row math as the full-capacity step
-                # (every batched op here is row-independent).
-                sub = jax.tree.map(lambda a: a[idx], state)
+            def fstep_prefix(p, state, audio, row_active):
+                # PACKED-STATE tick (round 4, ROADMAP #7): live sessions
+                # occupy the contiguous row prefix [0, n_live), so a
+                # sub-capacity tick SLICES its pow-2 sub-batch (static
+                # offset 0) instead of gathering arbitrary rows, and
+                # writes it back with a static update-slice. With the
+                # state buffer DONATED, XLA performs the write-back in
+                # place: HBM traffic is exactly the stepped rows, where
+                # the former gather design's `full.at[idx].set(ns)`
+                # scatter copied the ENTIRE capacity-row state every tick
+                # (the half-state HBM wall that broke the n=64 wsload
+                # rung at capacity 128, benchmarks/RESULTS.md ceiling
+                # probes). Rows inside the prefix with no chunk this tick
+                # are masked out of the merge like the full step's.
+                b = audio.shape[0]
+                sub = jax.tree.map(lambda a: a[:b], state)
                 res = po.fused_step(p, sub, audio, c, o, cmvn=cm,
                                     k_cap=o.tokens_per_chunk,
                                     decode_partials=dp)
-                merged = jax.tree.map(
-                    lambda full, ns: full.at[idx].set(ns), state, res[0])
+
+                def merge(new, old):
+                    m = row_active.reshape((-1,) + (1,) * (new.ndim - 1))
+                    return jax.numpy.where(m.astype(bool), new, old)
+                merged = jax.tree.map(merge, res[0], sub)
+                out = jax.tree.map(
+                    lambda full, ns: jax.lax.dynamic_update_slice_in_dim(
+                        full, ns, 0, 0), state, merged)
+                n = res[2] * row_active.astype(res[2].dtype)
                 if dp:
-                    return merged, res[1], res[2], res[3]
-                return merged, res[1], res[2]
+                    return out, res[1], n, res[3]
+                return out, res[1], n
 
             def fstep_full(p, state, audio, row_active):
                 res = po.fused_step(p, state, audio, c, o, cmvn=cm,
@@ -167,15 +181,13 @@ class BatchedChunkedASR:
                     return merged, embeds, n, res[3]
                 return merged, embeds, n
 
-            # bucketed mode keeps BOTH programs: the gather/scatter step
-            # for sub-capacity occupancy, and the mask-merged full step
-            # once occupancy crosses capacity/2 (a full-width tick should
-            # not pay an extra full-state gather+scatter round of HBM
-            # traffic just to reorder rows). All tick programs are
+            # bucketed mode runs ONE program family — the packed-prefix
+            # step at every pow-2 size up to capacity (bucket == capacity
+            # degenerates to the full-width step). All tick programs are
             # AOT-compiled executables cached by bucket size and built
             # under _COMPILE_LOCK: a serving thread can never trace, and
             # an aval drift is a loud error instead of a silent retrace.
-            self._fstep_gather = fstep_gather
+            self._fstep_prefix = fstep_prefix
             self._fstep_full = fstep_full
             self._step_execs: Dict[object, object] = {}
         else:
@@ -184,6 +196,13 @@ class BatchedChunkedASR:
         self._queues: Dict[int, np.ndarray] = {}
         self._free = list(range(capacity))
         self._lock = threading.Lock()
+        # packed-state row map (bucketed only): external slot ids are
+        # stable for callers; the DEVICE row a slot owns moves so live
+        # rows always form the contiguous prefix [0, n_live). leave()
+        # relocates the last live row into the vacated one.
+        self._slot_row: Dict[int, int] = {}
+        self._row_slot: Dict[int, int] = {}
+        self._n_live = 0
         c, o, k_cap = self.cfg, self.ocfg, self.ocfg.tokens_per_chunk
 
         def step(p, state, feats, row_active, active_win):
@@ -224,10 +243,28 @@ class BatchedChunkedASR:
         # callable can NEVER trace at serving time — an input-aval drift
         # becomes a loud error instead of a silent (and thread-unsafe)
         # retrace
+        # state is threaded (self.state = fn(self.state, ...)) so the input
+        # buffer is donated: row resets/moves update in place instead of
+        # copying every leaf of a capacity-row state through HBM
         self._reset_fn = jax.jit(lambda st, s: jax.tree.map(
-            lambda a: a.at[s].set(jnp.zeros_like(a[s])), st)).lower(
+            lambda a: a.at[s].set(jnp.zeros_like(a[s])), st),
+            donate_argnums=(0,)).lower(
                 self.state, jnp.asarray(0)).compile()
         self.state = self._reset_fn(self.state, jnp.asarray(0))
+
+        def move_row(st, src, dst):
+            # copy row src → dst, then zero src (the vacated tail row must
+            # not leak a finished session's caches into a masked prefix
+            # step)
+            def per(a):
+                a = a.at[dst].set(a[src])
+                return a.at[src].set(jnp.zeros_like(a[src]))
+            return jax.tree.map(per, st)
+
+        self._move_fn = None
+        if self.bucketed:
+            self._move_fn = jax.jit(move_row, donate_argnums=(0,)).lower(
+                self.state, jnp.asarray(0), jnp.asarray(0)).compile()
         if self.partials:
             ccfg = self.cfg
 
@@ -249,8 +286,10 @@ class BatchedChunkedASR:
                                     jnp.zeros((1, 1, d), jnp.float32))
 
     # ------------------------------------------------- tick executables
-    def _gather_exec(self, bucket: int):
-        """Compiled gather/scatter tick program for a pow-2 sub-batch."""
+    def _prefix_exec(self, bucket: int):
+        """Compiled packed-prefix tick program for a pow-2 sub-batch.
+        The state argument is donated — the prefix write-back happens in
+        place, so a tick's HBM traffic is its stepped rows only."""
         ex = self._step_execs.get(bucket)
         if ex is None:
             import jax
@@ -258,11 +297,12 @@ class BatchedChunkedASR:
             with _COMPILE_LOCK:
                 ex = self._step_execs.get(bucket)
                 if ex is None:
-                    idx = jnp.zeros((bucket,), jnp.int32)
                     audio = jnp.zeros((bucket, self.chunk_samples),
                                       jnp.float32)
-                    ex = jax.jit(self._fstep_gather).lower(
-                        self.params, self.state, idx, audio).compile()
+                    active = jnp.zeros((bucket,), jnp.float32)
+                    ex = jax.jit(self._fstep_prefix,
+                                 donate_argnums=(1,)).lower(
+                        self.params, self.state, audio, active).compile()
                     self._step_execs[bucket] = ex
         return ex
 
@@ -289,7 +329,7 @@ class BatchedChunkedASR:
 
     def warm(self) -> None:
         """Compile every tick program this ticker can dispatch (all pow-2
-        gather buckets up to capacity/2 plus the full-width step), so load
+        prefix buckets up to capacity, or the full-width step), so load
         growth at serving time never waits on an XLA compile mid-tick —
         the first tick at each new occupancy otherwise pays a multi-second
         (tunnel: multi-minute) compile exactly when sessions are live.
@@ -298,27 +338,32 @@ class BatchedChunkedASR:
             return
         if self.bucketed:
             b = 1
-            while b * 2 <= self.capacity:
-                self._gather_exec(b)
+            while b < self.capacity:
+                self._prefix_exec(b)
                 b *= 2
-        self._full_exec()
+            self._prefix_exec(self.capacity)   # covers non-pow-2 capacity
+        else:
+            self._full_exec()
 
     def _harvest(self) -> None:
-        """Fetch the in-flight dispatch's outputs into the carry buffer."""
+        """Fetch the in-flight dispatch's outputs into the carry buffer.
+        The in-flight tuple holds OUTPUTS ONLY (embeds, n[, ids]) — never
+        the returned state: that buffer is donated to the next dispatch
+        and a held reference would be a use-after-donate."""
         if self._inflight is None:
             return
-        pos, res = self._inflight
+        pos, outs = self._inflight
         self._inflight = None
-        n = np.asarray(res[2])
+        n = np.asarray(outs[1])
         rows = list(pos)
         if self.partials:
-            ids = np.asarray(res[3])
+            ids = np.asarray(outs[2])
             for s in rows:
                 if int(n[pos[s]]) > 0:
                     self._carry.setdefault(s, []).extend(
                         ids[pos[s], : int(n[pos[s]])].tolist())
         else:
-            embeds = np.asarray(res[1]).astype(np.float32)
+            embeds = np.asarray(outs[0]).astype(np.float32)
             for s in rows:
                 if int(n[pos[s]]) > 0:
                     self._carry.setdefault(s, []).extend(
@@ -363,6 +408,13 @@ class BatchedChunkedASR:
             if not self._free:
                 raise AtCapacity("chunked-ASR ticker at capacity")
             slot = self._free.pop()
+            if self.bucketed:
+                # packed invariant: a new session takes the first row past
+                # the live prefix
+                row = self._n_live
+                self._slot_row[slot] = row
+                self._row_slot[row] = slot
+                self._n_live += 1
         try:
             if not self.fused:
                 self._frontends[slot] = StreamingFrontend(self.cfg.frontend,
@@ -379,9 +431,37 @@ class BatchedChunkedASR:
                 self._frontends.pop(slot, None)
                 self._queues.pop(slot, None)
                 self._audio.pop(slot, None)
+                if self.bucketed:
+                    try:
+                        self._release_row_locked(slot)
+                    except BaseException:
+                        logger.exception("row release after failed join")
                 self._free.append(slot)
             raise
         return slot
+
+    def _release_row_locked(self, slot: int) -> None:
+        """Return slot's device row to the pool keeping the packed
+        invariant: the LAST live row relocates into the vacated one (one
+        in-place donated device program: copy + zero the tail row), so
+        live rows stay the contiguous prefix [0, n_live). Caller holds
+        self._lock."""
+        import jax.numpy as jnp
+        if not self.bucketed:
+            self._reset_slot(slot)
+            return
+        row = self._slot_row.pop(slot)
+        self._row_slot.pop(row)
+        last = self._n_live - 1
+        if row != last:
+            moved = self._row_slot.pop(last)
+            self.state = self._move_fn(self.state, jnp.asarray(last),
+                                       jnp.asarray(row))
+            self._slot_row[moved] = row
+            self._row_slot[row] = moved
+        else:
+            self.state = self._reset_fn(self.state, jnp.asarray(row))
+        self._n_live = last
 
     def leave(self, slot: int) -> None:
         if self.fused and (self._inflight is not None or self._carry):
@@ -391,7 +471,7 @@ class BatchedChunkedASR:
             self._frontends.pop(slot, None)
             self._queues.pop(slot, None)
             self._audio.pop(slot, None)
-            self._reset_slot(slot)
+            self._release_row_locked(slot)
             self._free.append(slot)
 
     def _reset_slot(self, slot: int) -> None:
@@ -402,7 +482,11 @@ class BatchedChunkedASR:
         # ticker lock (round-3 wsload finding: 8 concurrent finalizes took
         # 40+ s at the service layer with 0.5 s of actual compute).
         import jax.numpy as jnp
-        self.state = self._reset_fn(self.state, jnp.asarray(slot))
+        self.state = self._reset_fn(self.state, jnp.asarray(self._row(slot)))
+
+    def _row(self, slot: int) -> int:
+        """Device row a slot currently owns (== slot unless packed)."""
+        return self._slot_row.get(slot, slot) if self.bucketed else slot
 
     def reset_slot(self, slot: int) -> None:
         """Session reset (reference reset_asr_state clears streaming caches,
@@ -447,15 +531,16 @@ class BatchedChunkedASR:
             fired = self.tick({slot: np.zeros(pad, np.float32)})
         finally:
             self._pipelined = pipelined
-        mass = float(np.asarray(self.state["cif_mass"][slot]))
+        row = self._row(slot)
+        mass = float(np.asarray(self.state["cif_mass"][row]))
         frac = mass - np.floor(mass)
         if frac > 0 and frac + self.cfg.predictor_tail_threshold >= 1.0:
-            acc = np.asarray(self.state["cif_acc"][slot])
+            acc = np.asarray(self.state["cif_acc"][row])
             if self.partials:
                 # "tail" is pre-compiled at construction (see __init__) so
                 # no serving thread ever traces it
                 ids = self._fbank_fns["tail"](self.params, self.state,
-                                              jnp.asarray(slot),
+                                              jnp.asarray(row),
                                               jnp.asarray(acc)[None, None, :])
                 fired.setdefault(slot, []).append(int(np.asarray(ids)[0, 0]))
             else:
@@ -480,29 +565,31 @@ class BatchedChunkedASR:
                 rows = [s for s, a in self._audio.items() if len(a) >= a_len]
                 if not rows:
                     break
-                bucket = 1
-                while bucket < len(rows):
-                    bucket *= 2
-                if self.bucketed and bucket * 2 <= self.capacity:
-                    # occupancy-bucketed sub-batch: pow-2 rows, pads point
-                    # at the scratch row (row `capacity`) with zero audio.
-                    # Past capacity/2 occupancy the full masked step below
-                    # wins (no full-state gather+scatter for a near-full
-                    # tick)
-                    idx = np.full((bucket,), self.capacity, np.int32)
+                if self.bucketed:
+                    # packed-prefix sub-batch: live rows are contiguous, so
+                    # the bucket is the pow-2 cover of the highest READY
+                    # row (≤ n_live ≤ capacity). Rows inside the bucket
+                    # with no chunk this tick ride along masked.
+                    need = 1 + max(self._slot_row[s] for s in rows)
+                    bucket = 1
+                    while bucket < need:
+                        bucket *= 2
+                    bucket = min(bucket, self.capacity)
                     batch = np.zeros((bucket, a_len), np.float32)
+                    row_active = np.zeros((bucket,), np.float32)
                     pos = {}
-                    for i, s in enumerate(rows):
-                        idx[i] = s
-                        batch[i] = self._audio[s][:a_len]
+                    for s in rows:
+                        r = self._slot_row[s]
+                        batch[r] = self._audio[s][:a_len]
                         self._audio[s] = self._audio[s][a_len:]
-                        pos[s] = i
-                    res = self._gather_exec(bucket)(
+                        row_active[r] = 1.0
+                        pos[s] = r
+                    res = self._prefix_exec(bucket)(
                         self.params, self.state,
-                        jnp.asarray(idx), jnp.asarray(batch))
+                        jnp.asarray(batch), jnp.asarray(row_active))
                 else:
-                    # full-width masked step. In bucketed mode the state
-                    # carries the extra scratch row — the batch matches it
+                    # full-width masked step (unfused-capacity layout, or
+                    # the mesh path where rows are sharded by position)
                     n_rows = int(self.state["cif_mass"].shape[0])
                     batch = np.zeros((n_rows, a_len), np.float32)
                     row_active = np.zeros((n_rows,), np.float32)
@@ -521,7 +608,8 @@ class BatchedChunkedASR:
                                             batch_dev, active_dev)
                 self.state = res[0]   # device-side chain — no host sync
                 self._harvest()                 # previous dispatch's fetch
-                self._inflight = (pos, res)
+                # keep OUTPUTS only: res[0] is donated to the next dispatch
+                self._inflight = (pos, res[1:])
                 if not self._pipelined:
                     self._harvest()             # fetch this tick now
             if self._carry:
