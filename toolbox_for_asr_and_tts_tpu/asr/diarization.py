@@ -285,7 +285,11 @@ def refine_overlap(wav: np.ndarray, sents: List[Sentence],
         if change_split and len(rows) >= 4:
             winners = _majority3([int(best[r]) for r in rows])
             runs = _split_runs(winners)
-            run_lbls = [winners[r[0]] for r in runs]
+            # label = run MAJORITY, not first element: a short head run
+            # folded in by _split_runs would otherwise mislabel the piece
+            run_lbls = [max({winners[i] for i in r},
+                            key=[winners[i] for i in r].count)
+                        for r in runs]
             if len(runs) >= 2 and len(set(run_lbls)) >= 2:
                 replacement[si] = _split_sentence(
                     sents[si], runs, run_lbls,
@@ -528,7 +532,11 @@ class Diarizer:
                 continue
             winners = _majority3(raw)
             runs = _split_runs(winners)
-            run_lbls = [winners[r[0]] for r in runs]
+            # label = run MAJORITY, not first element: a short head run
+            # folded in by _split_runs would otherwise mislabel the piece
+            run_lbls = [max({winners[i] for i in r},
+                            key=[winners[i] for i in r].count)
+                        for r in runs]
             if (self.change_split and len(rows) >= 4
                     and len(set(run_lbls)) >= 2):
                 pieces = _split_sentence(
