@@ -322,16 +322,15 @@ def bench_wsload() -> None:
     os.environ.setdefault("VOICE_DISABLE_LLM", "1")
     # Load driver: the native epoll client (native/wsload_client, ONE
     # process/thread for all streams) when built, else Python threads.
-    # The default ladder caps at 64 — the largest rung this 1-CPU tunnel
-    # host has sustained all-green (RESULTS.md). Extending it is opt-in
-    # (WSLOAD_LADDER=8,…,96,128) because capacity follows max(ladder) and
-    # a 128-row hub was MEASURED to break the 64 rung on this host twice:
-    # full-capacity ticks pay the 128-row program (24/64 sustained), and
-    # occupancy-bucketed ticks pay a 64-of-128 row gather+scatter through
-    # HBM each tick (46/64, p95 4.07 s vs the 4 s deadline). The native
-    # driver removes the CLIENT wall (96 Python threads + server on one
-    # core never finished the connect rendezvous), so >64 rungs are
-    # meaningful on a multi-core direct-attached host — just not here.
+    # Default ladder tops at 96 — green on this 1-CPU tunnel host since the
+    # round-4 packed-state compaction (2026-08-19: n=64 p95 2.10 s, n=96
+    # 96/96 p95 3.12 s at capacity 128; RESULTS.md). The round-3 walls are
+    # both gone: the native driver removed the CLIENT wall (96 Python
+    # threads + server on one core never finished the connect rendezvous)
+    # and packed prefix ticks removed the 64-of-128 gather+scatter HBM
+    # wall (was 46/64, p95 4.07 s). A 128 rung is opt-in
+    # (WSLOAD_LADDER=…,128): measured 102/128, p95 4.61 s — host-bound on
+    # one core, worth retrying on a multi-core direct-attached box.
     import subprocess
     import tempfile
     native_bin = os.path.join(
@@ -340,7 +339,7 @@ def bench_wsload() -> None:
     use_native = (os.getenv("WSLOAD_NATIVE", "1") in ("1", "true")
                   and os.path.exists(native_bin))
     ladder = tuple(int(x) for x in os.getenv(
-        "WSLOAD_LADDER", "8,16,32,64").split(","))
+        "WSLOAD_LADDER", "8,16,32,64,96").split(","))
     os.environ.setdefault("VOICE_BATCH_CAPACITY", str(max(ladder)))
     os.environ.setdefault("VOICE_HUB_TIMEOUT_S", "600")
     from websockets.sync.client import connect as ws_connect
