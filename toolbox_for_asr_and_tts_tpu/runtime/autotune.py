@@ -112,6 +112,13 @@ def profile_knobs(name: str, platform: str = "tpu") -> Dict[str, object]:
         # On the tunnel the HOST is the binding constraint (wsload), so the
         # conservative row count stands there.
         "batch_capacity": 128 if local else 16,
+        # int16 audio transfer for one-shot ASR: on a high-latency link the
+        # 640 KB f32 upload of a 10 s utterance is a measurable slice of
+        # the ~37 ms single-utterance total (2026-08-19 profile: bare RT
+        # 29.1 ms, f32 upload +14.5 ms, i16 roughly halves that). Lossless
+        # for PCM-sourced audio (the service's WAV/base64 inputs ARE
+        # 16-bit); direct-attached chips keep f32 (no reason to quantize)
+        "asr_int16_transfer": platform == "tpu" and not local,
     }
 
 
