@@ -424,3 +424,27 @@ def test_packed_compaction_leave_midstream_matches_unbucketed():
     for i in (1, 2, 4):         # survivors must match exactly
         assert packed[i] == plain[i], (i, packed[i], plain[i])
     assert any(len(plain[i]) for i in (1, 2, 4))
+
+
+def test_vad_packed_compaction_leave_midstream(params):
+    """Round-4 packed VAD cache: dropping a session mid-stream relocates
+    the tail row; survivors must keep matching their individual steppers
+    bit-for-bit, and the packed invariant must hold."""
+    ticker = BatchedVadTicker(params, CFG, capacity=8)
+    slots = [ticker.join() for _ in range(4)]
+    individual = [StreamingVadStepper(params, CFG) for _ in range(4)]
+    live = set(range(4))
+    for step in range(6):
+        if step == 3:
+            ticker.leave(slots[0])        # row 0 vacated → tail relocates
+            live.discard(0)
+            rows = sorted(ticker._slot_row.values())
+            assert rows == list(range(ticker._n_live))
+        chunks = {slots[i]: _chunk(100 * i + step) for i in live}
+        batched = ticker.tick(chunks)
+        for i in live:
+            want = individual[i](chunks[slots[i]])
+            assert batched[slots[i]] == want, (step, i)
+    for i in sorted(live):
+        ticker.leave(slots[i])
+    assert ticker._n_live == 0

@@ -660,43 +660,47 @@ class BatchedVadTicker:
         self.threshold = threshold
         self.cmvn = cmvn
         self.capacity = capacity
-        # +1 scratch row: pad entries of a bucketed tick's index vector all
-        # point here, so their zero-input steps never touch a live session
-        # (same design as BatchedChunkedASR — the round-3 review found the
-        # VAD ticker still paid full-capacity fbank+FSMN programs at any
-        # occupancy once VOICE_BATCH_CAPACITY was provisioned high)
-        self.cache = fsmn_vad.init_cache(capacity + 1, self.cfg)
+        # PACKED cache rows (round 4, mirroring BatchedChunkedASR): live
+        # sessions occupy the contiguous prefix [0, n_live), ticks slice a
+        # pow-2 prefix of the DONATED cache in place — no scratch row, no
+        # gather, no full-cache scatter copy (the round-3 design's
+        # `at[idx].set` copied every capacity row per tick)
+        self.cache = fsmn_vad.init_cache(capacity, self.cfg)
         self._frontends: Dict[int, object] = {}
         self._audio: Dict[int, np.ndarray] = {}   # per-slot raw-sample tails
         self._fbank_fns: Dict[Tuple, object] = {}
         self._free = list(range(capacity))
         self._lock = threading.Lock()
+        self._slot_row: Dict[int, int] = {}
+        self._row_slot: Dict[int, int] = {}
+        self._n_live = 0
         cfg_ = self.cfg
 
-        def step_full(p, feats, cache, mask):
-            post, new = fsmn_vad.apply_streaming(p, feats, cache, cfg_)
-            m = mask[:, None, None]
-            merged = [jnp.where(m, nc, oc) for nc, oc in zip(new, cache)]
-            return post, merged
-
-        def step_gather(p, feats, cache, idx):
-            sub = [c[idx] for c in cache]
+        def step_prefix(p, feats, cache, mask):
+            b = feats.shape[0]
+            sub = [c[:b] for c in cache]
             post, new = fsmn_vad.apply_streaming(p, feats, sub, cfg_)
-            merged = [full.at[idx].set(ns)
-                      for full, ns in zip(cache, new)]
-            return post, merged
+            m = mask[:, None, None]
+            merged = [jnp.where(m, nc, oc) for nc, oc in zip(new, sub)]
+            out = [jax.lax.dynamic_update_slice_in_dim(full, ns, 0, 0)
+                   for full, ns in zip(cache, merged)]
+            return post, out
 
-        self._step_full_fn = step_full
-        self._step_gather_fn = step_gather
+        self._step_prefix_fn = step_prefix
         self._step_execs: Dict[Tuple, object] = {}
         # pre-compile the per-slot reset while construction is single-
-        # threaded (same concurrent-trace hazard as BatchedChunkedASR)
+        # threaded (same concurrent-trace hazard as BatchedChunkedASR);
+        # reset/move donate the cache — in-place row updates
         import jax.numpy as jnp
-        # AOT-compiled (see BatchedChunkedASR.__init__): never re-traces
         self._reset_fn = jax.jit(lambda cs, s: [
-            c.at[s].set(jnp.zeros_like(c[s])) for c in cs]).lower(
+            c.at[s].set(jnp.zeros_like(c[s])) for c in cs],
+            donate_argnums=(0,)).lower(
                 self.cache, jnp.asarray(0)).compile()
         self.cache = self._reset_fn(self.cache, jnp.asarray(0))
+        self._move_fn = jax.jit(lambda cs, src, dst: [
+            c.at[dst].set(c[src]).at[src].set(jnp.zeros_like(c[src]))
+            for c in cs], donate_argnums=(0,)).lower(
+                self.cache, jnp.asarray(0), jnp.asarray(0)).compile()
 
     # ------------------------------------------------------------ rows
     def join(self) -> int:
@@ -706,6 +710,10 @@ class BatchedVadTicker:
             if not self._free:
                 raise AtCapacity("VAD ticker at capacity")
             slot = self._free.pop()
+            row = self._n_live          # packed: first row past the prefix
+            self._slot_row[slot] = row
+            self._row_slot[row] = slot
+            self._n_live += 1
         try:
             self._frontends[slot] = StreamingFrontend(self.cfg.frontend,
                                                       self.cmvn)
@@ -715,21 +723,43 @@ class BatchedVadTicker:
             with self._lock:   # transient setup error: return the row
                 self._frontends.pop(slot, None)
                 self._audio.pop(slot, None)
+                try:
+                    self._release_row_locked(slot)
+                except BaseException:
+                    logger.exception("row release after failed VAD join")
                 self._free.append(slot)
             raise
         return slot
+
+    def _release_row_locked(self, slot: int) -> None:
+        """Packed-invariant row release (caller holds self._lock): the last
+        live row relocates into the vacated one; the tail row is zeroed."""
+        import jax.numpy as jnp
+        row = self._slot_row.pop(slot)
+        self._row_slot.pop(row)
+        last = self._n_live - 1
+        if row != last:
+            moved = self._row_slot.pop(last)
+            self.cache = self._move_fn(self.cache, jnp.asarray(last),
+                                       jnp.asarray(row))
+            self._slot_row[moved] = row
+            self._row_slot[row] = moved
+        else:
+            self.cache = self._reset_fn(self.cache, jnp.asarray(row))
+        self._n_live = last
 
     def leave(self, slot: int) -> None:
         with self._lock:
             self._frontends.pop(slot, None)
             self._audio.pop(slot, None)
-            self._reset_slot(slot)
+            self._release_row_locked(slot)
             self._free.append(slot)
 
     def _reset_slot(self, slot: int) -> None:
         # one jitted call for all conv caches, pre-compiled in __init__
         import jax.numpy as jnp
-        self.cache = self._reset_fn(self.cache, jnp.asarray(slot))
+        self.cache = self._reset_fn(self.cache,
+                                    jnp.asarray(self._slot_row[slot]))
 
     def reset_slot(self, slot: int) -> None:
         """Session reset (reference clears vad_cache, voice_interface.py:
@@ -825,57 +855,38 @@ class BatchedVadTicker:
                  np.asarray(audio, np.float32)])
         feats = self._batched_feats(list(chunks))
         out = {slot: False for slot in chunks}
-        # group rows by emitted frame count; rows outside a group keep their
-        # cache (zero inputs must not pollute it). Sub-capacity/2 groups run
-        # the gather/scatter program sized to occupancy; larger groups run
-        # the full mask-merged step (no cache gather/scatter for a
-        # near-full tick) — mirroring BatchedChunkedASR's hybrid.
+        # group rows by emitted frame count; rows outside a group keep
+        # their cache (zero inputs must not pollute it). Each group runs
+        # the packed-prefix program sized to the pow-2 cover of its
+        # highest PACKED row — cache rows ride the donated prefix slice,
+        # masked where the row is not in this group.
         import jax
         D = self.cfg.input_dim
         lengths = sorted({len(f) for f in feats.values() if len(f) > 0})
         for n in lengths:
             rows = [s for s, f in feats.items() if len(f) == n]
-            nb = _pow2(len(rows))
-            if nb * 2 <= self.capacity:
-                idx = np.full((nb,), self.capacity, np.int32)  # scratch row
-                batch = np.zeros((nb, n, D), np.float32)
-                for i, s in enumerate(rows):
-                    idx[i] = s
-                    batch[i] = feats[s]
-                key = ("g", nb, n)
+            need = 1 + max(self._slot_row[s] for s in rows)
+            nb = min(_pow2(need), self.capacity)
+            batch = np.zeros((nb, n, D), np.float32)
+            in_group = np.zeros((nb,), bool)
+            pos = {}
+            for s in rows:
+                r = self._slot_row[s]
+                batch[r] = feats[s]
+                in_group[r] = True
+                pos[s] = r
+            key = ("p", nb, n)
 
-                def build(_nb=nb, _n=n):
-                    return jax.jit(self._step_gather_fn).lower(
-                        self.params, jnp.zeros((_nb, _n, D), jnp.float32),
-                        self.cache, jnp.zeros((_nb,), jnp.int32)).compile()
+            def build(_nb=nb, _n=n):
+                return jax.jit(self._step_prefix_fn,
+                               donate_argnums=(2,)).lower(
+                    self.params, jnp.zeros((_nb, _n, D), jnp.float32),
+                    self.cache, jnp.zeros((_nb,), bool)).compile()
 
-                post, self.cache = self._exec(key, build)(
-                    self.params, jnp.asarray(batch), self.cache,
-                    jnp.asarray(idx))
-                probs = np.asarray(
-                    self._fsmn_vad.speech_prob(post, self.cfg))
-                for i, s in enumerate(rows):
-                    out[s] = bool((probs[i] > self.threshold).any())
-            else:
-                n_rows = self.capacity + 1
-                batch = np.zeros((n_rows, n, D), np.float32)
-                in_group = np.zeros((n_rows,), bool)
-                for s in rows:
-                    batch[s] = feats[s]
-                    in_group[s] = True
-                key = ("f", n)
-
-                def build(_n=n, _nr=n_rows):
-                    return jax.jit(self._step_full_fn).lower(
-                        self.params, jnp.zeros((_nr, _n, D), jnp.float32),
-                        self.cache,
-                        jnp.zeros((_nr,), bool)).compile()
-
-                post, self.cache = self._exec(key, build)(
-                    self.params, jnp.asarray(batch), self.cache,
-                    jnp.asarray(in_group))
-                probs = np.asarray(
-                    self._fsmn_vad.speech_prob(post, self.cfg))
-                for s in rows:
-                    out[s] = bool((probs[s] > self.threshold).any())
+            post, self.cache = self._exec(key, build)(
+                self.params, jnp.asarray(batch), self.cache,
+                jnp.asarray(in_group))
+            probs = np.asarray(self._fsmn_vad.speech_prob(post, self.cfg))
+            for s in rows:
+                out[s] = bool((probs[pos[s]] > self.threshold).any())
         return out
