@@ -88,6 +88,7 @@ class Recognizer:
         if cmvn is not None:
             self.cmvn = (jnp.asarray(cmvn[0]), jnp.asarray(cmvn[1]))
         self._compiled: Dict[Tuple[int, int], Any] = {}
+        self._warmed: set = set()    # logits programs already compiled
         # int16 audio transfer (VERDICT-r3 #9): the one-shot path is
         # latency-floor-bound on a tunnel link (2026-08-19 profile: bare
         # dispatch+fetch RT 29.1 ms; 10 s f32 upload +14.5 ms; total
@@ -216,12 +217,26 @@ class Recognizer:
                            "feat_lens": feat_lens}
             return packed, device_side
 
-        if self.mesh is not None:
-            sh = batch_sharding(self.mesh)
-            fn = jax.jit(run, in_shardings=(replicated_sharding(self.mesh), sh, sh))
-        else:
-            fn = jax.jit(run)
-        self._compiled[key] = fn
+        # serialize with every other lazy compile site: a hub thread
+        # compiling a new bucket while another thread compiled SEGFAULTED
+        # XLA:CPU (runtime/compile_lock.py). The program is COMPILED here,
+        # inside the lock, by a zero-filled call at the real avals — the
+        # jit is published only once warm, so no serving thread can ever
+        # trigger (or race) a compile.
+        from ..runtime.compile_lock import COMPILE_LOCK
+        with COMPILE_LOCK:
+            if key in self._compiled:
+                return self._compiled[key]
+            if self.mesh is not None:
+                sh = batch_sharding(self.mesh)
+                fn = jax.jit(run, in_shardings=(
+                    replicated_sharding(self.mesh), sh, sh))
+            else:
+                fn = jax.jit(run)
+            wav_dt = jnp.int16 if int16_in else jnp.float32
+            fn(self.params, jnp.zeros((batch, n_samples), wav_dt),
+               jnp.zeros((batch,), jnp.int32))
+            self._compiled[key] = fn
         return fn
 
     def _logits_fn(self, batch: int, t_lfr: int, k_b: int):
@@ -285,10 +300,24 @@ class Recognizer:
             k_b = min(k_b, device_side["embeds"].shape[1])
             lf = self._logits_fn(batch.shape[0],
                                  device_side["enc"].shape[1], k_b)
-            logits_np = np.asarray(lf(
-                self.params, device_side["embeds"],
-                jnp.asarray(out["token_count"]), device_side["enc"],
-                device_side["feat_lens"])).astype(np.float32)
+            lkey = ("logits", batch.shape[0],
+                    device_side["enc"].shape[1], k_b)
+
+            def _call_lf():
+                return np.asarray(lf(
+                    self.params, device_side["embeds"],
+                    jnp.asarray(out["token_count"]), device_side["enc"],
+                    device_side["feat_lens"])).astype(np.float32)
+
+            if lkey in self._warmed:
+                logits_np = _call_lf()
+            else:
+                # first call compiles: serialize with every other compile
+                # site (runtime/compile_lock.py)
+                from ..runtime.compile_lock import COMPILE_LOCK
+                with COMPILE_LOCK:
+                    logits_np = _call_lf()
+                    self._warmed.add(lkey)
         proc_s = time.perf_counter() - t0
         timing_log("offline_asr_batch", proc_s * 1000)
         sr = self.fe_cfg.sample_rate

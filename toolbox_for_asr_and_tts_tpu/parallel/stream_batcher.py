@@ -27,8 +27,11 @@ CAPACITY_BUCKETS = (8, 16, 32, 64, 128)
 # is not robust under concurrency (an UnexpectedTracerError from two
 # subsystems tracing at once killed 49/64 live WS connections in the
 # round-3 wsload rung), and hubs for VAD/chunked/finalize can all hit a
-# new shape in different serving threads at the same moment.
-_COMPILE_LOCK = threading.Lock()
+# new shape in different serving threads at the same moment. Round 4
+# moved the lock to runtime/compile_lock.py and widened it to the
+# recognizer's lazy bucket compiles after an XLA:CPU segfault from a
+# hub-thread compile racing a main-thread compile.
+from ..runtime.compile_lock import COMPILE_LOCK as _COMPILE_LOCK  # noqa: E402
 
 
 def _pow2(n: int) -> int:
