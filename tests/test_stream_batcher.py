@@ -448,3 +448,57 @@ def test_vad_packed_compaction_leave_midstream(params):
     for i in sorted(live):
         ticker.leave(slots[i])
     assert ticker._n_live == 0
+
+
+def _pcm_grid(x):
+    return (np.clip(np.round(x * 32768), -32768, 32767) / 32768.0
+            ).astype(np.float32)
+
+
+def test_vad_ticker_int16_transfer_lossless(params, monkeypatch):
+    """PARAFORMER_TRANSFER_INT16=1 halves the fbank upload; for
+    int16-grid audio (all service inputs) the VAD decisions are
+    identical to the f32 path."""
+    def run(flag):
+        monkeypatch.setenv("PARAFORMER_TRANSFER_INT16", flag)
+        t = BatchedVadTicker(params, CFG, capacity=4)
+        slots = [t.join() for _ in range(2)]
+        out = []
+        for step in range(3):
+            chunks = {slots[i]: _pcm_grid(_chunk(10 * i + step))
+                      for i in range(2)}
+            res = t.tick(chunks)
+            out.append([res[s] for s in slots])
+        return out
+
+    assert run("1") == run("0")
+
+
+def test_chunked_ticker_int16_transfer_lossless(monkeypatch):
+    import jax
+    from toolbox_for_asr_and_tts_tpu.models import paraformer
+    from toolbox_for_asr_and_tts_tpu.models import paraformer_online as po
+    from toolbox_for_asr_and_tts_tpu.parallel.stream_batcher import (
+        BatchedChunkedASR)
+
+    cfg = paraformer.ParaformerConfig(
+        input_dim=560, d_model=32, n_heads=2, ffn_dim=64,
+        encoder_layers=2, decoder_layers=2, vocab_size=64)
+    ocfg = po.OnlineConfig(c1=4, c2=5, encoder_look_back=2)
+    p = paraformer.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    audio = _pcm_grid((rng.standard_normal(9600) * 0.1).astype(np.float32))
+
+    def run(flag):
+        monkeypatch.setenv("PARAFORMER_TRANSFER_INT16", flag)
+        t = BatchedChunkedASR(p, cfg, ocfg, capacity=4, partials=True)
+        s = t.join()
+        got = []
+        for i in range(0, len(audio), 3200):
+            fired = t.tick({s: audio[i:i + 3200]})
+            got.extend(fired.get(s, []))
+        for _, ids in t.finalize_slot(s).items():
+            got.extend(ids)
+        return got
+
+    assert run("1") == run("0")

@@ -122,6 +122,14 @@ class BatchedChunkedASR:
         # position over the data axis — a dynamic gather would cross shards)
         self.bucketed = (fused and mesh is None) if bucketed is None \
             else (bucketed and fused and mesh is None)
+        # int16 audio transfer (same knob/rationale as Recognizer): at 96
+        # live streams a 240 ms tick uploads ~1.5 MB of f32 audio (~34 ms
+        # on the dev tunnel at its measured ~45 MB/s) — int16 halves it,
+        # losslessly for PCM-sourced service audio. The in-program rescale
+        # fuses into the fbank framing.
+        from ..runtime.autotune import env_or_profile
+        self._int16_transfer = env_or_profile("PARAFORMER_TRANSFER_INT16",
+                                              "asr_int16_transfer")
         if fused:
             fcfg = self.cfg.frontend
             self.chunk_samples = self.ocfg.c1 * fcfg.lfr_n * fcfg.frame_shift
@@ -151,6 +159,8 @@ class BatchedChunkedASR:
                 # rung at capacity 128, benchmarks/RESULTS.md ceiling
                 # probes). Rows inside the prefix with no chunk this tick
                 # are masked out of the merge like the full step's.
+                if audio.dtype == jax.numpy.int16:
+                    audio = audio.astype(jax.numpy.float32) * (1.0 / 32768.0)
                 b = audio.shape[0]
                 sub = jax.tree.map(lambda a: a[:b], state)
                 res = po.fused_step(p, sub, audio, c, o, cmvn=cm,
@@ -170,6 +180,8 @@ class BatchedChunkedASR:
                 return out, res[1], n
 
             def fstep_full(p, state, audio, row_active):
+                if audio.dtype == jax.numpy.int16:
+                    audio = audio.astype(jax.numpy.float32) * (1.0 / 32768.0)
                 res = po.fused_step(p, state, audio, c, o, cmvn=cm,
                                     k_cap=o.tokens_per_chunk,
                                     decode_partials=dp)
@@ -300,8 +312,8 @@ class BatchedChunkedASR:
             with _COMPILE_LOCK:
                 ex = self._step_execs.get(bucket)
                 if ex is None:
-                    audio = jnp.zeros((bucket, self.chunk_samples),
-                                      jnp.float32)
+                    dt = jnp.int16 if self._int16_transfer else jnp.float32
+                    audio = jnp.zeros((bucket, self.chunk_samples), dt)
                     active = jnp.zeros((bucket,), jnp.float32)
                     ex = jax.jit(self._fstep_prefix,
                                  donate_argnums=(1,)).lower(
@@ -319,8 +331,8 @@ class BatchedChunkedASR:
                 ex = self._step_execs.get("full")
                 if ex is None:
                     n_rows = int(self.state["cif_mass"].shape[0])
-                    batch = jnp.zeros((n_rows, self.chunk_samples),
-                                      jnp.float32)
+                    dt = jnp.int16 if self._int16_transfer else jnp.float32
+                    batch = jnp.zeros((n_rows, self.chunk_samples), dt)
                     active = jnp.zeros((n_rows,), jnp.float32)
                     if self._row_shard is not None:
                         batch = self._row_shard(batch)
@@ -491,6 +503,14 @@ class BatchedChunkedASR:
         """Device row a slot currently owns (== slot unless packed)."""
         return self._slot_row.get(slot, slot) if self.bucketed else slot
 
+    def _to_transfer(self, batch: np.ndarray) -> np.ndarray:
+        """Host-side int16 quantization for the tick upload (exactly
+        lossless for PCM-sourced service audio)."""
+        if not self._int16_transfer:
+            return batch
+        return np.clip(np.round(batch * 32768.0), -32768.0,
+                       32767.0).astype(np.int16)
+
     def reset_slot(self, slot: int) -> None:
         """Session reset (reference reset_asr_state clears streaming caches,
         voice_interface.py:1257-1275): device state row, host audio
@@ -589,7 +609,8 @@ class BatchedChunkedASR:
                         pos[s] = r
                     res = self._prefix_exec(bucket)(
                         self.params, self.state,
-                        jnp.asarray(batch), jnp.asarray(row_active))
+                        jnp.asarray(self._to_transfer(batch)),
+                        jnp.asarray(row_active))
                 else:
                     # full-width masked step (unfused-capacity layout, or
                     # the mesh path where rows are sharded by position)
@@ -602,7 +623,7 @@ class BatchedChunkedASR:
                         self._audio[s] = self._audio[s][a_len:]
                         row_active[s] = 1.0
                         pos[s] = s
-                    batch_dev = jnp.asarray(batch)
+                    batch_dev = jnp.asarray(self._to_transfer(batch))
                     active_dev = jnp.asarray(row_active)
                     if self._row_shard is not None:
                         batch_dev = self._row_shard(batch_dev)
@@ -677,6 +698,11 @@ class BatchedVadTicker:
         self._slot_row: Dict[int, int] = {}
         self._row_slot: Dict[int, int] = {}
         self._n_live = 0
+        # int16 transfer for the batched fbank upload (same knob/rationale
+        # as BatchedChunkedASR; lossless for PCM-sourced service audio)
+        from ..runtime.autotune import env_or_profile
+        self._int16_transfer = env_or_profile("PARAFORMER_TRANSFER_INT16",
+                                              "asr_int16_transfer")
         cfg_ = self.cfg
 
         def step_prefix(p, feats, cache, mask):
@@ -825,15 +851,23 @@ class BatchedVadTicker:
                 # program-cache key space stays bounded)
                 nb = min(_pow2(len(rows)), self.capacity)
                 key = ("fb", nb, lb)
+                int16_in = self._int16_transfer
 
                 def build(_t=t_max, _nb=nb, _lb=lb):
-                    return jax.jit(
-                        lambda a: fe.fbank(a, fcfg, t_frames=_t)).lower(
-                            jnp.zeros((_nb, _lb), jnp.float32)).compile()
+                    def f(a):
+                        if a.dtype == jnp.int16:
+                            a = a.astype(jnp.float32) * (1.0 / 32768.0)
+                        return fe.fbank(a, fcfg, t_frames=_t)
+                    dt = jnp.int16 if int16_in else jnp.float32
+                    return jax.jit(f).lower(
+                        jnp.zeros((_nb, _lb), dt)).compile()
 
                 batch = np.zeros((nb, lb), np.float32)
                 for i, (s, length) in enumerate(rows):
                     batch[i, :length] = self._audio[s][:length]
+                if int16_in:
+                    batch = np.clip(np.round(batch * 32768.0), -32768.0,
+                                    32767.0).astype(np.int16)
                 fb = np.asarray(self._exec(key, build)(jnp.asarray(batch)))
                 for i, (s, length) in enumerate(rows):
                     n = fe.num_fbank_frames(length, fcfg)
