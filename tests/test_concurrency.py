@@ -21,7 +21,9 @@ def voice_server():
     from toolbox_for_asr_and_tts_tpu.service.voice_app import create_app
     app = create_app(engines=build_test_engines(),
                      cfg=VoiceConfig(disable_llm=True))
-    return ServerThread(app).start()
+    srv = ServerThread(app).start()
+    yield srv
+    srv.stop()
 
 
 def _run_session(port, idx, results):

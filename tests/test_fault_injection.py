@@ -34,6 +34,12 @@ class _ServerThread:
             time.sleep(0.05)
         raise RuntimeError("server did not start")
 
+    def stop(self):
+        close = getattr(self.app, "close_engines", None)
+        if close is not None:
+            close()
+        self.loop.call_soon_threadsafe(self.loop.stop)
+
 
 @pytest.fixture(scope="module")
 def voice():
@@ -41,7 +47,8 @@ def voice():
     from toolbox_for_asr_and_tts_tpu.service.voice_app import create_app
     engines = E.build_test_engines()
     srv = _ServerThread(create_app(engines=engines)).start()
-    return srv, engines
+    yield srv, engines
+    srv.stop()
 
 
 def _b64(x):

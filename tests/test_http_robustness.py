@@ -78,13 +78,17 @@ def test_voice_rest_wake_gate():
     from toolbox_for_asr_and_tts_tpu.utils.audio import encode_wav_bytes
 
     svc = VoiceService(build_test_engines(), VoiceConfig())
-    wav = (0.3 * np.sin(np.arange(32000) * 0.1)).astype(np.float32)
-    req = ASRRequest(
-        audio_data=base64.b64encode(encode_wav_bytes(wav, 16000)).decode(),
-        use_wake=True, use_llm=False)
-    out = svc.recognize_speech(req)
-    assert out["success"] is False
-    assert "唤醒" in out["message"]
+    try:
+        wav = (0.3 * np.sin(np.arange(32000) * 0.1)).astype(np.float32)
+        req = ASRRequest(
+            audio_data=base64.b64encode(encode_wav_bytes(wav, 16000)
+                                        ).decode(),
+            use_wake=True, use_llm=False)
+        out = svc.recognize_speech(req)
+        assert out["success"] is False
+        assert "唤醒" in out["message"]
+    finally:
+        svc.engines.close()
 
 
 def test_ws_unmask_vectorized_correct():

@@ -92,6 +92,12 @@ class _ServerThread:
             time.sleep(0.05)
         raise RuntimeError("server did not start")
 
+    def stop(self):
+        close = getattr(self.app, "close_engines", None)
+        if close is not None:
+            close()
+        self.loop.call_soon_threadsafe(self.loop.stop)
+
 
 def _scrape(port):
     httpx = pytest.importorskip("httpx")
@@ -130,6 +136,7 @@ def test_tts_service_metrics_move():
     assert "toolbox_tts_active_jobs 0" in text
     assert "toolbox_tts_job_rtf_count" in text
     assert "toolbox_http_request_seconds_bucket" in text
+    srv.stop()
 
 
 def test_voice_service_metrics_ws_and_finalize():
@@ -194,3 +201,4 @@ def test_voice_service_metrics_ws_and_finalize():
     # batched serving is default-on → the hubs ticked
     assert any(float(ln.rsplit(" ", 1)[1]) > 0
                for ln in metric(text, "toolbox_hub_ticks_total"))
+    srv.stop()

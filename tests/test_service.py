@@ -36,6 +36,15 @@ class ServerThread:
             time.sleep(0.05)
         raise RuntimeError("server did not start")
 
+    def stop(self):
+        """Release the app's serving hubs and the event loop — leaked hub
+        threads lazily compiling after their test segfaulted XLA:CPU in
+        the round-4 full-suite run."""
+        close = getattr(self.app, "close_engines", None)
+        if close is not None:
+            close()
+        self.loop.call_soon_threadsafe(self.loop.stop)
+
     @property
     def base(self):
         return f"http://127.0.0.1:{self.app.port}"
@@ -57,10 +66,13 @@ def _silence_b64(secs=0.4):
 # ------------------------------------------------------------------- TTS
 @pytest.fixture(scope="module")
 def tts_server():
+    # (no engines; stop() still releases the event loop)
     from toolbox_for_asr_and_tts_tpu.service.tts_app import create_app
     from toolbox_for_asr_and_tts_tpu.tts.synthesizer import Synthesizer
     app = create_app(synthesizer=Synthesizer.random(tiny=True))
-    return ServerThread(app).start()
+    srv = ServerThread(app).start()
+    yield srv
+    srv.stop()
 
 
 def test_tts_full_job_lifecycle(tts_server):
@@ -109,7 +121,9 @@ def voice_server():
     from toolbox_for_asr_and_tts_tpu.runtime.config import VoiceConfig
     app = create_app(engines=build_test_engines(),
                      cfg=VoiceConfig(disable_llm=True))
-    return ServerThread(app).start()
+    srv = ServerThread(app).start()
+    yield srv
+    srv.stop()
 
 
 def test_voice_health_and_root(voice_server):

@@ -28,7 +28,9 @@ def silence():
 
 @pytest.fixture(scope="module")
 def engines():
-    return build_test_engines()
+    eng = build_test_engines()
+    yield eng
+    eng.close()
 
 
 def test_initial_mode_follows_use_wake(engines):

@@ -23,7 +23,9 @@ def server():
     from toolbox_for_asr_and_tts_tpu.service.voice_app import create_app
     app = create_app(engines=build_test_engines(),
                      cfg=VoiceConfig(disable_llm=True))
-    return ServerThread(app).start()
+    srv = ServerThread(app).start()
+    yield srv
+    srv.stop()
 
 
 def _fuzz_messages(rng):
@@ -114,7 +116,7 @@ def test_invalid_utf8_text_frame():
     try:
         _run_invalid_utf8_drive(server)
     finally:
-        server.loop.call_soon_threadsafe(server.loop.stop)
+        server.stop()   # engines + loop (ServerThread.stop)
 
 
 def _run_invalid_utf8_drive(server):

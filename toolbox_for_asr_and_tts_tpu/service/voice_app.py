@@ -126,6 +126,17 @@ def create_app(engines=None, cfg: Optional[VoiceConfig] = None) -> App:
             state["service"] = VoiceService(eng, cfg)
         return state["service"]
 
+    def close_engines() -> None:
+        """Release the serving hubs' threads (VoiceEngines.close): embedded
+        servers (tests, rehearsals) must not leak hub threads — a leaked
+        finalize hub lazily compiling later segfaulted XLA:CPU (round 4)."""
+        svc = state["service"]
+        eng = svc.engines if svc is not None else engines
+        if eng is not None:
+            eng.close()
+
+    app.close_engines = close_engines
+
     # ------------------------------------------------------------- REST
     @app.post("/api/v1/voice/asr")
     async def asr(req: Request) -> Response:

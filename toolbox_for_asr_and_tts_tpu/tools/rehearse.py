@@ -124,7 +124,7 @@ def _speech(secs: float = 0.4, seed: int = 0) -> np.ndarray:
             + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
 
 
-def _start_app(app) -> int:
+def _start_app(app):
     import asyncio
     import threading
 
@@ -138,7 +138,7 @@ def _start_app(app) -> int:
     threading.Thread(target=run, daemon=True).start()
     for _ in range(200):
         if getattr(app, "port", None):
-            return app.port
+            return app.port, loop
         time.sleep(0.05)
     raise RuntimeError("service did not start")
 
@@ -167,84 +167,103 @@ def drive_services(models_dir: str, golden_wav: Optional[str] = None,
         wav = np.concatenate([_speech(seed=i) for i in range(5)])
     wav_b64 = base64.b64encode(encode_wav_bytes(wav, 16000)).decode()
 
-    vapp = create_voice_app(engines=build_engines(models_dir, use_mesh=False))
-    vport = _start_app(vapp)
+    # the apps and their hubs are torn down in the finally below: a
+    # rehearsal must not leak serving threads (and their lazy compiles)
+    # into the rest of the process — a leaked finalize-hub compiling while
+    # another thread compiled segfaulted XLA:CPU in the round-4 full suite
+    engines = build_engines(models_dir, use_mesh=False)
+    vapp = create_voice_app(engines=engines)
+    vport, vloop = _start_app(vapp)
+    tloop = None
 
-    # REST batch ASR
-    req = urllib.request.Request(
-        f"http://127.0.0.1:{vport}/api/v1/voice/asr",
-        data=json.dumps({"audio_data": wav_b64, "use_wake": False,
-                         "use_llm": False}).encode(),
-        headers={"Content-Type": "application/json"})
-    with urllib.request.urlopen(req, timeout=600) as r:
-        rest = json.loads(r.read())
-    report["rest_asr"] = {"success": rest.get("success"),
-                          "text": rest.get("text")}
-
-    # WS streaming cycle (wake/SV off): speech then silence → result frame
-    from websockets.sync.client import connect as ws_connect
-    frames = []
-    ws = ws_connect(f"ws://127.0.0.1:{vport}/api/v1/voice/asr/ws",
-                    open_timeout=60, ping_interval=None)
     try:
-        frames.append(json.loads(ws.recv(timeout=60))["type"])  # welcome
-        ws.send(json.dumps({"use_wake": False, "use_sv": False,
-                            "use_llm": False}))
-        chunk = base64.b64encode(
-            encode_wav_bytes(_speech(), 16000)).decode()
-        sil = base64.b64encode(
-            encode_wav_bytes(np.zeros(6400, np.float32), 16000)).decode()
-        for b64 in [chunk] * 3 + [sil] * 7:
-            ws.send(json.dumps({"audio_data": b64}))
-        deadline = time.time() + 600
-        ws_result = None
-        while time.time() < deadline:
-            try:
-                msg = json.loads(ws.recv(timeout=5))
-            except TimeoutError:
-                continue
-            if isinstance(msg, dict) and msg.get("type"):
-                frames.append(msg["type"])
-                if msg["type"] == "result":
-                    ws_result = msg
-                    break
-    finally:
-        ws.close()
-    report["ws_asr"] = {"frames": frames,
-                        "result": (ws_result or {}).get("text"),
-                        "ok": ws_result is not None}
-
-    # TTS job
-    try:
-        from ..runtime.registry import resolve
-        tts_dir = resolve("tts", models_dir)
-        synth = (Synthesizer.from_model_dir(tts_dir) if tts_dir
-                 else Synthesizer.random(tiny=True))
-        tapp = create_tts_app(synthesizer=synth)
-        tport = _start_app(tapp)
+        # REST batch ASR
         req = urllib.request.Request(
-            f"http://127.0.0.1:{tport}/api/v1/tts/start",
-            data=json.dumps({"text": golden_text,
-                             "voice": "zhitian_emo"}).encode(),
+            f"http://127.0.0.1:{vport}/api/v1/voice/asr",
+            data=json.dumps({"audio_data": wav_b64, "use_wake": False,
+                             "use_llm": False}).encode(),
             headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=120) as r:
-            jid = json.loads(r.read())["job_id"]
-        status: Dict[str, Any] = {}
-        for _ in range(600):
-            with urllib.request.urlopen(
-                    f"http://127.0.0.1:{tport}/api/v1/tts/result/{jid}",
-                    timeout=120) as r:
-                status = json.loads(r.read())
-            if status.get("status") in ("completed", "error"):
-                break
-            time.sleep(0.5)
-        report["tts"] = {"status": status.get("status"),
-                         "audio_size": status.get("audio_size"),
-                         "random_weights": tts_dir is None}
-    except Exception as e:
-        logger.exception("rehearsal: TTS drive failed")
-        report["tts"] = {"status": "failed",
-                         "error": f"{type(e).__name__}: {e}"}
+        with urllib.request.urlopen(req, timeout=600) as r:
+            rest = json.loads(r.read())
+        report["rest_asr"] = {"success": rest.get("success"),
+                              "text": rest.get("text")}
+
+        # WS streaming cycle (wake/SV off): speech then silence → result frame
+        from websockets.sync.client import connect as ws_connect
+        frames = []
+        ws = ws_connect(f"ws://127.0.0.1:{vport}/api/v1/voice/asr/ws",
+                        open_timeout=60, ping_interval=None)
+        try:
+            frames.append(json.loads(ws.recv(timeout=60))["type"])  # welcome
+            ws.send(json.dumps({"use_wake": False, "use_sv": False,
+                                "use_llm": False}))
+            chunk = base64.b64encode(
+                encode_wav_bytes(_speech(), 16000)).decode()
+            sil = base64.b64encode(
+                encode_wav_bytes(np.zeros(6400, np.float32), 16000)).decode()
+            for b64 in [chunk] * 3 + [sil] * 7:
+                ws.send(json.dumps({"audio_data": b64}))
+            deadline = time.time() + 600
+            ws_result = None
+            while time.time() < deadline:
+                try:
+                    msg = json.loads(ws.recv(timeout=5))
+                except TimeoutError:
+                    continue
+                if isinstance(msg, dict) and msg.get("type"):
+                    frames.append(msg["type"])
+                    if msg["type"] == "result":
+                        ws_result = msg
+                        break
+        finally:
+            ws.close()
+        report["ws_asr"] = {"frames": frames,
+                            "result": (ws_result or {}).get("text"),
+                            "ok": ws_result is not None}
+
+        # TTS job
+        try:
+            from ..runtime.registry import resolve
+            tts_dir = resolve("tts", models_dir)
+            synth = (Synthesizer.from_model_dir(tts_dir) if tts_dir
+                     else Synthesizer.random(tiny=True))
+            tapp = create_tts_app(synthesizer=synth)
+            tport, tloop = _start_app(tapp)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{tport}/api/v1/tts/start",
+                data=json.dumps({"text": golden_text,
+                                 "voice": "zhitian_emo"}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                jid = json.loads(r.read())["job_id"]
+            status: Dict[str, Any] = {}
+            for _ in range(600):
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{tport}/api/v1/tts/result/{jid}",
+                        timeout=120) as r:
+                    status = json.loads(r.read())
+                if status.get("status") in ("completed", "error"):
+                    break
+                time.sleep(0.5)
+            report["tts"] = {"status": status.get("status"),
+                             "audio_size": status.get("audio_size"),
+                             "random_weights": tts_dir is None}
+        except Exception as e:
+            logger.exception("rehearsal: TTS drive failed")
+            report["tts"] = {"status": "failed",
+                             "error": f"{type(e).__name__}: {e}"}
+    finally:
+        # release the hubs' serving threads and both event loops
+        try:
+            engines.close()
+        except Exception:
+            logger.exception("rehearsal: engine teardown failed")
+        for lp in (vloop, tloop):
+            if lp is not None:
+                try:
+                    lp.call_soon_threadsafe(lp.stop)
+                except Exception:
+                    pass
     return report
 
 
