@@ -222,9 +222,11 @@ def bench_chunked_streams() -> None:
     # batch width amortizes the fixed per-tick dispatch cost. The
     # 2026-08-18 sweep (RESULTS.md): 64→~200, 128→267-347, 160→392,
     # 192→334-432 (paired A/B vs 64: +65-75%), 224→415, 256→285 — the
-    # knee is ~192 rows, so that is the default; per-tick wall at 192 is
-    # ~137 ms, still inside the 240 ms real-time budget
-    capacity = int(os.getenv("CHUNKED_CAPACITY", "192"))
+    # knee was ~192 rows in round 3; the round-4 packed/donated in-place
+    # ticks + int16 uploads moved it to ~384 (2026-08-19 sweep: 192→p50 484,
+    # 256→555, 384→669, 448→429, 512→359 — past 384 the tick wall blows the
+    # 240 ms budget), so 384 is the default
+    capacity = int(os.getenv("CHUNKED_CAPACITY", "384"))
     pipelined = os.getenv("CHUNKED_PIPELINE", "1") in ("1", "true")
     ticker = BatchedChunkedASR(params, cfg,
                                po.OnlineConfig(tokens_per_chunk=4),
