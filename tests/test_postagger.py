@@ -93,6 +93,23 @@ def test_round4_parser_class_frames():
     assert _predicted(g, "我们是同行", 4) == "hang2"
 
 
+def test_round5_advisor_closures():
+    """Round-5 advisor findings (ADVICE.md): overfires of the round-4
+    frames on common modern shapes, each locked with its regression pair."""
+    g = G2P()
+    # directional 朝着/朝向 and dynasty 朝 beat the 朝…暮/夕 frame
+    assert _predicted(g, "他朝着夕阳走去", 1) == "chao2"
+    assert _predicted(g, "唐朝夕阳下的长安", 1) == "chao2"
+    assert _predicted(g, "清朝的暮年", 1) == "chao2"
+    assert _predicted(g, "朝发夕至", 0) == "zhao1"          # frame intact
+    # a locked 了解 cannot license the travel reading of 同行
+    assert _predicted(g, "几位同行了解这项技术", 3) == "hang2"
+    assert _predicted(g, "我们同行了三天", 3) == "xing2"    # frame intact
+    # 京沪/京津/京广 coordination after 还 stays the adverb
+    assert _predicted(g, "山东还京沪两地都有分部", 2) == "hai2"
+    assert _predicted(g, "告老还京的大臣", 2) == "huan2"    # frame intact
+
+
 def test_rules_never_crash_on_edges():
     g = G2P()
     for text in ("还", "弹", "为", "着", "盛了", "一曲", "数"):

@@ -119,10 +119,19 @@ def _wei_er_frame(c: Ctx) -> bool:
             return False
     return False
 
+DYNASTY = set("唐宋元明清汉秦隋周商本王皇")
+
+
 def _zhao_mu_frame(c: Ctx) -> bool:
     """朝…暮/夕 temporal parallelism (朝如青丝暮成雪 / 朝发夕至 /
     朝令夕改): a paired evening char later in the same clause licenses the
-    'morning' reading zhao1 over the chao2 default."""
+    'morning' reading zhao1 over the chao2 default. Guards (round-5 advisor
+    closure): directional 朝着/朝向 (他朝着夕阳走去) and dynasty 朝
+    (唐朝夕阳下的长安) are chao2 even with a later 暮/夕 in the clause."""
+    if c.ch(1) in "着向":
+        return False
+    if c.ch(-1) in DYNASTY:
+        return False
     for k in range(1, 12):
         if c.ch(k) in "暮夕":
             return True
@@ -184,9 +193,11 @@ RULES: Dict[str, List[Rule]] = {
         # phrase, so it must not block the rule. Adverbial hai2 before a
         # place needs a predicate after it; clause-shape guards keep
         # 他还乡下有房 (hai2) out via the PRON/ADV left context.
+        # (round-5 advisor guard: 京沪/京津/京广 pair continuations mean
+        # coordinated city abbreviations — 山东还京沪两地都有分部 is hai2)
         (lambda c: c.tag(-1) not in ("PRON", "ADV", "BOS")
-         and (c.ch(1) in "京巢" or
-              (c.ch(1) == "故" and c.ch(2) in "乡里国园居")), "huan2"),
+         and ((c.ch(1) in "京巢" and c.ch(2) not in "沪津广")
+              or (c.ch(1) == "故" and c.ch(2) in "乡里国园居")), "huan2"),
         (lambda c: True, "hai2"),
     ],
     # 曲 qu1 (bent, default) / qu3 (tune): nominal after a classifier/music
@@ -235,9 +246,12 @@ RULES: Dict[str, List[Rule]] = {
     # 行 xing2 (go/OK, default) / hang2 (row; trade)
     "行": [
         # round-4 parser-class closure: 同行 + duration/aspect = travel
-        # together (同行十二年 / 同行了三天), not the trade noun hang2
+        # together (同行十二年 / 同行了三天), not the trade noun hang2.
+        # locked_at(1) guard (round-5 advisor): a locked 了解/了结 word
+        # (几位同行了解这项技术) must not license the travel reading.
         (lambda c: c.ch(-1) == "同" and not c.locked_at(-1)
-         and (c.tag(1) == "NUM" or c.ch(1) in "了至到"), "xing2"),
+         and (c.tag(1) == "NUM"
+              or (c.ch(1) in "了至到" and not c.locked_at(1))), "xing2"),
         (lambda c: c.ch(-1) in "银各同外内这那哪" and c.ch(1) != "动",
          "hang2"),
         (lambda c: c.tag(-1) == "NUM" and c.ch(1) in "字诗话泪树",
