@@ -849,13 +849,17 @@ def bench_wsload_wake() -> None:
     Random weights are neutralized, not bypassed — the DEVICE WORK is real:
     VOICE_KWS_THRESHOLD=-1e9 (every full window scores; the first fires),
     VOICE_VAD_THRESHOLD=2.0 (VAD ticks every enrollment chunk; the decision
-    stays energy-based so the FSM paces deterministically). Python-thread
-    clients only: the native epoll driver speaks the plain ASR cycle, not
-    the enrollment handshake."""
+    stays energy-based so the FSM paces deterministically). Load driver: the
+    native epoll client speaks the full wake→enroll→start_asr handshake
+    (wsload_client.cpp --wake, round 5) so the measurement is not walled by
+    N Python client threads on a 1-CPU host; WSLOAD_NATIVE=0 falls back to
+    Python-thread clients (wake_client above)."""
     import asyncio
     import base64
     import logging as _logging
     import os
+    import subprocess
+    import tempfile
     import threading
 
     _logging.basicConfig(
@@ -934,7 +938,63 @@ def bench_wsload_wake() -> None:
     sys.stderr.write(
         f"wsload-wake server warmup {time.perf_counter() - t_w:.0f}s\n")
 
+    native_bin = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "toolbox_for_asr_and_tts_tpu", "native", "wsload_client")
+    use_native = (os.getenv("WSLOAD_NATIVE", "1") in ("1", "true")
+                  and os.path.exists(native_bin))
+    pcm_dir = None
+    if use_native:
+        import atexit
+        import shutil
+        pcm_dir = tempfile.mkdtemp(prefix="wsload_wake_pcm_")
+        atexit.register(shutil.rmtree, pcm_dir, ignore_errors=True)
+        for name, arr in (("speech", speech), ("silence", silence)):
+            (np.clip(arr, -1.0, 1.0) * 32767).astype("<i2").tofile(
+                os.path.join(pcm_dir, name + ".pcm"))
+        sys.stderr.write(f"wsload-wake: native epoll driver ({native_bin})\n")
+
+    def _native_rung(n, cycles, deadline):
+        """One wake rung via the C++ epoll driver (--wake): all n streams
+        from one process/thread through the full 4-mode FSM. Returns the
+        same (ok, lats-dict[, err]) rows wake_client fills."""
+        cmd = [native_bin, "--port", str(app.port), "--n", str(n),
+               "--cycles", str(cycles), "--deadline", str(deadline),
+               "--chunk-ms", str(int(chunk_s * 1000)), "--wake",
+               "--wake-chunks", str(WAKE_N_WAKE),
+               "--enroll-speech", str(WAKE_N_ENROLL_SP),
+               "--enroll-silence", str(WAKE_N_ENROLL_SIL),
+               "--connect-timeout", str(max(60, 3 * n)),
+               "--speech", os.path.join(pcm_dir, "speech.pcm"),
+               "--silence", os.path.join(pcm_dir, "silence.pcm")]
+        out = [None] * n
+        budget = max(900.0, float(deadline) * cycles + 600.0)
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=budget)
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"wsload-wake native rung n={n}: driver "
+                             "timeout\n")
+            return out
+        if proc.stderr:
+            sys.stderr.write(proc.stderr[-2000:])
+        for line in proc.stdout.splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "idx" in rec:
+                lats = {"wake": rec.get("wake", []),
+                        "enroll": rec.get("enroll", []),
+                        "result": rec.get("lat", [])}
+                err = rec.get("err")
+                out[rec["idx"]] = ((rec["ok"], lats) if err is None
+                                   else (rec["ok"], lats, err))
+        return out
+
     def _run_rung(n, cycles, deadline):
+        if use_native:
+            return _native_rung(n, cycles, deadline)
         out = [None] * n
         barrier = threading.Barrier(n)
         threads = [threading.Thread(

@@ -25,6 +25,16 @@
 //     recent chunk send. Cycle 0 is an uncounted grace cycle (first-compile
 //     shapes), like every bench in benchmarks/run.py.
 //
+// --wake enables the reference's full 4-mode FSM (voice.py:375-663, the
+// VOICE_REQUIRE_WAKE medical deployment shape) before the ASR cycles,
+// mirroring benchmarks/run.py::wake_client:
+//   flags {"use_wake":true,"use_sv":true} → W wake speech chunks → await
+//   {"type":"wakeup"} → E speech + silence chunks until
+//   {"type":"enrollment_completed"} → {"type":"start_asr"} → await
+//   "asr_started" → SV-gated ASR cycles as above. Wake/enroll latencies
+//   (from the most recent chunk send, same convention) are reported per
+//   stream as "wake":[...] and "enroll":[...].
+//
 // Output: one JSON line per stream on stdout:
 //   {"idx":3,"ok":true,"lat":[0.41,0.38]}   (lat = non-grace result lats, s)
 // then a summary line {"summary":{"n":..,"ok":..}}.
@@ -96,6 +106,12 @@ struct Conn {
     bool missed = false;            // this cycle blew the deadline
     bool warned = false;
     std::vector<double> lat;        // non-grace result latencies
+    // ---- wake FSM (--wake only; plain mode starts directly at W_ASR)
+    enum WakeStage { W_WAKE, W_WAKE_WAIT, W_ENROLL_SP, W_ENROLL_SIL,
+                     W_ENROLL_WAIT, W_CONFIRM, W_ASR };
+    WakeStage stage = W_ASR;
+    bool seen_wakeup = false, seen_enrolled = false, seen_started = false;
+    std::vector<double> wake_lat, enroll_lat;
 };
 
 struct Args {
@@ -112,6 +128,11 @@ struct Args {
     int speech_chunks = 3, silence_chunks = 7;
     double hard_timeout = 60.0;     // absolute per-cycle result wait cap
     double connect_timeout = 30.0;
+    // ---- wake mode (mirrors benchmarks/run.py WAKE_N_* constants)
+    bool wake = false;
+    int wake_chunks = 4;            // 1600 ms KWS FIFO at 400 ms chunks
+    int enroll_speech = 8, enroll_silence = 8;
+    double wake_timeout = 600.0;    // wake/enroll/confirm phase wait cap
 };
 
 std::vector<uint8_t> read_file(const std::string& p) {
@@ -167,6 +188,13 @@ int main(int argc, char** argv) {
         else if (k == "--hard-timeout") a.hard_timeout = atof(next().c_str());
         else if (k == "--connect-timeout")
             a.connect_timeout = atof(next().c_str());
+        else if (k == "--wake") a.wake = true;
+        else if (k == "--wake-chunks") a.wake_chunks = atoi(next().c_str());
+        else if (k == "--enroll-speech")
+            a.enroll_speech = atoi(next().c_str());
+        else if (k == "--enroll-silence")
+            a.enroll_silence = atoi(next().c_str());
+        else if (k == "--wake-timeout") a.wake_timeout = atof(next().c_str());
         else { fprintf(stderr, "unknown arg %s\n", k.c_str()); return 2; }
     }
     if (!a.port || a.speech_file.empty() || a.silence_file.empty()) {
@@ -186,8 +214,9 @@ int main(int argc, char** argv) {
         "Upgrade: websocket\r\nConnection: Upgrade\r\n"
         "Sec-WebSocket-Key: d3Nsb2FkX2NsaWVudF9rZXk=\r\n"
         "Sec-WebSocket-Version: 13\r\n\r\n";
-    std::string flags_json =
-        "{\"use_wake\": false, \"use_sv\": false, \"use_llm\": false}";
+    std::string flags_json = a.wake
+        ? "{\"use_wake\": true, \"use_sv\": true, \"use_llm\": false}"
+        : "{\"use_wake\": false, \"use_sv\": false, \"use_llm\": false}";
 
     int ep = epoll_create1(0);
     if (ep < 0) { perror("epoll_create1"); return 2; }
@@ -261,9 +290,14 @@ int main(int argc, char** argv) {
 
     // result detector: the service emits json.dumps(..) text frames —
     // match both spacings defensively
-    auto has_result = [](const std::string& s) {
-        return s.find("\"type\": \"result\"") != std::string::npos ||
-               s.find("\"type\":\"result\"") != std::string::npos;
+    auto has_kv = [](const std::string& s, const char* key, const char* val) {
+        std::string spaced = std::string("\"") + key + "\": \"" + val + "\"";
+        std::string tight = std::string("\"") + key + "\":\"" + val + "\"";
+        return s.find(spaced) != std::string::npos ||
+               s.find(tight) != std::string::npos;
+    };
+    auto has_result = [&](const std::string& s) {
+        return has_kv(s, "type", "result");
     };
 
     // ---- handle one complete inbound WS frame
@@ -282,7 +316,28 @@ int main(int argc, char** argv) {
             c.phase = Conn::BARRIER;
             return;
         }
-        if (c.phase == Conn::RUNNING && has_result(payload)) {
+        if (c.phase != Conn::RUNNING) return;
+        if (a.wake) {
+            // wake-FSM milestone frames (latency from most recent chunk
+            // send, the Python client's convention)
+            if (!c.seen_wakeup && has_kv(payload, "type", "wakeup")) {
+                c.seen_wakeup = true;
+                c.wake_lat.push_back(mono_now() - c.t_send);
+                return;
+            }
+            if (!c.seen_enrolled &&
+                has_kv(payload, "type", "enrollment_completed")) {
+                c.seen_enrolled = true;
+                c.enroll_lat.push_back(mono_now() - c.t_send);
+                return;
+            }
+            if (!c.seen_started &&
+                has_kv(payload, "status", "asr_started")) {
+                c.seen_started = true;
+                return;
+            }
+        }
+        if (c.stage == Conn::W_ASR && has_result(payload)) {
             c.got_result = true;
             double now = mono_now();
             bool grace = (c.cycle == 0 && a.cycles > 1);
@@ -363,6 +418,7 @@ int main(int argc, char** argv) {
                 for (auto& c : conns)
                     if (c.phase == Conn::BARRIER) {
                         c.phase = Conn::RUNNING;
+                        c.stage = a.wake ? Conn::W_WAKE : Conn::W_ASR;
                         c.next_send = start_t +
                             (c.idx % a.stagger_mod) * a.stagger_s;
                     }
@@ -380,6 +436,93 @@ int main(int argc, char** argv) {
         double wake = now + 0.5;
         for (auto& c : conns) {
             if (c.phase != Conn::RUNNING) continue;
+            // ---- wake FSM stages (before the ASR cycle machinery) ------
+            if (c.stage != Conn::W_ASR) {
+                auto send_chunk = [&](bool sp) {
+                    const auto& pcm = sp ? speech : silence;
+                    c.t_send = now;
+                    queue_frame(c, 0x2, pcm.data(), pcm.size());
+                    ++c.chunk_i;
+                    c.next_send += a.chunk_s;
+                };
+                switch (c.stage) {
+                case Conn::W_WAKE:       // 4 speech chunks fill the KWS FIFO
+                    if (now >= c.next_send) {
+                        send_chunk(true);
+                        if (c.chunk_i >= a.wake_chunks) {
+                            c.stage = Conn::W_WAKE_WAIT;
+                            c.chunk_i = 0;
+                        }
+                    }
+                    break;
+                case Conn::W_WAKE_WAIT:
+                    if (c.seen_wakeup) {
+                        c.stage = Conn::W_ENROLL_SP;
+                        c.next_send = now;
+                    } else if (now - c.t_send > a.wake_timeout) {
+                        finish(c, false, "no wakeup");
+                        continue;
+                    }
+                    break;
+                case Conn::W_ENROLL_SP:  // enrollment speech
+                    if (now >= c.next_send) {
+                        send_chunk(true);
+                        if (c.chunk_i >= a.enroll_speech) {
+                            c.stage = Conn::W_ENROLL_SIL;
+                            c.chunk_i = 0;
+                        }
+                    }
+                    break;
+                case Conn::W_ENROLL_SIL: // silence until the AND-rule fires
+                    if (c.seen_enrolled) {
+                        c.stage = Conn::W_CONFIRM;
+                        c.t_send = now;
+                        queue_frame(c, 0x1,
+                                    (const uint8_t*)"{\"type\": \"start_asr\"}",
+                                    21);
+                        break;
+                    }
+                    if (now >= c.next_send) {
+                        send_chunk(false);
+                        if (c.chunk_i >= a.enroll_silence)
+                            c.stage = Conn::W_ENROLL_WAIT;
+                    }
+                    break;
+                case Conn::W_ENROLL_WAIT:
+                    if (c.seen_enrolled) {
+                        c.stage = Conn::W_CONFIRM;
+                        c.t_send = now;
+                        queue_frame(c, 0x1,
+                                    (const uint8_t*)"{\"type\": \"start_asr\"}",
+                                    21);
+                    } else if (now - c.t_send > a.wake_timeout) {
+                        finish(c, false, "no enrollment_completed");
+                        continue;
+                    }
+                    break;
+                case Conn::W_CONFIRM:
+                    if (c.seen_started) {
+                        c.stage = Conn::W_ASR;
+                        c.chunk_i = 0;
+                        c.got_result = false;
+                        c.next_send = now;
+                    } else if (now - c.t_send > a.wake_timeout) {
+                        finish(c, false, "no asr_started");
+                        continue;
+                    }
+                    break;
+                case Conn::W_ASR:
+                    break;
+                }
+                if (c.phase != Conn::RUNNING) continue;
+                bool sending = (c.stage == Conn::W_WAKE ||
+                                c.stage == Conn::W_ENROLL_SP ||
+                                c.stage == Conn::W_ENROLL_SIL);
+                double due = sending ? c.next_send : now + 0.05;
+                wake = wake < due ? wake : due;
+                if (c.stage != Conn::W_ASR) continue;
+                // fall through into the ASR cycle machinery this iteration
+            }
             if (c.chunk_i < pattern_len) {
                 if (now >= c.next_send) {
                     const bool sp = c.chunk_i < a.speech_chunks;
@@ -467,18 +610,24 @@ int main(int argc, char** argv) {
 
     // ---- report
     int n_ok = 0;
-    for (auto& c : conns) {
-        std::string lats = "[";
-        for (size_t i = 0; i < c.lat.size(); ++i) {
+    auto fmt_lats = [](const std::vector<double>& v) {
+        std::string s = "[";
+        for (size_t i = 0; i < v.size(); ++i) {
             char b[32];
-            snprintf(b, sizeof b, "%s%.4f", i ? "," : "", c.lat[i]);
-            lats += b;
+            snprintf(b, sizeof b, "%s%.4f", i ? "," : "", v[i]);
+            s += b;
         }
-        lats += "]";
+        return s + "]";
+    };
+    for (auto& c : conns) {
         bool ok = c.phase == Conn::DONE;
         n_ok += ok;
-        printf("{\"idx\":%d,\"ok\":%s,\"lat\":%s%s%s%s}\n", c.idx,
-               ok ? "true" : "false", lats.c_str(),
+        std::string extra;
+        if (a.wake)
+            extra = ",\"wake\":" + fmt_lats(c.wake_lat) +
+                    ",\"enroll\":" + fmt_lats(c.enroll_lat);
+        printf("{\"idx\":%d,\"ok\":%s,\"lat\":%s%s%s%s%s}\n", c.idx,
+               ok ? "true" : "false", fmt_lats(c.lat).c_str(), extra.c_str(),
                c.fail_reason.empty() ? "" : ",\"err\":\"",
                c.fail_reason.c_str(),
                c.fail_reason.empty() ? "" : "\"");
