@@ -1,0 +1,58 @@
+"""Regression floor for the statistical prosody decoder against the
+externally-authored break set (VERDICT-r4 #3). The eval split is CONSUMED
+(docs/G2P.md §prosody — measured during round-5 development), so these
+numbers are regression statistics, not generalization claims; the
+trajectory and honest caveats live in docs/G2P.md."""
+import importlib.util
+import os
+
+import pytest
+
+_TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
+_DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _harness():
+    spec = importlib.util.spec_from_file_location(
+        "prosody_eval", os.path.join(_TOOLS, "prosody_eval.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_break_eval_regression_floor():
+    res = _harness().evaluate(
+        os.path.join(_DATA, "prosody_break_eval.tsv"))
+    assert res["n_major"] >= 40, res
+    assert res["recall_major"] >= 0.40, res
+    assert res["precision_any"] >= 0.40, res
+
+
+def test_train_split_disjoint_from_eval():
+    """Fitting/eval hygiene: no passage may appear in both splits."""
+    def passages(name):
+        out = set()
+        with open(os.path.join(_DATA, name), encoding="utf-8") as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln and not ln.startswith("#"):
+                    out.add(ln.split("\t")[0])
+        return out
+    both = passages("prosody_break_train.tsv") & passages(
+        "prosody_break_eval.tsv")
+    assert not both, both
+
+
+def test_break_stats_regenerable():
+    """The checked-in break_stats.py matches what the builder produces
+    from the checked-in train split (catches hand-edits and drift)."""
+    spec = importlib.util.spec_from_file_location(
+        "build_break_stats", os.path.join(_TOOLS, "build_break_stats.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from toolbox_for_asr_and_tts_tpu.tts import break_stats as S
+    stats = mod.collect()
+    assert stats["base"] == tuple(S.BASE)
+    assert stats["r_word"] == S.R_WORD
+    assert stats["l_word"] == S.L_WORD
+    assert stats["seg_len"] == S.SEG_LEN

@@ -1,29 +1,37 @@
-"""Prosodic phrase-break prediction for long clauses (VERDICT-r3 #7).
+"""Prosodic phrase-break prediction for long clauses (VERDICT-r3 #7,
+statistical layer VERDICT-r4 #3).
 
 The reference's compiled ttsfrd frontend (tts-service/Dockerfile:61-64)
 predicts a prosodic hierarchy — word (#1), minor phrase (#2), phrase (#3),
 intonation (#4) — so Sambert pauses inside long punctuation-free clauses.
-This module adds the #2/#3 levels on top of the Viterbi word segmentation:
-clauses longer than `max_phrase` syllables are cut at the best-scoring
-word boundary by syntactic-window rules, and the break surfaces as a
-`#sp` (minor) or `#br` (phrase) phone in the linguistic unit — symbols
-the KAN-TTS phone set already carries (tts/pinyin_data.py SPECIALS), so a
-real checkpoint's duration predictor gives them their trained pause
-lengths.
+This module adds the #2/#3 levels on top of the Viterbi word segmentation,
+and the break surfaces as a `#sp` (minor) or `#br` (phrase) phone in the
+linguistic unit — symbols the KAN-TTS phone set already carries
+(tts/pinyin_data.py SPECIALS), so a real checkpoint's duration predictor
+gives them their trained pause lengths.
 
-Boundary scoring (hand-compiled from the shapes a syntactic parser would
-license; cf. ttsfrd's statistical phrasing):
+Two scoring layers feed ONE dynamic-programming decode per clause:
 
-- break BEFORE a function word that opens a new phrase — preposition /
-  conjunction / adverb (在/从/把/被/和/但/而/也/都/就…);
-- break AFTER a clause-medial particle or copula (了/着/过/吗/吧/是/说);
-- NEVER immediately after the clitics 的/地/得 (they bind the phrase
-  that follows) or before them;
-- plain word boundaries are last-resort cut points.
+- RULES (hand-compiled from the shapes a syntactic parser would license):
+  break BEFORE a function word that opens a new phrase (在/从/把/被/和/但/
+  而/也/都/就…); break AFTER a clause-medial particle or copula
+  (了/着/过/吗/吧/是/说); NEVER adjacent to the clitics 的/地/得.
+- STATISTICS (tts/break_stats.py, compiled offline by
+  tools/build_break_stats.py from published prose where the author's
+  internal punctuation marks the boundaries — the data half of ttsfrd's
+  learned phrasing): per-boundary log-odds from right-word / left-word
+  tables with character backoff, plus a comma-segment length model.
+
+The DP picks the break set maximizing Σ segment-length log-prob +
+Σ boundary net scores, so breaks appear only where the evidence beats the
+insertion cost — short clauses stay whole, long clauses phrase at the
+statistically-licensed boundaries. First-contact numbers against the
+held-out eval split are recorded in docs/G2P.md §prosody.
 """
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
 Item = Tuple[str, Optional[str]]   # (char run, tone-numbered syllable)
@@ -92,40 +100,155 @@ def _boundary_score(prev: _Word, nxt: _Word) -> float:
     return score
 
 
+# ---------------------------------------------------------------- stats
+# Compiled boundary statistics (tts/break_stats.py) → smoothed log-odds
+# tables + a segment-length log-prob model, loaded once.
+_W_RULE = 0.3          # weight of (rule score − base) in the net boundary
+_W_STAT = 1.2          # weight of the statistical log-odds
+_BREAK_COST = 0.4      # insertion cost a break must overcome
+# ^ grid-tuned on the TRAIN split only (tests/data/prosody_break_train.tsv,
+#   2026-08-20: R=0.74 P=0.76 in-sample); the eval split stayed untouched.
+_LO_CAP = 2.5          # cap per-feature log-odds (tiny-count sanity)
+_ALPHA = 3.0           # pseudo-counts pulling features toward base rate
+_MAX_SEG = 12          # hard cap on segment syllables (test contract ≤13)
+
+_STATS: Optional[dict] = None
+
+
+def _load_stats() -> Optional[dict]:
+    global _STATS
+    if _STATS is None:
+        try:
+            from . import break_stats as S
+        except ImportError:        # stats not compiled: rules-only decode
+            _STATS = {}
+            return _STATS
+        n_break, n_bound = S.BASE
+        p0 = max(n_break, 1) / max(n_bound, 2)
+        base_lo = math.log(p0 / (1.0 - p0))
+
+        def lo_table(raw):
+            out = {}
+            for key, (k, n) in raw.items():
+                p = (k + _ALPHA * p0) / (n + _ALPHA)
+                v = math.log(p / (1.0 - p)) - base_lo
+                out[key] = max(-_LO_CAP, min(_LO_CAP, v))
+            return out
+
+        total = sum(S.SEG_LEN.values()) or 1
+        max_l = max(S.SEG_LEN) if S.SEG_LEN else _MAX_SEG
+        seg_logp = []
+        for length in range(0, max_l + 1):
+            c = S.SEG_LEN.get(length, 0)
+            seg_logp.append(math.log((c + 0.5) / (total + 0.5 * (max_l + 1))))
+        _STATS = dict(r_word=lo_table(S.R_WORD), l_word=lo_table(S.L_WORD),
+                      r_char=lo_table(S.R_CHAR), l_char=lo_table(S.L_CHAR),
+                      seg_logp=seg_logp)
+    return _STATS
+
+
+def _stat_logodds(prev: _Word, nxt: _Word) -> float:
+    st = _load_stats()
+    if not st:
+        return 0.0
+    right = st["r_word"].get(nxt.text)
+    if right is None:
+        right = st["r_char"].get(nxt.first, 0.0)
+    left = st["l_word"].get(prev.text)
+    if left is None:
+        left = st["l_char"].get(prev.last, 0.0)
+    return right + left
+
+
+def _seg_logp(n_syl: int) -> float:
+    st = _load_stats()
+    if not st:
+        return 0.0
+    table = st["seg_logp"]
+    return table[min(n_syl, len(table) - 1)]
+
+
 def predict_breaks(items: Sequence[Item], spans: Sequence[int],
                    min_phrase: int = 4, max_phrase: int = 10,
                    strong_score: float = 5.0) -> Dict[int, int]:
     """item index → break level (2 = minor `#sp`, 3 = phrase `#br`)
     AFTER that item.
 
-    Greedy phrasing: walk the words of each punctuation-free clause,
-    accumulating syllables; once a phrase holds ≥ min_phrase syllables,
-    remember the best-scoring boundary seen; when it would exceed
-    max_phrase, cut at that boundary (falling back to the last legal one).
-    Boundaries scoring ≥ strong_score become #3 (`#br`), others #2
-    (`#sp`) — matching ttsfrd's minor/major phrase split."""
+    Per punctuation-free clause, a DP chooses the break set maximizing
+    Σ segment-length log-prob + Σ boundary net score, where a boundary's
+    net score is _W_RULE·(rule−1) + _W_STAT·stat_logodds − _BREAK_COST
+    (−inf at 的/地/得 adjacency). Segments are capped at _MAX_SEG
+    syllables when any legal cut exists. Boundaries whose RULE score
+    reaches `strong_score` become #3 (`#br`) — the syntactically licensed
+    phrase level — and statistics-only cuts surface as #2 (`#sp`),
+    matching ttsfrd's minor/major split."""
     words = _words(items, spans)
     breaks: Dict[int, int] = {}
-    syl = 0                 # syllables in the open phrase
-    best: Optional[Tuple[float, int, int]] = None   # (score, item, syl_at)
+    clause: List[_Word] = []
     for k, w in enumerate(words):
-        if w.n_syl == 0:    # punctuation / space: clause boundary resets
-            syl = 0
-            best = None
+        if w.n_syl == 0:    # punctuation / space: clause boundary
+            _decode_clause(clause, breaks, strong_score)
+            clause = []
             continue
-        nxt = words[k + 1] if k + 1 < len(words) else None
-        if syl + w.n_syl > max_phrase and best is not None:
-            score, at_item, syl_at = best
-            breaks[at_item] = 3 if score >= strong_score else 2
-            syl -= syl_at
-            best = None
-        syl += w.n_syl
-        if nxt is None or nxt.n_syl == 0:
-            syl = 0
-            best = None
-            continue
-        if syl >= min_phrase:
-            s = _boundary_score(w, nxt)
-            if s > float("-inf") and (best is None or s >= best[0]):
-                best = (s, w.end, syl)
+        clause.append(w)
+    _decode_clause(clause, breaks, strong_score)
     return breaks
+
+
+def _decode_clause(ws: List[_Word], breaks: Dict[int, int],
+                   strong_score: float) -> None:
+    m = len(ws)
+    if m < 2:
+        return
+    # net boundary scores after local word i (i in 0..m-2)
+    rule = [0.0] * (m - 1)
+    net = [0.0] * (m - 1)
+    for i in range(m - 1):
+        r = _boundary_score(ws[i], ws[i + 1])
+        rule[i] = r
+        if r == float("-inf"):
+            net[i] = float("-inf")
+        else:
+            net[i] = (_W_RULE * (r - 1.0)
+                      + _W_STAT * _stat_logodds(ws[i], ws[i + 1])
+                      - _BREAK_COST)
+    pre = [0] * (m + 1)      # prefix syllable counts
+    for i, w in enumerate(ws):
+        pre[i + 1] = pre[i] + w.n_syl
+
+    def run_dp(cap: int):
+        NEG = float("-inf")
+        dp = [NEG] * (m + 1)
+        back = [0] * (m + 1)
+        dp[0] = 0.0
+        for i in range(1, m + 1):
+            for j in range(i - 1, -1, -1):
+                seg = pre[i] - pre[j]
+                if seg > cap and j < i - 1:
+                    break
+                if dp[j] == NEG:
+                    continue
+                s = dp[j] + _seg_logp(seg)
+                if i < m:
+                    if net[i - 1] == NEG:
+                        continue
+                    s += net[i - 1]
+                if s > dp[i]:
+                    dp[i] = s
+                    back[i] = j
+        return dp, back
+
+    dp, back = run_dp(_MAX_SEG)
+    if dp[m] == float("-inf"):   # 的/地/得 walls made the cap infeasible
+        dp, back = run_dp(10 ** 9)
+        if dp[m] == float("-inf"):
+            return
+    cuts = []
+    i = m
+    while i > 0:
+        j = back[i]
+        if i < m:
+            cuts.append(i - 1)
+        i = j
+    for c in cuts:
+        breaks[ws[c].end] = 3 if rule[c] >= strong_score else 2
