@@ -634,3 +634,57 @@ WORD_PINYIN.update({
     "可汗": "ke4 han2", "成吉思汗": "cheng2 ji2 si1 han2",
     "少小": "shao4 xiao3", "今朝": "jin1 zhao1",
 })
+
+# round-5 tranche-B closures (docs/G2P.md): every entry is a dictionary-
+# attested reusable compound from the 19 first-contact misses of
+# tests/data/polyphone_eval_external_b.tsv (statute / news / textbook /
+# signage registers) — no per-sentence hacks.
+WORD_PINYIN.update({
+    # 应 ying4 (respond) compounds the medical-domain table lacked
+    "供应": "gong1 ying4", "应急": "ying4 ji2", "响应": "xiang3 ying4",
+    "应对": "ying4 dui4", "应聘": "ying4 pin4", "应邀": "ying4 yao1",
+    "应战": "ying4 zhan4", "应诊": "ying4 zhen3",
+    # 供 gong4 (confess/offer up) legal register
+    "供认": "gong4 ren4", "供述": "gong4 shu4", "口供": "kou3 gong4",
+    "供词": "gong4 ci2", "招供": "zhao1 gong4", "逼供": "bi1 gong4",
+    "串供": "chuan4 gong4", "供品": "gong4 pin3",
+    # 调 tiao2 (adjust) direction/result compounds (调查 diao4 stays)
+    "下调": "xia4 tiao2", "上调": "shang4 tiao2", "调至": "tiao2 zhi4",
+    "调低": "tiao2 di1", "调高": "tiao2 gao1", "微调": "wei1 tiao2",
+    # 率 shuai4 (lead) — suffix 率 lv4 stays the default
+    "率先": "shuai4 xian1", "率领": "shuai4 ling3", "统率": "tong3 shuai4",
+    "率队": "shuai4 dui4", "表率": "biao3 shuai4",
+    # 着 zhuo2 (touch down / apply) formal compounds
+    "着陆": "zhuo2 lu4", "着重": "zhuo2 zhong4", "着力": "zhuo2 li4",
+    "着想": "zhuo2 xiang3", "着装": "zhuo2 zhuang1",
+    # 转 zhuan4 (revolve) vs zhuan3 (turn, default)
+    "自转": "zi4 zhuan4", "公转": "gong1 zhuan4", "旋转": "xuan2 zhuan3",
+    "转动": "zhuan4 dong4", "转速": "zhuan4 su4", "转盘": "zhuan4 pan2",
+    # 间 jian4 (gap/interpose)
+    "间隔": "jian4 ge2", "间断": "jian4 duan4", "间接": "jian4 jie1",
+    "间歇": "jian4 xie1", "间谍": "jian4 die2", "离间": "li2 jian4",
+    # 切 qie4 (imperative/earnest)
+    "切勿": "qie4 wu4", "切记": "qie4 ji4", "切莫": "qie4 mo4",
+    "切实": "qie4 shi2", "恳切": "ken3 qie4", "迫切": "po4 qie4",
+    # 禁 jin1 (bear/withstand) — 禁止 jin4 stays the default
+    "情不自禁": "qing2 bu2 zi4 jin1", "忍俊不禁": "ren3 jun4 bu4 jin1",
+    "禁受": "jin1 shou4", "弱不禁风": "ruo4 bu4 jin1 feng1",
+    # 系 ji4 (fasten) verb compounds — 系 xi4 (system/relation) default
+    "系好": "ji4 hao3", "系上": "ji4 shang4", "系紧": "ji4 jin3",
+    "系安全带": "ji4 an1 quan2 dai4",
+    # 卡 qia3 (checkpoint/wedge)
+    "关卡": "guan1 qia3", "卡壳": "qia3 ke2", "哨卡": "shao4 qia3",
+    # 重 chong2 (again) additions
+    "重启": "chong2 qi3", "重组": "chong2 zu3", "重返": "chong2 fan3",
+    "重申": "chong2 shen1", "重播": "chong2 bo1", "重审": "chong2 shen3",
+    # 模 mu2 (mold) — 模 mo2 (model) default
+    "模具": "mu2 ju4", "模板": "mu2 ban3", "模子": "mu2 zi5",
+    # 空 kong4 (vacant/spare time)
+    "空地": "kong4 di4", "空隙": "kong4 xi4", "空闲": "kong4 xian2",
+    "抽空": "chou1 kong4", "填空": "tian2 kong4",
+    # 处 chu3 (handle/punish) verb compounds — 处 chu4 (place) default
+    "判处": "pan4 chu3", "处罚": "chu3 fa2", "处以": "chu3 yi3",
+    "处置": "chu3 zhi4", "惩处": "cheng2 chu3", "查处": "cha2 chu3",
+    # chengyu
+    "助人为乐": "zhu4 ren2 wei2 le4",
+})

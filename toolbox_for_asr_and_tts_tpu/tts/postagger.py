@@ -140,6 +140,41 @@ def _zhao_mu_frame(c: Ctx) -> bool:
     return False
 
 
+def _yi_wei_frame(c: Ctx) -> bool:
+    """以 X 为 Y copular frame (以工农联盟为基础 / 以人为本 / 以此为例):
+    a standalone 以 earlier in the clause licenses the 'take-as' wei2 over
+    the benefactive default (round-5 tranche-B closure, docs/G2P.md).
+    Guards: 以-compounds where 以 is not the coverb — 所以/可以/足以/难以/
+    得以 on the left, 以前/以后/以来/以及/以为 on the right."""
+    for k in range(1, 10):
+        ch = c.ch(-k)
+        if ch == "以":
+            if c.ch(-k - 1) in "所可足难得借赖予给":
+                return False
+            if c.ch(-k + 1) in "前后来及为外内上下":
+                return False
+            return True
+        if c.tag(-k) in ("PUNCT", "BOS"):
+            return False
+    return False
+
+
+def _chu_penalty_frame(c: Ctx) -> bool:
+    """Statute 处 + penalty frame (处三年以下有期徒刑 / 处暂扣六个月驾驶证 /
+    处一千元罚款): the sentencing verb chǔ is licensed by a numeral or
+    penalty-opening right neighbour plus a penalty noun inside the clause
+    (round-5 tranche-B closure). The place noun chù never takes this
+    complement shape."""
+    if not (c.tag(1) == "NUM" or c.ch(1) in "以死罚暂没"):
+        return False
+    for k in range(1, 14):
+        if c.ch(k) in "刑役款金留告制证":
+            return True
+        if c.tag(k) in ("PUNCT", "EOS"):
+            return False
+    return False
+
+
 def _wei_copular_np(c: Ctx) -> bool:
     """Classical copular 为 + clause-final bare NP (独在异乡为异客 /
     人为刀俎，我为鱼肉): a short noun run that CLOSES the clause, ending in
@@ -264,6 +299,8 @@ RULES: Dict[str, List[Rule]] = {
         (lambda c: c.ch(1) == "了" or c.ch(-1) in "因", "wei4"),
         (lambda c: c.ch(-1) in "选称封拜视立行成作认以变分列定",
          "wei2"),
+        # round-5 tranche-B closure: 以 X 为 Y (以工农联盟为基础)
+        (_yi_wei_frame, "wei2"),
         # round-4 external-eval closure (docs/G2P.md)
         (_wei_er_frame, "wei4"),
         # 为生/为人(conduct)/为期/为止/为首/为主 — but 为+人民/人类/人们
@@ -278,6 +315,12 @@ RULES: Dict[str, List[Rule]] = {
     # 朝…暮/夕 frame is the productive classical shape (round-4 closure)
     "朝": [
         (_zhao_mu_frame, "zhao1"),
+    ],
+    # 处 chu4 (place — lexicon default) / chu3 (handle; sentence to): the
+    # statute sentencing frame is the productive bare-char shape; verb
+    # compounds (处理/处罚/判处…) live in the word lexicon
+    "处": [
+        (_chu_penalty_frame, "chu3"),
     ],
     # 相 xiang1 (mutual, default) / xiang4 (appearance; minister)
     "相": [
