@@ -120,3 +120,20 @@ def test_single_mixture_der_bounded(n_spk):
     truth, wav = synth_mixture(n_spk, seed=11)
     m = der(truth, turns_from_sentences(diar.diarize(wav)))
     assert m["der"] < 0.25, m
+
+
+def test_service_layer_eval():
+    """VERDICT-r4 #5: synthesized mixtures through the REAL finalize path —
+    concurrent StreamingASRSession.finalize() → FinalizeHub (one batched
+    need_spk diarize) → group_by_speaker → verify_embedding gate — scored
+    from the service's own outputs. Full run (9 target / 6 impostor,
+    benchmarks/RESULTS.md): pooled DER 0.029, target accept 9/9, impostor
+    reject 6/6, best-score means 0.752 vs 0.030. Engines are synthetic:
+    this regresses the service-layer LOGIC, not acoustics."""
+    from toolbox_for_asr_and_tts_tpu.tools.der import service_eval
+    r = service_eval(n_target=4, n_impostor=2)
+    assert r["pooled_der"] < 0.10, r
+    assert r["sv"]["target_accept"] == "4/4", r
+    assert r["sv"]["impostor_reject"] == "2/2", r
+    assert r["sv"]["mean_best_score_target"] > 0.6, r
+    assert r["sv"]["mean_best_score_impostor"] < 0.2, r
