@@ -56,3 +56,31 @@ def test_break_stats_regenerable():
     assert stats["r_word"] == S.R_WORD
     assert stats["l_word"] == S.L_WORD
     assert stats["seg_len"] == S.SEG_LEN
+
+
+def test_tranche_b_first_contact_floor():
+    """Tranche B (round 5): a FRESH held-out set on works disjoint from
+    TRAIN and tranche A, measured ONCE at first contact — major recall
+    17/59 = 28.8% (docs/G2P.md §prosody tranche B). The floor sits just
+    under that measurement so any regression below the recorded first
+    contact fails; it must NOT be ratcheted up by fitting to this file."""
+    res = _harness().evaluate(
+        os.path.join(_DATA, "prosody_break_eval_b.tsv"))
+    assert res["n_major"] >= 50, res
+    assert res["recall_major"] >= 0.25, res
+    assert res["precision_any"] >= 0.25, res
+
+
+def test_train_split_disjoint_from_tranche_b():
+    def passages(name):
+        out = set()
+        with open(os.path.join(_DATA, name), encoding="utf-8") as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln and not ln.startswith("#"):
+                    out.add(ln.split("\t")[0])
+        return out
+    train = passages("prosody_break_train.tsv")
+    b = passages("prosody_break_eval_b.tsv")
+    assert not (train & b), train & b
+    assert not (passages("prosody_break_eval.tsv") & b)
