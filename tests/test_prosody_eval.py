@@ -24,8 +24,10 @@ def test_break_eval_regression_floor():
     res = _harness().evaluate(
         os.path.join(_DATA, "prosody_break_eval.tsv"))
     assert res["n_major"] >= 40, res
-    assert res["recall_major"] >= 0.40, res
-    assert res["precision_any"] >= 0.40, res
+    # 42.9/44.7 after the round-5 fit; 49.0/50.0 after the round-5b TRAIN
+    # expansion (docs/G2P.md §prosody) — floor just under the shipped value
+    assert res["recall_major"] >= 0.45, res
+    assert res["precision_any"] >= 0.45, res
 
 
 def test_train_split_disjoint_from_eval():
@@ -59,16 +61,17 @@ def test_break_stats_regenerable():
 
 
 def test_tranche_b_first_contact_floor():
-    """Tranche B (round 5): a FRESH held-out set on works disjoint from
-    TRAIN and tranche A, measured ONCE at first contact — major recall
-    17/59 = 28.8% (docs/G2P.md §prosody tranche B). The floor sits just
-    under that measurement so any regression below the recorded first
-    contact fails; it must NOT be ratcheted up by fitting to this file."""
+    """Tranche B (round 5): works disjoint from TRAIN and tranche A.
+    First contact 28.8% R / 28.8% P; after the round-5b TRAIN expansion
+    (25 register-matched passages, nothing fitted to this file) 32.2% R /
+    31.7% P — tranche B is now consumed (docs/G2P.md §prosody tranche B).
+    The floor sits just under the shipped measurement; it must NOT be
+    ratcheted up by fitting to this file."""
     res = _harness().evaluate(
         os.path.join(_DATA, "prosody_break_eval_b.tsv"))
     assert res["n_major"] >= 50, res
-    assert res["recall_major"] >= 0.25, res
-    assert res["precision_any"] >= 0.25, res
+    assert res["recall_major"] >= 0.28, res
+    assert res["precision_any"] >= 0.28, res
 
 
 def test_train_split_disjoint_from_tranche_b():

@@ -13,6 +13,7 @@ TTS (reference tts-service/start.py): plain app serve on :7001.
 from __future__ import annotations
 
 import logging
+import logging.config
 import os
 import signal
 import socket
@@ -30,8 +31,11 @@ def setup_service_logging() -> None:
         return
     path = os.getenv("LOG_CONFIG_FILE", os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "assets", "logging.yaml"))
+    # NOTE: `import logging.config` must stay at module level — a
+    # function-local `import logging.config` binds LOCAL name `logging`,
+    # making the LOG_TO_CONSOLE_ONLY branch above crash with
+    # UnboundLocalError (found by benchmarks/boot_wake.py, round 5)
     try:
-        import logging.config
         import yaml
         with open(path, encoding="utf-8") as f:
             cfg = yaml.safe_load(f)
