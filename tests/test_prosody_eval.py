@@ -62,16 +62,47 @@ def test_break_stats_regenerable():
 
 def test_tranche_b_first_contact_floor():
     """Tranche B (round 5): works disjoint from TRAIN and tranche A.
-    First contact 28.8% R / 28.8% P; after the round-5b TRAIN expansion
-    (25 register-matched passages, nothing fitted to this file) 32.2% R /
-    31.7% P — tranche B is now consumed (docs/G2P.md §prosody tranche B).
-    The floor sits just under the shipped measurement; it must NOT be
-    ratcheted up by fitting to this file."""
+    First contact 28.8% R / 28.8% P; 32.2/31.7 after the round-5b TRAIN
+    expansion; 35.6% R / 34.4% P after round-5c (both expansions TRAIN-only,
+    nothing fitted to this file) — tranche B is consumed (docs/G2P.md
+    §prosody tranche B). The floor sits just under the shipped measurement;
+    it must NOT be ratcheted up by fitting to this file."""
     res = _harness().evaluate(
         os.path.join(_DATA, "prosody_break_eval_b.tsv"))
     assert res["n_major"] >= 50, res
-    assert res["recall_major"] >= 0.28, res
-    assert res["precision_any"] >= 0.28, res
+    # 32.2/31.7 after round-5b; 35.6/34.4 after the round-5c TRAIN
+    # expansion (both TRAIN-only — nothing fitted to this file)
+    assert res["recall_major"] >= 0.33, res
+    assert res["precision_any"] >= 0.32, res
+
+
+def test_tranche_c_first_contact_floor():
+    """Tranche C (round 5c): 16 passages, 41 gold majors, authors unseen
+    in TRAIN and in tranches A/B (docs/G2P.md §prosody tranche C). First
+    contact vs the shipped round-5c decoder: 31.7% R / 30.2% P — together
+    with tranche B, the honest open-domain estimate (~32%). The floor
+    sits just under that single measurement; it must NOT be ratcheted up
+    by fitting to this file."""
+    res = _harness().evaluate(
+        os.path.join(_DATA, "prosody_break_eval_c.tsv"))
+    assert res["n_major"] >= 35, res
+    assert res["recall_major"] >= 0.30, res
+    assert res["precision_any"] >= 0.29, res
+
+
+def test_train_split_disjoint_from_tranche_c():
+    def passages(name):
+        out = set()
+        with open(os.path.join(_DATA, name), encoding="utf-8") as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln and not ln.startswith("#"):
+                    out.add(ln.split("\t")[0])
+        return out
+    c = passages("prosody_break_eval_c.tsv")
+    assert not (passages("prosody_break_train.tsv") & c)
+    assert not (passages("prosody_break_eval.tsv") & c)
+    assert not (passages("prosody_break_eval_b.tsv") & c)
 
 
 def test_train_split_disjoint_from_tranche_b():
