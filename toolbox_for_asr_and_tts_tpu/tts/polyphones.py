@@ -688,3 +688,39 @@ WORD_PINYIN.update({
     # chengyu
     "助人为乐": "zhu4 ren2 wei2 le4",
 })
+
+# round-5 tranche-C closures (docs/G2P.md): dictionary-attested reusable
+# compounds from the 10 first-contact misses of
+# tests/data/polyphone_eval_external_c.tsv (narrative prose / broadcast /
+# recipe / sports / drug-label registers) — no per-sentence hacks.
+WORD_PINYIN.update({
+    # 少 shao4 (young) age words — 少 shao3 (few) stays the default
+    "少年": "shao4 nian2", "少女": "shao4 nv3", "少儿": "shao4 er2",
+    "青少年": "qing1 shao4 nian2", "少将": "shao4 jiang4",
+    "男女老少": "nan2 nv3 lao3 shao4",
+    # 处 chu5 neutral-tone nouns (现汉: 好处 hao3·chu)
+    "好处": "hao3 chu5", "坏处": "huai4 chu5", "用处": "yong4 chu5",
+    "长处": "chang2 chu5", "短处": "duan3 chu5",
+    # 模 mu2 (mold) idioms — 模 mo2 (model) default
+    "大模大样": "da4 mu2 da4 yang4",
+    "装模作样": "zhuang1 mu2 zuo4 yang4",
+    "一模一样": "yi4 mu2 yi2 yang4",
+    # proper noun carrying both the shi2 and cha4 readings
+    "什刹海": "shi2 cha4 hai3", "古刹": "gu3 cha4",
+    # 调 tiao2 (mix/season) kitchen compounds — 调查 diao4 stays
+    "调料": "tiao2 liao4", "调味": "tiao2 wei4", "调匀": "tiao2 yun2",
+    "调和": "tiao2 he2", "烹调": "peng1 tiao2",
+    # 和 huo2 (knead)
+    "和面": "huo2 mian4", "和泥": "huo2 ni2",
+    # clause-final copular 为 collocations (少说为佳 / 以早为宜)
+    "为佳": "wei2 jia1", "为宜": "wei2 yi2", "为妙": "wei2 miao4",
+    # common V过/X系/X少 words locked so the new frame rules above cannot
+    # reach inside them (guards found by misfire probes, not the eval set)
+    "通过": "tong1 guo4", "经过": "jing1 guo4", "路过": "lu4 guo4",
+    "错过": "cuo4 guo4", "超过": "chao1 guo4", "穿过": "chuan1 guo4",
+    "越过": "yue4 guo4", "绕过": "rao4 guo4", "透过": "tou4 guo4",
+    "度过": "du4 guo4", "渡过": "du4 guo4", "跳过": "tiao4 guo4",
+    "联系": "lian2 xi4", "体系": "ti3 xi4", "院系": "yuan4 xi4",
+    "缺少": "que1 shao3", "减少": "jian3 shao3", "至少": "zhi4 shao3",
+    "不少": "bu4 shao3", "多少": "duo1 shao3", "很少": "hen3 shao3",
+})

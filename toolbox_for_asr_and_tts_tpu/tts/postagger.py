@@ -429,6 +429,32 @@ RULES: Dict[str, List[Rule]] = {
          "dao4"),
         (lambda c: c.ch(1) in "茶酒油汤药满进出掉", "dao4"),
     ],
+    # --- round-5 tranche-C closures (docs/G2P.md) ---
+    # 过 guo4 (cross/pass — lexicon default) / guo5 (experiential aspect):
+    # licensed conservatively by a perfective/negative adverb directly
+    # before the verb (曾见过 / 没去过 / 未想过). Bare V+过 stays guo4 so
+    # directional complements (走过大桥) are untouched; compounds with
+    # their own 过 reading (难过/通过/经过) are lexicon-locked words and
+    # never consult this rule.
+    "过": [
+        (lambda c: c.ch(-2) in "曾没未" and not c.locked_at(-1)
+         and c.tag(-1) in ("VERB", "OTHER"), "guo5"),
+    ],
+    # 系 xi4 (system/relation — lexicon default) / ji4 (fasten): a bare 系
+    # verb taking a numeral-measure object (棒上系一条长绳) is the tying
+    # verb; fastened-object compounds (系好/系上/系安全带) live in the
+    # word lexicon.
+    "系": [
+        (lambda c: c.tag(1) == "NUM" and c.tag(2) == "CLF"
+         and not c.locked_at(1), "ji4"),
+    ],
+    # 和 he2 (and — default) / huo2 (knead): kneading licensed by a dough
+    # noun directly left and a resultative right (面粉和成面团 / 面和匀);
+    # 成X nominalizations (成品/成分/成都…) keep the conjunction reading.
+    "和": [
+        (lambda c: c.ch(-1) in "面粉泥馅" and c.ch(1) in "成好匀"
+         and c.ch(2) not in "品分本果员绩熟语就效都吨", "huo2"),
+    ],
 }
 
 
