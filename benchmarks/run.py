@@ -324,15 +324,17 @@ def bench_wsload() -> None:
     os.environ.setdefault("VOICE_DISABLE_LLM", "1")
     # Load driver: the native epoll client (native/wsload_client, ONE
     # process/thread for all streams) when built, else Python threads.
-    # Default ladder tops at 96 — green on this 1-CPU tunnel host since the
-    # round-4 packed-state compaction (2026-08-19: n=64 p95 2.10 s, n=96
-    # 96/96 p95 3.12 s at capacity 128; RESULTS.md). The round-3 walls are
-    # both gone: the native driver removed the CLIENT wall (96 Python
-    # threads + server on one core never finished the connect rendezvous)
-    # and packed prefix ticks removed the 64-of-128 gather+scatter HBM
-    # wall (was 46/64, p95 4.07 s). A 128 rung is opt-in
-    # (WSLOAD_LADDER=…,128): measured 102/128, p95 4.61 s — host-bound on
-    # one core, worth retrying on a multi-core direct-attached box.
+    # Default ladder tops at 128 — green on this 1-CPU tunnel host since
+    # the round-5 profiled rerun (2026-08-20, twice: 128/128 at p95 2.77 s
+    # and 2.60 s; RESULTS.md). The round-3 walls are both gone: the native
+    # driver removed the CLIENT wall (96 Python threads + server on one
+    # core never finished the connect rendezvous) and packed prefix ticks
+    # removed the 64-of-128 gather+scatter HBM wall (was 46/64, p95
+    # 4.07 s). The WSLOAD_PROFILE=1 per-rung breakdown settles what limits
+    # n=128: hub-tick busy spans the whole rung wall while server+client
+    # CPU total ~3.5 s of 15.6 s — tick occupancy (device dispatch +
+    # tunnel RTT wait), not host CPU; r4's one-off 102/128 "host-bound"
+    # reading was a tunnel-phase artifact predating int16 tick uploads.
     import subprocess
     import tempfile
     native_bin = os.path.join(
@@ -341,7 +343,7 @@ def bench_wsload() -> None:
     use_native = (os.getenv("WSLOAD_NATIVE", "1") in ("1", "true")
                   and os.path.exists(native_bin))
     ladder = tuple(int(x) for x in os.getenv(
-        "WSLOAD_LADDER", "8,16,32,64,96").split(","))
+        "WSLOAD_LADDER", "8,16,32,64,96,128").split(","))
     os.environ.setdefault("VOICE_BATCH_CAPACITY", str(max(ladder)))
     os.environ.setdefault("VOICE_HUB_TIMEOUT_S", "600")
     from websockets.sync.client import connect as ws_connect
