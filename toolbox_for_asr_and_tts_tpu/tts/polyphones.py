@@ -65,7 +65,10 @@ WORD_PINYIN = {
     "归还": "gui1 huan2", "还款": "huan2 kuan3",
     # 着 zhe5 / zhao2 / zhuo2
     "着急": "zhao2 ji2", "着凉": "zhao2 liang2", "睡着": "shui4 zhao2",
-    "穿着": "chuan1 zhuo2", "附着": "fu4 zhuo2",
+    # (穿着 moved to a context rule in postagger.py round 5: the noun
+    # reading chuan1 zhuo2 only holds before a predicate/clause edge;
+    # 穿着+object is the durative 穿 zhe5)
+    "附着": "fu4 zhuo2",
     # 了 le5 / liao3
     "了解": "liao3 jie3", "了不起": "liao3 bu5 qi3",
     # 背 bei4 / bei1
@@ -723,4 +726,17 @@ WORD_PINYIN.update({
     "联系": "lian2 xi4", "体系": "ti3 xi4", "院系": "yuan4 xi4",
     "缺少": "que1 shao3", "减少": "jian3 shao3", "至少": "zhi4 shao3",
     "不少": "bu4 shao3", "多少": "duo1 shao3", "很少": "hen3 shao3",
+})
+
+# round-5 tranche-D closures (docs/G2P.md): dictionary-attested words
+# from the 4 real first-contact misses of
+# tests/data/polyphone_eval_external_d.tsv.
+WORD_PINYIN.update({
+    # lexical V+得 words read de5 (现汉: 觉得 jué·de, 变得 biàn·de …)
+    "变得": "bian4 de5", "显得": "xian3 de5", "觉得": "jue2 de5",
+    "记得": "ji4 de5", "懂得": "dong3 de5", "值得": "zhi2 de5",
+    "晓得": "xiao3 de5", "免得": "mian3 de5", "省得": "sheng3 de5",
+    # 倒 dao4 (pour) + 入, with dao3 fall-compounds locked as guards
+    "倒入": "dao4 ru4", "摔倒": "shuai1 dao3", "跌倒": "die1 dao3",
+    "倒下": "dao3 xia4",
 })

@@ -272,6 +272,12 @@ RULES: Dict[str, List[Rule]] = {
         (lambda c: c.ch(-1) in "睡猜找点燃打够買买" and c.ch(1) in "了吗没"
          or (c.ch(-1) in "睡猜找" and c.tag(1) in ("PUNCT", "EOS")),
          "zhao2"),
+        # round-5 tranche-D closure: noun 穿着 (attire) only before a
+        # predicate/clause edge (穿着打扮 / 穿着很讲究 / …的穿着。);
+        # 穿+着+object is the durative (穿着雪白的衣裳) via the VERB rule
+        (lambda c: c.ch(-1) == "穿"
+         and (c.ch(1) in "打很十讲朴考整得" or c.tag(1) in ("PUNCT", "EOS")),
+         "zhuo2"),
         (lambda c: c.tag(-1) == "VERB", "zhe5"),
     ],
     # 重 zhong4 (heavy, default) / chong2 (again): verbal right-neighbour
@@ -337,6 +343,12 @@ RULES: Dict[str, List[Rule]] = {
     "将": [
         (lambda c: c.ch(-1) in "大上中少老虎闯良干名员", "jiang4"),
         (lambda c: c.ch(1) in "领士官帅才", "jiang4"),
+        # round-5 tranche-D closure: 小将 (young general/athlete) — needs
+        # a right guard so disposal 从小将他养大 stays jiang1 (the 将
+        # object is a PRON/DET NP there, never a predicate edge)
+        (lambda c: c.ch(-1) == "小"
+         and (c.tag(1) in ("PUNCT", "EOS", "PREP") or c.ch(1) in "们是"),
+         "jiang4"),
     ],
     # 盛 sheng4 (flourishing, default) / cheng2 (ladle into)
     "盛": [
