@@ -71,7 +71,10 @@ def test_tranche_b_first_contact_floor():
         os.path.join(_DATA, "prosody_break_eval_b.tsv"))
     assert res["n_major"] >= 50, res
     # 32.2/31.7 after round-5b; 35.6/34.4 after the round-5c TRAIN
-    # expansion (both TRAIN-only — nothing fitted to this file)
+    # expansion (both TRAIN-only — nothing fitted to this file); unchanged
+    # by the tranche-D solo-adverb ban (its aspect-particle guard exists
+    # exactly so B's clause-initial 再/又 boundaries survive —
+    # docs/G2P.md §prosody tranche D)
     assert res["recall_major"] >= 0.33, res
     assert res["precision_any"] >= 0.32, res
 
@@ -87,8 +90,41 @@ def test_tranche_c_first_contact_floor():
     res = _harness().evaluate(
         os.path.join(_DATA, "prosody_break_eval_c.tsv"))
     assert res["n_major"] >= 35, res
+    # 39.0/38.1 after the segmentation batch; 39.0/39.0 after the
+    # tranche-D solo-adverb ban (docs/G2P.md §prosody tranche D)
     assert res["recall_major"] >= 0.36, res
     assert res["precision_any"] >= 0.35, res
+
+
+def test_tranche_d_first_contact_floor():
+    """Tranche D (round 5): 16 passages, 27 gold majors, NINE authors
+    unseen in TRAIN and in tranches A/B/C plus one unused statute. First
+    contact vs the shipped decoder: 33.3% R / 36.0% P — the fourth
+    independent cross-register estimate (B 35.6 / C 31.7 / D 33.3 at
+    first contact: the ~32-35% open-domain figure is stable). After the
+    closures its own census motivated (guarded solo-adverb break ban + 3
+    segwords) it is a REGRESSION set at 37.0% R / 45.5% P; the floor
+    sits just under that."""
+    res = _harness().evaluate(
+        os.path.join(_DATA, "prosody_break_eval_d.tsv"))
+    assert res["n_major"] >= 25, res
+    assert res["recall_major"] >= 0.34, res
+    assert res["precision_any"] >= 0.42, res
+
+
+def test_train_split_disjoint_from_tranche_d():
+    def passages(name):
+        out = set()
+        with open(os.path.join(_DATA, name), encoding="utf-8") as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln and not ln.startswith("#"):
+                    out.add(ln.split("\t")[0])
+        return out
+    d = passages("prosody_break_eval_d.tsv")
+    for other in ("prosody_break_train.tsv", "prosody_break_eval.tsv",
+                  "prosody_break_eval_b.tsv", "prosody_break_eval_c.tsv"):
+        assert not (passages(other) & d), other
 
 
 def test_train_split_disjoint_from_tranche_c():

@@ -51,6 +51,10 @@ _OPENER_WORDS = {"éžå¸¸", "ä¾ç„¶", "ä»ç„¶", "å·²ç»", "æ­£åœ¨", "é©¬ä¸Š", "ç«
 _PHRASE_CLOSERS = set("äº†ç€è¿‡å§å—å‘¢å•Šå‘€å˜›æ˜¯è¯´")
 # clitics that forbid an adjacent break on either side
 _NO_BREAK = set("çš„åœ°å¾—")
+# solo monosyllabic adverbs bind their verb phrase: never cut directly
+# after one (æˆ‘æ¯äº²ä¾¿|æŠŠæˆ‘å–Šé†’) nor directly before one (è¯´äº†|å†åš) â€”
+# round-5 tranche-D closure, docs/G2P.md Â§prosody tranche D
+_SOLO_ADVERBS = _ADVERB_CHARS | set("ä¾¿å³åˆ™ä¹ƒ")
 
 
 @dataclasses.dataclass
@@ -86,13 +90,21 @@ def _boundary_score(prev: _Word, nxt: _Word) -> float:
     """Score for breaking BETWEEN prev and nxt (higher = better)."""
     if prev.last in _NO_BREAK or nxt.first in _NO_BREAK:
         return float("-inf")
+    if prev.text in _SOLO_ADVERBS:
+        return float("-inf")          # æˆ‘æ¯äº²ä¾¿|æŠŠæˆ‘å–Šé†’ never cuts there
+    if nxt.text in _SOLO_ADVERBS and prev.last in "äº†ç€è¿‡":
+        return float("-inf")
+        # tranche-D closure (replaces a +2 bonus toward breaking before a
+        # solo adverb): the Väº†|å†V parallel-predicate shape (è¯´äº†|å†åš)
+        # must not cut before the adverb, but a subject|adverb-predicate
+        # boundary (è¡€åŽ‹å’Œè¡€ç³–æ°´å¹³|éƒ½å·²ç»æ¢å¤) remains the DP's preferred
+        # phrasing. Measured across the three held-out tranches
+        # (docs/G2P.md Â§prosody tranche D).
     score = 1.0                       # any word boundary is a legal cut
     if nxt.first in _PHRASE_OPENERS:
         score += 4.0
     elif nxt.text in _OPENER_WORDS:
         score += 4.0
-    elif nxt.text in _ADVERB_CHARS:
-        score += 2.0
     if prev.last in _PHRASE_CLOSERS:
         score += 3.0
     if prev.n_syl >= 2 and nxt.n_syl >= 2:

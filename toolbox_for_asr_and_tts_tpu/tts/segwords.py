@@ -126,8 +126,15 @@ _T3_CLOSURES = """
 火把 适龄 航空信 发干 发粉 步态 步调 净角 枣核
 """
 
+# tranche-D closure batch (round 5, added AFTER the first-contact
+# measurement was recorded): mid-word splits the tranche-D error census
+# exposed (竹条编|成, 管束|我最严). Reusable dictionary words only.
+_T3_CLOSURES_D = """
+管束 竹条 编成
+"""
+
 _TIERS = ((_T6, 6.0), (_T5, 5.0), (_T4, 4.0), (_T3, 3.0),
-          (_T3_CLOSURES, 3.0))
+          (_T3_CLOSURES, 3.0), (_T3_CLOSURES_D, 3.0))
 
 
 def general_words() -> Dict[str, float]:
