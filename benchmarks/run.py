@@ -271,11 +271,14 @@ def _quiesce(engines, timeout_s: float = 240.0) -> None:
     would otherwise poison the NEXT rung's latencies. Watching only the
     finalize hub is not enough: the backlog usually sits UPSTREAM, as
     queued speech chunks in the chunked/VAD hubs."""
-    hubs = [h for h in (
+    hubs = [lane for h in (
         engines.diarizer, engines.kws,
         getattr(engines.streaming_factory, "hub", None),
         getattr(engines.vad_factory, "hub", None))
-        if h is not None and hasattr(h, "_pending")]
+        if h is not None
+        # a LanedHub (VOICE_TICK_LANES>1) is a facade — watch its lanes
+        for lane in getattr(h, "lanes", [h])
+        if hasattr(lane, "_pending")]
     deadline = time.time() + timeout_s
     t_quiet = None
     last = None

@@ -111,9 +111,16 @@ def _vad_factory(model_dir: Optional[str] = None,
     if os.getenv("VOICE_BATCH_SERVING", "1") in ("1", "true"):
         from ..asr.vad import StreamingVadStepper
         from ..parallel.stream_batcher import AtCapacity
-        from .hub import HubVadStepper, VadHub
-        hub = VadHub(params, cfg, capacity=_batch_capacity(capacity),
-                     threshold=threshold, cmvn=cmvn)
+        from .hub import HubVadStepper, LanedHub, VadHub, tick_lanes
+        cap, lanes = _batch_capacity(capacity), tick_lanes()
+        if lanes > 1:
+            per = -(-cap // lanes)   # ceil: total capacity never shrinks
+            hub = LanedHub(lambda i: VadHub(params, cfg, capacity=per,
+                                            threshold=threshold, cmvn=cmvn),
+                           lanes)
+        else:
+            hub = VadHub(params, cfg, capacity=cap,
+                         threshold=threshold, cmvn=cmvn)
         # overflow sessions share ONE compiled program set, warmed under a
         # lock by a throwaway instance: per-instance lazy jits would trace
         # in serving threads concurrently with hub compiles (the
@@ -204,10 +211,18 @@ def _streaming_factory(reco, model_dir=None, capacity=None):
         # device program per tick (service/hub.py::ChunkedHub) instead of
         # one OnlineRecognizer program per connection per chunk
         from ..parallel.stream_batcher import AtCapacity
-        from .hub import ChunkedHub, HubStreamingRecognizer
-        hub = ChunkedHub(reco.params, reco.cfg, OnlineConfig(),
-                         reco.tokenizer, cmvn=cmvn,
-                         capacity=_batch_capacity(capacity))
+        from .hub import (ChunkedHub, HubStreamingRecognizer, LanedHub,
+                          tick_lanes)
+        cap, lanes = _batch_capacity(capacity), tick_lanes()
+        if lanes > 1:
+            per = -(-cap // lanes)
+            hub = LanedHub(
+                lambda i: ChunkedHub(reco.params, reco.cfg, OnlineConfig(),
+                                     reco.tokenizer, cmvn=cmvn, capacity=per),
+                lanes)
+        else:
+            hub = ChunkedHub(reco.params, reco.cfg, OnlineConfig(),
+                             reco.tokenizer, cmvn=cmvn, capacity=cap)
         # shared overflow program cache + warm-once (same rationale as the
         # VAD overflow path above: no tracing in serving threads, no
         # per-connection recompiles)

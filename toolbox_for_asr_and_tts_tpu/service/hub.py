@@ -428,6 +428,125 @@ class HubVadStepper:
             pass
 
 
+class LanedHub:
+    """N independent hub LANES behind one hub-shaped facade.
+
+    Why lanes: at the 128-stream WS ceiling the limiting term is tick-loop
+    occupancy — each pipelined tick still blocks on an int16 upload plus an
+    output fetch over the host↔device link, and on the dev tunnel ~80% of
+    that busy time is idle RTT wait, not compute (benchmarks/RESULTS.md,
+    r5 WSLOAD_PROFILE rows). Those waits OVERLAP across threads: two
+    threads chaining independent device programs measure 1.9–2.0× the
+    aggregate tick rate of one (probe in docs/DESIGN.md §2). So instead of
+    one ticker at capacity C, run ``n`` tickers at capacity C/n, each with
+    its own tick thread: lane A's fetch wait hides lane B's upload+dispatch.
+    Device compute still serializes on-chip — lanes buy back the RTT share,
+    which is exactly the term that breaks the 192-stream rung (tick busy
+    34.8 s > 29.7 s wall, capacity-256 probe).
+
+    The facade preserves the single-hub surface (`join/leave/reset/submit/
+    partial_text/finalize/close`), routing by a stateless slot encoding:
+    ``global = inner * n + lane``. Joins go to the least-occupied lane
+    (keeps every lane's packed-prefix pow-2 bucket minimal); a full lane
+    falls through to the next-least until all raise AtCapacity. Identical
+    per-lane shapes mean all lanes share XLA-compiled programs via the
+    in-process executable cache, so AOT warm cost is ~one lane's.
+
+    DEFAULT-OFF (VOICE_TICK_LANES=1): shipped single-hub behavior is
+    byte-identical. The wsload ladder opts in to measure >128 streams.
+    """
+
+    def __init__(self, make_lane, n_lanes: int):
+        self.n = int(n_lanes)
+        self.lanes = []
+        try:
+            for i in range(self.n):
+                self.lanes.append(make_lane(i))
+        except Exception:
+            for lane in self.lanes:   # don't leak tick threads on a failed
+                try:                  # sibling-lane build
+                    lane.close()
+                except Exception:
+                    pass
+            raise
+        self._live = [0] * self.n
+        self._jlock = threading.Lock()
+
+    # ------------------------------------------------------------- rows
+    def join(self) -> int:
+        from ..parallel.stream_batcher import AtCapacity
+        with self._jlock:
+            order = sorted(range(self.n), key=lambda i: (self._live[i], i))
+        for i in order:
+            try:
+                inner = self.lanes[i].join()
+            except AtCapacity:
+                continue
+            with self._jlock:
+                self._live[i] += 1
+            return inner * self.n + i
+        raise AtCapacity(
+            f"all {self.n} hub lanes at capacity "
+            f"({sum(self._live)} live rows)")
+
+    def _route(self, slot: int):
+        return self.lanes[slot % self.n], slot // self.n
+
+    def leave(self, slot: int) -> None:
+        lane, inner = self._route(slot)
+        lane.leave(inner)
+        with self._jlock:
+            self._live[slot % self.n] -= 1
+
+    def reset(self, slot: int) -> None:
+        lane, inner = self._route(slot)
+        lane.reset(inner)
+
+    # ------------------------------------------------------------ submit
+    def submit(self, slot: int, chunk: np.ndarray,
+               timeout: Optional[float] = None):
+        lane, inner = self._route(slot)
+        return lane.submit(inner, chunk, timeout)
+
+    def partial_text(self, slot: int) -> str:
+        lane, inner = self._route(slot)
+        return lane.partial_text(inner)
+
+    def finalize(self, slot: int) -> str:
+        lane, inner = self._route(slot)
+        return lane.finalize(inner)
+
+    def __getattr__(self, name):
+        # non-slot attributes (cfg, tokenizer, tick_ms …) are identical
+        # across lanes — delegate to lane 0
+        if name == "lanes":          # don't recurse during __init__
+            raise AttributeError(name)
+        return getattr(self.lanes[0], name)
+
+    # --------------------------------------------------------- telemetry
+    @property
+    def ticks(self) -> int:
+        return sum(lane.ticks for lane in self.lanes)
+
+    @property
+    def submissions(self) -> int:
+        return sum(lane.submissions for lane in self.lanes)
+
+    def close(self) -> None:
+        for lane in self.lanes:
+            lane.close()
+
+
+def tick_lanes() -> int:
+    """VOICE_TICK_LANES: how many parallel tick lanes the serving hubs run
+    (see LanedHub). 1 = shipped single-hub behavior."""
+    import os
+    try:
+        return max(1, int(os.getenv("VOICE_TICK_LANES", "1")))
+    except ValueError:
+        return 1
+
+
 class KwsHub:
     """Cross-session WAKE-WORD batching: every session sitting in
     WAITING_FOR_WAKEUP scores its full 1600 ms FIFO window once per 400 ms
