@@ -30,9 +30,13 @@ _OCFG = _po.OnlineConfig(c1=4, c2=5, encoder_look_back=2)
 @pytest.fixture(scope="module")
 def laned_hub():
     params = _pf.init_params(jax.random.PRNGKey(3), _PCFG)
+    shared: dict = {}   # lanes share compiled tick programs (engines wiring)
     h = LanedHub(
         lambda i: ChunkedHub(params, _PCFG, _OCFG, CharTokenizer.dummy(64),
-                             capacity=2, tick_ms=5.0), 2)
+                             capacity=2, tick_ms=5.0, exec_cache=shared), 2)
+    # the share actually happened: every lane ticker aliases ONE exec dict
+    assert all(lane.ticker._step_execs is shared["step_execs"]
+               for lane in h.lanes)
     for lane in h.lanes:   # unpipelined: tests read partials mid-stream
         lane.ticker._pipelined = False
     yield h
@@ -127,6 +131,45 @@ def test_laned_finalize_and_reset_are_lane_local(laned_hub):
     assert b.partial_text() == pb
     a.close()
     b.close()
+
+
+def test_exec_cache_shares_compiled_programs():
+    """A second identically-configured ticker built with the same
+    exec_cache reuses lane 1's compiled executables (no recompilation —
+    over the dev tunnel that is minutes per program family), and a
+    mismatched geometry is refused loudly."""
+    from toolbox_for_asr_and_tts_tpu.parallel.stream_batcher import (
+        BatchedChunkedASR)
+    params = _pf.init_params(jax.random.PRNGKey(5), _PCFG)
+    shared: dict = {}
+    t1 = BatchedChunkedASR(params, _PCFG, _OCFG, capacity=2, fused=True,
+                           partials=True, exec_cache=shared)
+    t1.warm()
+    n_execs = len(shared["step_execs"])
+    assert n_execs > 0
+    tail = shared["fbank_fns"]["tail"]
+    reset = shared["reset"]
+    t2 = BatchedChunkedASR(params, _PCFG, _OCFG, capacity=2, fused=True,
+                           partials=True, exec_cache=shared)
+    t2.warm()
+    # nothing recompiled: same executables, same count
+    assert len(shared["step_execs"]) == n_execs
+    assert t2._fbank_fns["tail"] is tail
+    assert t2._reset_fn is reset
+    assert t2._step_execs is t1._step_execs
+    # and the shared programs still produce a working ticker: one tick on
+    # each, identical audio → identical fired ids
+    rng = np.random.default_rng(8)
+    audio = (rng.standard_normal(6400) * 0.1).astype(np.float32)
+    s1, s2 = t1.join(), t2.join()
+    f1 = t1.tick({s1: audio.copy()})
+    f2 = t2.tick({s2: audio.copy()})
+    t1._harvest(), t2._harvest()
+    assert (t1._carry.get(s1) or f1.get(s1)) == \
+           (t2._carry.get(s2) or f2.get(s2))
+    with pytest.raises(ValueError, match="differently-configured"):
+        BatchedChunkedASR(params, _PCFG, _OCFG, capacity=4, fused=True,
+                          partials=True, exec_cache=shared)
 
 
 def test_laned_env_wiring(monkeypatch):

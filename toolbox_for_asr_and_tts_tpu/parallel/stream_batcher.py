@@ -64,7 +64,8 @@ class BatchedChunkedASR:
     def __init__(self, params, cfg=None, ocfg=None, capacity: int = 16,
                  cmvn: Optional[Tuple[np.ndarray, np.ndarray]] = None,
                  fused: bool = True, partials: bool = False, mesh=None,
-                 pipelined: bool = False, bucketed: Optional[bool] = None):
+                 pipelined: bool = False, bucketed: Optional[bool] = None,
+                 exec_cache: Optional[dict] = None):
         """fused=True (default): ONE device program per tick — the audio
         ring lives on device and fbank/LFR/CMVN fuse with the encoder+CIF
         (models/paraformer_online.fused_step). fused=False keeps the
@@ -79,6 +80,14 @@ class BatchedChunkedASR:
         one tick, the fetch of tick t-1 overlaps tick t's compute. The env
         knob (CHUNKED_PIPELINE) is parsed ONCE at the serving layer
         (service/hub.py, benchmarks/run.py), not here.
+        exec_cache: optional dict SHARED between tickers built with
+        identical geometry/flags (the LanedHub contract, service/hub.py):
+        compiled tick/reset/move/tail executables are stored there, so
+        lane 2..N reuse lane 1's programs instead of recompiling the whole
+        bucket family per lane (minutes per program over the dev tunnel).
+        A compiled executable is stateless w.r.t. the caller — donation is
+        per-call — so cross-instance sharing is sound as long as avals
+        match, which a signature check enforces.
         bucketed (fused, single-device — the default there): PACKED-STATE
         occupancy bucketing (round 4, ROADMAP #7). Live sessions occupy
         the contiguous device-row prefix [0, n_live) — leave() relocates
@@ -207,6 +216,20 @@ class BatchedChunkedASR:
             self._step_execs: Dict[object, object] = {}
         else:
             self.state = po.init_state(self.cfg, self.ocfg, b=capacity)
+        # shared executable cache (see docstring): replace the per-instance
+        # caches with the shared dicts AFTER the geometry they key on is
+        # fixed, and refuse a mismatched share loudly
+        self._exec_cache = exec_cache
+        if exec_cache is not None:
+            sig = ("chunked", capacity, self.fused, self.partials,
+                   self.bucketed, self._int16_transfer, self.cfg, self.ocfg,
+                   mesh is None)
+            if exec_cache.setdefault("signature", sig) != sig:
+                raise ValueError(
+                    "exec_cache shared across differently-configured "
+                    f"tickers: {exec_cache['signature']} vs {sig}")
+            if self.fused:
+                self._step_execs = exec_cache.setdefault("step_execs", {})
         self._frontends: Dict[int, object] = {}
         self._queues: Dict[int, np.ndarray] = {}
         self._free = list(range(capacity))
@@ -238,6 +261,8 @@ class BatchedChunkedASR:
         self._active_win[self.ocfg.c0: self.ocfg.c0 + self.ocfg.c1] = 1.0
         self._audio: Dict[int, np.ndarray] = {}
         self._fbank_fns: Dict[Tuple[int, int], object] = {}
+        if exec_cache is not None:
+            self._fbank_fns = exec_cache.setdefault("fbank_fns", {})
         # double-buffered tick dispatch (fused only): tick t dispatches its
         # device step CHAINED on tick t-1's on-device state (no host sync)
         # and fetches tick t-1's outputs, so the host↔device round trip
@@ -261,10 +286,15 @@ class BatchedChunkedASR:
         # state is threaded (self.state = fn(self.state, ...)) so the input
         # buffer is donated: row resets/moves update in place instead of
         # copying every leaf of a capacity-row state through HBM
-        self._reset_fn = jax.jit(lambda st, s: jax.tree.map(
-            lambda a: a.at[s].set(jnp.zeros_like(a[s])), st),
-            donate_argnums=(0,)).lower(
-                self.state, jnp.asarray(0)).compile()
+        if exec_cache is not None and "reset" in exec_cache:
+            self._reset_fn = exec_cache["reset"]
+        else:
+            self._reset_fn = jax.jit(lambda st, s: jax.tree.map(
+                lambda a: a.at[s].set(jnp.zeros_like(a[s])), st),
+                donate_argnums=(0,)).lower(
+                    self.state, jnp.asarray(0)).compile()
+            if exec_cache is not None:
+                exec_cache["reset"] = self._reset_fn
         self.state = self._reset_fn(self.state, jnp.asarray(0))
 
         def move_row(st, src, dst):
@@ -278,9 +308,15 @@ class BatchedChunkedASR:
 
         self._move_fn = None
         if self.bucketed:
-            self._move_fn = jax.jit(move_row, donate_argnums=(0,)).lower(
-                self.state, jnp.asarray(0), jnp.asarray(0)).compile()
-        if self.partials:
+            if exec_cache is not None and "move" in exec_cache:
+                self._move_fn = exec_cache["move"]
+            else:
+                self._move_fn = jax.jit(move_row, donate_argnums=(0,)).lower(
+                    self.state, jnp.asarray(0), jnp.asarray(0)).compile()
+                if exec_cache is not None:
+                    exec_cache["move"] = self._move_fn
+        if self.partials and (exec_cache is None
+                              or "tail" not in self._fbank_fns):
             ccfg = self.cfg
 
             def tail_fn(p, state, s, embed):
@@ -675,7 +711,10 @@ class BatchedVadTicker:
     """
 
     def __init__(self, params, cfg=None, capacity: int = 16,
-                 threshold: float = 0.5, cmvn=None):
+                 threshold: float = 0.5, cmvn=None,
+                 exec_cache: Optional[dict] = None):
+        # exec_cache: shared compiled-program dict for identically-
+        # configured lane tickers (see BatchedChunkedASR docstring)
         import jax
         from ..models import fsmn_vad
         self._fsmn_vad = fsmn_vad
@@ -717,19 +756,34 @@ class BatchedVadTicker:
 
         self._step_prefix_fn = step_prefix
         self._step_execs: Dict[Tuple, object] = {}
+        if exec_cache is not None:
+            sig = ("vad", capacity, self._int16_transfer, self.cfg)
+            if exec_cache.setdefault("signature", sig) != sig:
+                raise ValueError(
+                    "exec_cache shared across differently-configured VAD "
+                    f"tickers: {exec_cache['signature']} vs {sig}")
+            self._step_execs = exec_cache.setdefault("step_execs", {})
+            self._fbank_fns = exec_cache.setdefault("fbank_fns", {})
         # pre-compile the per-slot reset while construction is single-
         # threaded (same concurrent-trace hazard as BatchedChunkedASR);
         # reset/move donate the cache — in-place row updates
         import jax.numpy as jnp
-        self._reset_fn = jax.jit(lambda cs, s: [
-            c.at[s].set(jnp.zeros_like(c[s])) for c in cs],
-            donate_argnums=(0,)).lower(
-                self.cache, jnp.asarray(0)).compile()
+        if exec_cache is not None and "reset" in exec_cache:
+            self._reset_fn = exec_cache["reset"]
+            self._move_fn = exec_cache["move"]
+        else:
+            self._reset_fn = jax.jit(lambda cs, s: [
+                c.at[s].set(jnp.zeros_like(c[s])) for c in cs],
+                donate_argnums=(0,)).lower(
+                    self.cache, jnp.asarray(0)).compile()
+            self._move_fn = jax.jit(lambda cs, src, dst: [
+                c.at[dst].set(c[src]).at[src].set(jnp.zeros_like(c[src]))
+                for c in cs], donate_argnums=(0,)).lower(
+                    self.cache, jnp.asarray(0), jnp.asarray(0)).compile()
+            if exec_cache is not None:
+                exec_cache["reset"] = self._reset_fn
+                exec_cache["move"] = self._move_fn
         self.cache = self._reset_fn(self.cache, jnp.asarray(0))
-        self._move_fn = jax.jit(lambda cs, src, dst: [
-            c.at[dst].set(c[src]).at[src].set(jnp.zeros_like(c[src]))
-            for c in cs], donate_argnums=(0,)).lower(
-                self.cache, jnp.asarray(0), jnp.asarray(0)).compile()
 
     # ------------------------------------------------------------ rows
     def join(self) -> int:

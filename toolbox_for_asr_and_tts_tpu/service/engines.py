@@ -115,8 +115,10 @@ def _vad_factory(model_dir: Optional[str] = None,
         cap, lanes = _batch_capacity(capacity), tick_lanes()
         if lanes > 1:
             per = -(-cap // lanes)   # ceil: total capacity never shrinks
+            shared: dict = {}        # lanes share compiled tick programs
             hub = LanedHub(lambda i: VadHub(params, cfg, capacity=per,
-                                            threshold=threshold, cmvn=cmvn),
+                                            threshold=threshold, cmvn=cmvn,
+                                            exec_cache=shared),
                            lanes)
         else:
             hub = VadHub(params, cfg, capacity=cap,
@@ -216,9 +218,11 @@ def _streaming_factory(reco, model_dir=None, capacity=None):
         cap, lanes = _batch_capacity(capacity), tick_lanes()
         if lanes > 1:
             per = -(-cap // lanes)
+            shared: dict = {}        # lanes share compiled tick programs
             hub = LanedHub(
                 lambda i: ChunkedHub(reco.params, reco.cfg, OnlineConfig(),
-                                     reco.tokenizer, cmvn=cmvn, capacity=per),
+                                     reco.tokenizer, cmvn=cmvn, capacity=per,
+                                     exec_cache=shared),
                 lanes)
         else:
             hub = ChunkedHub(reco.params, reco.cfg, OnlineConfig(),

@@ -52,10 +52,11 @@ def _hub_timeout() -> float:
 
 class VadHub:
     def __init__(self, params, cfg=None, capacity: int = 16,
-                 threshold: float = 0.5, tick_ms: float = 10.0, cmvn=None):
+                 threshold: float = 0.5, tick_ms: float = 10.0, cmvn=None,
+                 exec_cache=None):
         from ..parallel.stream_batcher import BatchedVadTicker
         self.ticker = BatchedVadTicker(params, cfg, capacity, threshold,
-                                       cmvn=cmvn)
+                                       cmvn=cmvn, exec_cache=exec_cache)
         self.tick_ms = tick_ms
         # slot → (chunk, [(event, result-holder), …], generation-at-queue)
         self._pending: Dict[int, Tuple[np.ndarray, list, int]] = {}
@@ -187,7 +188,8 @@ class ChunkedHub:
     """
 
     def __init__(self, params, cfg, ocfg, tokenizer, cmvn=None,
-                 capacity: int = 16, tick_ms: float = 10.0, mesh=None):
+                 capacity: int = 16, tick_ms: float = 10.0, mesh=None,
+                 exec_cache=None):
         import os
         from ..parallel.stream_batcher import BatchedChunkedASR
         # serving default: double-buffered dispatch — the fetch of tick t−1
@@ -197,7 +199,8 @@ class ChunkedHub:
         self.ticker = BatchedChunkedASR(
             params, cfg, ocfg, capacity=capacity, cmvn=cmvn, fused=True,
             partials=True, mesh=mesh,
-            pipelined=os.getenv("CHUNKED_PIPELINE", "1") in ("1", "true"))
+            pipelined=os.getenv("CHUNKED_PIPELINE", "1") in ("1", "true"),
+            exec_cache=exec_cache)
         if os.getenv("VOICE_AOT_TICKS", "1") in ("1", "true"):
             # compile every occupancy-bucket tick program NOW (startup
             # preload): the first session joining at a new pow-2 occupancy
