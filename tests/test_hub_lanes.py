@@ -172,6 +172,62 @@ def test_exec_cache_shares_compiled_programs():
                           partials=True, exec_cache=shared)
 
 
+def test_gather_hub_workers_match_single():
+    """KwsHub/FinalizeHub with workers=2 (gather-hub lanes): concurrent
+    requests still return the unbatched engines' exact results, telemetry
+    sums correctly, close() joins all workers."""
+    from toolbox_for_asr_and_tts_tpu.models.kws_ctc import KeywordSpotter
+    from toolbox_for_asr_and_tts_tpu.service.hub import FinalizeHub, KwsHub
+
+    def _win(seed, secs=1.6):
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(16000 * secs)) / 16000
+        return (0.3 * np.sin(2 * np.pi * (200 + 20 * seed) * t)
+                + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+
+    kws = KeywordSpotter.random(threshold=0.0)
+    windows = [_win(i) for i in range(6)]
+    singles = [kws.detect_audio(w) for w in windows]
+    hub = KwsHub(kws, window_ms=40.0, workers=2)
+    try:
+        assert len(hub._threads) == 2
+        out = [None] * len(windows)
+        ths = [threading.Thread(
+            target=lambda i=i: out.__setitem__(i, hub.detect_audio(windows[i])))
+            for i in range(len(windows))]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join(timeout=300)
+        assert hub.requests == len(windows)
+        for got, want in zip(out, singles):
+            assert got is not None and got[0] == want[0]
+            np.testing.assert_allclose(got[1], want[1], rtol=1e-4, atol=1e-5)
+    finally:
+        hub.close()
+    assert all(not t.is_alive() for t in hub._threads)
+
+    class Echo:
+        def diarize_batch(self, wavs, sr=16000, need_spk=True):
+            return [float(np.sum(w)) for w in wavs]
+
+    fhub = FinalizeHub(Echo(), window_ms=40.0, workers=2)
+    try:
+        wavs = [np.full(160, i, np.float32) for i in range(8)]
+        out = [None] * len(wavs)
+        ths = [threading.Thread(
+            target=lambda i=i: out.__setitem__(i, fhub.diarize(wavs[i])))
+            for i in range(len(wavs))]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join(timeout=120)
+        assert out == [float(np.sum(w)) for w in wavs]
+        assert fhub.requests == len(wavs)
+    finally:
+        fhub.close()
+
+
 def test_laned_env_wiring(monkeypatch):
     """VOICE_TICK_LANES=2 builds LanedHub in BOTH serving factories with
     ceil-divided per-lane capacity (total never shrinks)."""

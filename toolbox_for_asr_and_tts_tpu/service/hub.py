@@ -567,7 +567,8 @@ class KwsHub:
     that includes it resolves; everything else proxies the spotter."""
 
     def __init__(self, spotter, window_ms: float = 20.0,
-                 max_batch: Optional[int] = None):
+                 max_batch: Optional[int] = None,
+                 workers: Optional[int] = None):
         import os
         self.inner = spotter
         self.window_ms = window_ms
@@ -577,11 +578,19 @@ class KwsHub:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._work = threading.Event()
-        self._thread = threading.Thread(target=self._loop, daemon=True,
-                                        name="kws-hub")
-        self._thread.start()
         self.batches = 0             # telemetry
         self.requests = 0
+        # workers>1 = tick LANES for a gather hub (no slots to route — each
+        # worker drains the shared queue): while worker A waits on its
+        # batch's device round trip, worker B gathers + dispatches the next
+        # arrivals, overlapping the link RTT exactly like LanedHub. Defaults
+        # to VOICE_TICK_LANES so the wake path scales with the row hubs.
+        self._threads = [threading.Thread(target=self._loop, daemon=True,
+                                          name=f"kws-hub-{i}")
+                         for i in range(workers if workers is not None
+                                        else tick_lanes())]
+        for t in self._threads:
+            t.start()
 
     def __getattr__(self, name):
         return getattr(self.inner, name)
@@ -619,8 +628,9 @@ class KwsHub:
                     self._work.set()   # overflow rolls into the next round
             if not batch:
                 continue
-            self.batches += 1
-            self.requests += len(batch)
+            with self._lock:   # telemetry shared across workers
+                self.batches += 1
+                self.requests += len(batch)
             t_tick = time.perf_counter()
             _HUB_TICKS.inc(hub="kws")
             _HUB_SUBS.inc(len(batch), hub="kws")
@@ -646,7 +656,8 @@ class KwsHub:
     def close(self) -> None:
         self._stop.set()
         self._work.set()
-        self._thread.join(timeout=2.0)
+        for t in self._threads:
+            t.join(timeout=2.0)
 
 
 class FinalizeHub:
@@ -661,7 +672,8 @@ class FinalizeHub:
     diarizer."""
 
     def __init__(self, diarizer, window_ms: float = 30.0,
-                 max_batch: Optional[int] = None):
+                 max_batch: Optional[int] = None,
+                 workers: Optional[int] = None):
         import os
         self.inner = diarizer
         self.window_ms = window_ms
@@ -674,11 +686,16 @@ class FinalizeHub:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._work = threading.Event()   # set on diarize; idle loop parks
-        self._thread = threading.Thread(target=self._loop, daemon=True,
-                                        name="finalize-hub")
-        self._thread.start()
         self.batches = 0             # telemetry
         self.requests = 0
+        # workers>1: gather-hub lanes (see KwsHub) — concurrent finalize
+        # storms split across workers whose device round trips overlap
+        self._threads = [threading.Thread(target=self._loop, daemon=True,
+                                          name=f"finalize-hub-{i}")
+                         for i in range(workers if workers is not None
+                                        else tick_lanes())]
+        for t in self._threads:
+            t.start()
 
     def __getattr__(self, name):
         return getattr(self.inner, name)
@@ -711,8 +728,9 @@ class FinalizeHub:
                     self._work.set()   # overflow rolls into the next round
             if not batch:
                 continue
-            self.batches += 1
-            self.requests += len(batch)
+            with self._lock:   # telemetry shared across workers
+                self.batches += 1
+                self.requests += len(batch)
             t_tick = time.perf_counter()
             _HUB_TICKS.inc(hub="finalize")
             _HUB_SUBS.inc(len(batch), hub="finalize")
@@ -748,5 +766,6 @@ class FinalizeHub:
 
     def close(self) -> None:
         self._stop.set()
-        self._work.set()   # wake the parked loop so it can exit
-        self._thread.join(timeout=2.0)
+        self._work.set()   # wake the parked loops so they can exit
+        for t in self._threads:
+            t.join(timeout=2.0)
